@@ -1,0 +1,71 @@
+"""Dataset sources for the image+caption corpus and its side tables.
+
+The corpus layout is one table per logical layer (images, placements,
+polygons, query_points, rasters) — parquet here, Lance when available,
+identical schema (BASELINE.json input_hint). Readers always pass
+``columns=`` so only needed columns leave storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+__all__ = [
+    "read_images",
+    "read_placements",
+    "read_polygons",
+    "read_query_points",
+    "read_rasters",
+    "read_table",
+]
+
+
+def _path(corpus_dir: str, name: str) -> str:
+    return os.path.join(corpus_dir, f"{name}.parquet")
+
+
+def read_table(corpus_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_parquet(_path(corpus_dir, name), columns=columns, **kw)
+
+
+def read_images(corpus_dir: str, columns=None, **kw) -> rd.Dataset:
+    """Image payload table. Prune columns: metadata-only stages must NOT
+    read ``bytes`` (wide binary rows stay out of shuffles)."""
+    return read_table(corpus_dir, "images", columns=columns, **kw)
+
+
+def _split_gt(batch):
+    """fixed_size_list gt -> scalar columns gt0..gt5 (join/SQL friendly;
+    Acero hash join rejects fixed_size_list non-key fields)."""
+    import numpy as np
+    import pyarrow as pa
+
+    col = batch["gt"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, 6)
+    batch = batch.drop_columns(["gt"])
+    for i in range(6):
+        batch = batch.append_column(f"gt{i}", pa.array(m[:, i]))
+    return batch
+
+
+def read_placements(corpus_dir: str, columns=None, **kw) -> rd.Dataset:
+    ds = read_table(corpus_dir, "placements", columns=columns, **kw)
+    if columns is None or "gt" in columns:
+        ds = ds.map_batches(_split_gt, batch_format="pyarrow")
+    return ds
+
+
+def read_polygons(corpus_dir: str, columns=None, **kw) -> rd.Dataset:
+    return read_table(corpus_dir, "polygons", columns=columns, **kw)
+
+
+def read_query_points(corpus_dir: str, columns=None, **kw) -> rd.Dataset:
+    return read_table(corpus_dir, "query_points", columns=columns, **kw)
+
+
+def read_rasters(corpus_dir: str, columns=None, **kw) -> rd.Dataset:
+    return read_table(corpus_dir, "rasters", columns=columns, **kw)
