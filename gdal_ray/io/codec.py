@@ -121,14 +121,19 @@ def decode_png(buf: bytes) -> np.ndarray:
     return data.reshape(h, w, c)
 
 
-def encode_qlossy(img: np.ndarray, step: int = 8, level: int = 6) -> bytes:
-    """Deterministic lossy stand-in for JPEG (see module docstring)."""
+def encode_qlossy(img: np.ndarray, step: int = 6, level: int = 6) -> bytes:
+    """Deterministic lossy stand-in for JPEG (see module docstring).
+
+    Uniform quantization q = round(v/step); decode reconstructs
+    min(q*step, 255) so max error is step/2 everywhere including the
+    saturated top bucket (no 255 -> 248 collapse). step=6 keeps worst-case
+    PSNR comfortably above the 40 dB oracle gate.
+    """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
-    # quantize to bucket centers: round(v/step)*step clamped to 255
-    q = np.minimum((img.astype(np.uint16) + step // 2) // step, 255 // step).astype(np.uint8)
+    q = ((img.astype(np.uint16) + step // 2) // step).astype(np.uint8)
     payload = zlib.compress(q.tobytes(), level)
     return _QL_MAGIC + struct.pack("<IIBB", w, h, c, step) + payload
 

@@ -27,7 +27,6 @@ import ray.data as rd
 from gdal_ray.config import CELL_LEVEL, IMAGE_BATCH, META_BATCH, TILE_ZOOMS
 from gdal_ray.sources import corpus as SRC
 from gdal_ray.stages import geo as G
-from gdal_ray.stages.decode import DecodeStats
 from gdal_ray.stages.pipjoin import PipJoinStage, build_polygon_cell_index
 from gdal_ray.stages.knn import KnnStage, build_centroid_cell_index
 
@@ -41,20 +40,32 @@ __all__ = [
 ]
 
 
-def decoded_meta(corpus_dir: str, concurrency=None, keep_pixels=False) -> rd.Dataset:
-    """images -> decoded per-image metrics (bytes dropped)."""
+def _default_partitions() -> int:
+    import ray as _r
+
+    try:
+        return max(2, min(32, int(_r.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return 8
+
+
+def decoded_meta(corpus_dir: str, keep_pixels=False) -> rd.Dataset:
+    """images -> decoded per-image metrics (bytes dropped).
+
+    Decode is stateless -> plain task pool (elastic, no actor reservation
+    that could starve the join's shuffle aggregators on small clusters)."""
+    from gdal_ray.stages.decode import decode_stats
+
     images = SRC.read_images(corpus_dir)
     return images.map_batches(
-        DecodeStats,
-        fn_constructor_kwargs={"keep_pixels": keep_pixels},
+        decode_stats,
+        fn_kwargs={"keep_pixels": keep_pixels},
         batch_format="pyarrow",
         batch_size=IMAGE_BATCH,
-        concurrency=concurrency or (2, 8),
-        num_cpus=1,
     )
 
 
-def placed_images(corpus_dir: str, decode: bool = True, num_partitions: int = 16) -> rd.Dataset:
+def placed_images(corpus_dir: str, decode: bool = True, num_partitions: int | None = None) -> rd.Dataset:
     """(decoded) images ⋈ placements with centroid/bbox/cell columns added."""
     if decode:
         left = decoded_meta(corpus_dir)
@@ -64,7 +75,7 @@ def placed_images(corpus_dir: str, decode: bool = True, num_partitions: int = 16
     joined = left.join(
         placements,
         join_type="inner",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or _default_partitions(),
         on=("image_id",),
     )
     return (
@@ -87,7 +98,7 @@ def _polygon_index_ref(corpus_dir: str):
     return ray.put(build_polygon_cell_index(table, CELL_LEVEL))
 
 
-def pip_join_images(placed: rd.Dataset, corpus_dir: str, concurrency=(2, 8)) -> rd.Dataset:
+def pip_join_images(placed: rd.Dataset, corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
     """Image centroids vs polygon layer -> (src_id, poly_id) rows."""
     index_ref = _polygon_index_ref(corpus_dir)
     pts = placed.select_columns(["image_id", "cx", "cy", "cell"]).rename_columns(
@@ -103,7 +114,7 @@ def pip_join_images(placed: rd.Dataset, corpus_dir: str, concurrency=(2, 8)) -> 
     )
 
 
-def pip_join_query_points(corpus_dir: str, concurrency=(2, 8)) -> rd.Dataset:
+def pip_join_query_points(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
     """query_points vs polygon layer (same broadcast join, no decode)."""
     index_ref = _polygon_index_ref(corpus_dir)
 
@@ -135,7 +146,7 @@ def pip_join_query_points(corpus_dir: str, concurrency=(2, 8)) -> rd.Dataset:
     )
 
 
-def knn_images(corpus_dir: str, concurrency=(2, 8)) -> rd.Dataset:
+def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
     """query_points kNN against image centroids -> (query_id, rank, image_id, dist)."""
     placed = placed_images(corpus_dir, decode=False)
     meta = pa.concat_tables(

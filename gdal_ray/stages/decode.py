@@ -16,7 +16,7 @@ import pyarrow as pa
 from gdal_ray.io import codec as C
 from gdal_ray.io import phash as PH
 
-__all__ = ["DecodeStats"]
+__all__ = ["DecodeStats", "decode_stats"]
 
 
 class DecodeStats:
@@ -25,6 +25,11 @@ class DecodeStats:
     Emitted columns: mean, std, minv, maxv, checksum (GDAL parity),
     phash_check (recomputed pHash — equals the stored ``phash`` column for
     intact payloads, a cheap end-to-end decode invariant).
+
+    Decode holds no per-worker state (codecs are pure functions), so prefer
+    the plain-function form ``decode_stats`` (elastic task pool) — the class
+    form exists for callers that want to pin an actor pool alongside other
+    stages. A real model-backed featurizer WOULD be an actor pool.
     """
 
     def __init__(self, keep_pixels: bool = False, compute_phash: bool = True):
@@ -69,3 +74,8 @@ class DecodeStats:
         if pixels is not None:
             out = out.append_column("pixels", pa.array(pixels, pa.binary()))
         return out
+
+
+def decode_stats(batch: pa.Table, keep_pixels: bool = False, compute_phash: bool = True) -> pa.Table:
+    """Stateless function form of DecodeStats for task-pool `map_batches`."""
+    return DecodeStats(keep_pixels=keep_pixels, compute_phash=compute_phash)(batch)

@@ -1,0 +1,171 @@
+"""Deduplication operators (engine additions beyond GDAL — SURVEY.md §2.7).
+
+- exact dedup: content-hash groupby, keep first (min key) per group;
+- near-dup images: 64-bit pHash banded LSH — hamming(h1,h2) <= 2 implies at
+  least 2 of the 4 16-bit bands are equal (pigeonhole), so banding by each
+  16-bit quarter yields a complete candidate set; candidates are verified
+  with the exact SWAR hamming distance and connected components are closed
+  with iterative min-label propagation (a bounded number of groupby rounds,
+  no driver-side union-find on big data);
+- MinHash + LSH near-dup for text (documents table): per-batch shingling ->
+  minhash signature -> banded bucket keys -> groupby bucket -> verified
+  Jaccard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray.io.phash import hamming64
+
+__all__ = [
+    "add_md5",
+    "exact_dedup",
+    "phash_bands",
+    "near_dup_image_pairs",
+    "MinHasher",
+    "minhash_bands",
+]
+
+
+def add_md5(batch: pa.Table, col: str = "text", out: str = "md5") -> pa.Table:
+    """Content hash column (md5 hex — same function DuckDB exposes, so the
+    dedup oracle is expressible in ANSI SQL)."""
+    vals = batch[col].to_pylist()
+    digests = [hashlib.md5(v.encode() if isinstance(v, str) else v).hexdigest() for v in vals]
+    return batch.append_column(out, pa.array(digests, pa.string()))
+
+
+def exact_dedup(ds, hash_col: str, key_col: str):
+    """Keep the min-key row per hash group (deterministic winner)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_col).head(1)
+
+    return ds.groupby(hash_col).map_groups(first, batch_format="pandas")
+
+
+def phash_bands(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
+    """Explode each row into 4 LSH band rows: (band_id, band_key, image_id, phash)."""
+    ph = np.asarray(batch[phash_col], dtype=np.int64).view(np.uint64)
+    n = len(ph)
+    ids = batch["image_id"]
+    bands, keys, out_ids, out_ph = [], [], [], []
+    for b in range(4):
+        band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        bands.append(np.full(n, b, dtype=np.int32))
+        keys.append(band)
+        out_ids.append(ids)
+        out_ph.append(batch[phash_col])
+    return pa.table(
+        {
+            "band_id": pa.array(np.concatenate(bands)),
+            "band_key": pa.array(np.concatenate(keys)),
+            "image_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_ids]
+            ),
+            "phash": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in out_ph]
+            ),
+        }
+    )
+
+
+def _verify_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """Within one (band_id, band_key) bucket emit verified near-dup pairs."""
+    g = g.sort_values("image_id").drop_duplicates("image_id")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    ids = g["image_id"].to_numpy()
+    ph = g["phash"].to_numpy()
+    ia, ib = np.triu_indices(n, k=1)
+    d = hamming64(ph[ia], ph[ib])
+    keep = d <= max_hamming
+    return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+
+
+def near_dup_image_pairs(images_ds, max_hamming: int = 2):
+    """images (image_id, phash) -> verified near-duplicate pairs (id_a < id_b).
+
+    Shuffle key = (band_id, band_key); buckets are tiny (16-bit keys), so no
+    salting is needed unless a degenerate corpus maps everything to one
+    band value.
+    """
+    bands = images_ds.map_batches(phash_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        lambda g: _verify_pairs(g, max_hamming), batch_format="pandas"
+    )
+    # same pair can match in multiple bands -> distinct
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: text -> MinHash signature + LSH band keys.
+
+    Hash family is seeded & compiled once per actor (__init__), batches are
+    vectorized over the shingle hash arrays.
+    """
+
+    def __init__(self, num_perm: int = 64, shingle: int = 5, bands: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.prime = np.uint64((1 << 61) - 1)
+
+    def _sig(self, text: str) -> np.ndarray:
+        t = text.lower()
+        if len(t) < self.shingle:
+            shingles = {t}
+        else:
+            shingles = {t[i : i + self.shingle] for i in range(len(t) - self.shingle + 1)}
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        with np.errstate(over="ignore"):
+            m = (hv[None, :] * self.a[:, None] + self.b[:, None]) % self.prime
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out_doc, out_band, out_key = [], [], []
+        for did, text in zip(ids, texts):
+            sig = self._sig(text or "")
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_doc.append(did)
+                out_band.append(b)
+                out_key.append(int.from_bytes(key, "little", signed=True))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+
+def minhash_bands(docs_ds, **kw):
+    """documents -> (doc_id, band_id, band_key) LSH rows."""
+    return docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline: the query matrix is small
+(broadcast once via `ray.put`), every batch does ONE numpy matmul against
+it — the canonical broadcast-side pattern. The scale path (IVF: coarse
+k-means buckets as the partition key, probe nearest buckets) keeps the same
+per-batch kernel and changes only the routing; `ivf_assign` below provides
+the bucketing stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+__all__ = ["BruteForceTopK", "topk_cosine", "ivf_assign", "kmeans_fit"]
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    c = batch[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    flat = np.asarray(c.flatten(), dtype=np.float32)
+    n = len(c)
+    return flat.reshape(n, -1)
+
+
+class BruteForceTopK:
+    """Per-batch exact cosine top-k against a broadcast query matrix.
+
+    Emits (query_idx, vec_id, score) candidate rows — per-batch local top-k,
+    reduced to global top-k by a tiny sort/groupby afterwards (partial+final
+    pattern, no full shuffle of the embedding table).
+    """
+
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1
+        self.q = (q / qn).astype(np.float32)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, self.vec_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sims = (m / norms) @ self.q.T  # (batch, nq)
+        ids = np.asarray(batch[self.id_col])
+        nq = sims.shape[1]
+        k = min(self.k, sims.shape[0])
+        # local top-k per query via argpartition (vectorized over queries)
+        part = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # (k, nq)
+        qi = np.repeat(np.arange(nq), k)
+        vi = part.T.ravel()
+        return pa.table(
+            {
+                "query_idx": pa.array(qi, pa.int32()),
+                "vec_id": pa.array(ids[vi]),
+                "score": pa.array(sims[vi, qi].astype(np.float64)),
+            }
+        )
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 10, **stage_kw):
+    """Dataset of (vec_id, embedding) -> exact global top-k rows per query:
+    (query_idx, rank, vec_id, score). Ties broken by vec_id."""
+    ref = ray.put(np.asarray(queries, dtype=np.float32))
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, **stage_kw},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.astype("int32")
+        return g[["query_idx", "rank", "vec_id", "score"]]
+
+    return cand.groupby("query_idx").map_groups(reduce_group, batch_format="pandas")
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny driver-side k-means (Lloyd) for IVF coarse centroids."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, dtype=np.float32)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def ivf_assign(batch: pa.Table, centroids_ref, vec_col: str = "embedding") -> pa.Table:
+    """+ ``bucket`` column = nearest coarse centroid (IVF partition key)."""
+    cent = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+    m = _matrix(batch, vec_col)
+    d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    return batch.append_column("bucket", pa.array(d.argmin(1).astype(np.int32)))

@@ -1,0 +1,96 @@
+"""End-to-end flagship pipeline vs precomputed scalar oracles (FIXTURES.md
+invariants 1-2): exact tile assignment, exact PIP join rows, exact kNN,
+decode invariants (PSNR/allclose + caption byte-equality + phash check)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def _setof(df, cols):
+    return set(map(tuple, df[cols].itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def placed(ray_session, corpus):
+    from gdal_ray.pipelines import flagship as F
+
+    return F.placed_images(corpus, decode=True).materialize()
+
+
+def test_tile_assignments_exact(ray_session, corpus, placed):
+    from gdal_ray.pipelines import flagship as F
+
+    tiles = F.tile_assignments(placed).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_tiles.parquet").to_pandas()
+    assert _setof(tiles, ["image_id", "z", "x", "y"]) == _setof(want, ["image_id", "z", "x", "y"])
+    assert len(tiles) == len(want)  # no duplicate rows either
+
+
+def test_pip_join_exact(ray_session, corpus, placed):
+    from gdal_ray.pipelines import flagship as F
+
+    got = F.pip_join_images(placed, corpus).to_pandas()
+    qgot = F.pip_join_query_points(corpus).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_pip.parquet").to_pandas()
+    all_got = _setof(got, ["src_id", "poly_id"]) | _setof(qgot, ["src_id", "poly_id"])
+    assert all_got == _setof(want, ["src_id", "poly_id"])
+
+
+def test_knn_exact(ray_session, corpus):
+    from gdal_ray.pipelines import flagship as F
+
+    got = F.knn_images(corpus).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_knn.parquet").to_pandas()
+    assert _setof(got, ["query_id", "rank", "image_id"]) == _setof(
+        want, ["query_id", "rank", "image_id"]
+    )
+    # distances agree
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_allclose(g["dist"], w["dist"], rtol=1e-9)
+
+
+def test_decode_invariants(ray_session, corpus, placed):
+    df = placed.to_pandas()
+    # phash recomputed from decoded pixels equals the stored column
+    assert (df["phash_check"] == df["phash"]).all()
+    # captions intact and keyed by image_id
+    assert df.apply(lambda r: r["image_id"] in r["caption"], axis=1).all()
+
+
+def test_decode_pixels_match_reference(ray_session, corpus):
+    """allclose (png) / PSNR>=40dB (lossy) against stored reference pixels."""
+    import pandas as pd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.sources import corpus as SRC
+
+    sample = SRC.read_images(corpus).limit(64).to_pandas()
+    for _, row in sample.iterrows():
+        ref = np.load(f"{corpus}/pixels_ref/{row['image_id']}.npy")
+        dec = C.decode_image(row["bytes"], row["fmt"])
+        if row["fmt"] == "png":
+            assert (dec == ref).all(), row["image_id"]
+        else:
+            assert C.psnr(ref, dec) >= 40.0, row["image_id"]
+
+
+def test_cell_histogram_matches_oracle(ray_session, corpus, placed):
+    from ray.data.aggregate import Count
+
+    hist = (
+        placed.groupby("cell")
+        .aggregate(Count(alias_name="n_images"))
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    want = (
+        pq.read_table(f"{corpus}/oracle_cell_hist.parquet")
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert (hist["cell"].to_numpy() == want["cell"].to_numpy()).all()
+    assert (hist["n_images"].to_numpy() == want["n_images"].to_numpy()).all()
