@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in gdal_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline (decode + cell encode + PIP join + tile
+  assign) over a deterministic corpus sized from /root/testdata/sf0.001.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2).
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset;
+  geospatial-corpus and heuristic entries are rows-only (their exact
+  correctness is enforced by the pytest oracle suite instead).
 """
 
 from __future__ import annotations
@@ -18,27 +16,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship tile-assignment result on the sf0.001-sized corpus."""
+    from gdal_ray.pipelines import corpus_queries as CQ
+
+    return CQ.q_flagship_tiles(_SF001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gdal_ray.pipelines import corpus_queries as CQ
+    from gdal_ray.pipelines import derived_geo as DG
+    from gdal_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- SQL-checkable relational operators over the testdata views ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_filter_parts": R.q_filter_parts,
+        "q_join_segment_revenue": R.q_join_segment_revenue,
+        "q_topk_orders": R.q_topk_orders,
+        "q_distinct_flags": R.q_distinct_flags,
+        "q_window_events_hourly": R.q_window_events_hourly,
+        "q_dedup_docs": R.q_dedup_docs,
+        "q_token_stats": R.q_token_stats,
+        "q_sim_topk": R.q_sim_topk,
+        # --- SQL-checkable geospatial kernels on derived lattice points ---
+        "q_tile_assign": DG.q_tile_assign,
+        "q_cell_hist": DG.q_cell_hist,
+        "q_bbox_join": DG.q_bbox_join,
+        # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
+        "q_flagship_tiles": CQ.q_flagship_tiles,
+        "q_pip_join": CQ.q_pip_join,
+        "q_knn": CQ.q_knn,
+        "q_raster_roundtrip": CQ.q_raster_roundtrip,
+        "q_near_dup_images": CQ.q_near_dup_images,
+        "q_decode_stats": CQ.q_decode_stats,
+        "q_text_analysis": CQ.q_text_analysis,
+        "q_minhash_pairs": CQ.q_minhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # NOTE on float parity: every float expression below uses the exact
+    # operation order of the matching numpy code, so floor/ceil/casts land
+    # on identical doubles (numpy's pi equals DuckDB's pi()).
+    lattice = (
+        "(({k} * 2654435761) % 4294967296)"  # ix / iy lattice coordinate
+    )
+    ix = lattice.format(k="c_custkey")
+    iy = "((c_custkey * 2246822519) % 4294967296)"
+    # meters: ix*scale - originShift; pixels: (mx + originShift)/res
+    # px = ((ix*scale - OS) + OS) / res  — keep the redundant -OS +OS to
+    # mirror the engine's two-step (meters, then pixels) computation.
+    scale = "(2*pi()*6378137/4294967296)"
+    osft = "(2*pi()*6378137/2.0)"
+
+    def tile_expr(icoord: str, z: int) -> str:
+        res = f"((2*pi()*6378137/256)/pow(2.0, {z}))"
+        px = f"((({icoord}*{scale} - {osft}) + {osft}) / {res})"
+        t = f"(CAST(ceil({px}/256.0) AS BIGINT) - 1)"
+        return f"GREATEST(0, LEAST({2**z - 1}, {t}))"
+
+    def tile_rows(z: int) -> str:
+        tx = tile_expr(ix, z)
+        ty = tile_expr(iy, z)
+        return (
+            f"SELECT c_custkey, CAST({z} AS INTEGER) AS z, {tx} AS x, "
+            f"CAST({2**z - 1} AS BIGINT) - {ty} AS y FROM customer"
+        )
+
+    cell_tx = tile_expr(ix, 7)
+    cell_ty = tile_expr(iy, 7)
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_filter_parts": """
+            SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size
+            FROM part
+            WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 10 AND 30
+            GROUP BY p_brand
+        """,
+        "q_join_segment_revenue": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_window_events_hourly": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY event_type, hour
+        """,
+        "q_dedup_docs": """
+            SELECT md5(text) AS md5, MIN(doc_id) AS doc_id_keep
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_token_stats": """
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+                   SUM(array_length(list_filter(
+                        regexp_split_to_array(text, '[ \t\n\r]+'),
+                        x -> len(x) > 0))) AS sum_tokens
+            FROM documents GROUP BY lang
+        """,
+        "q_sim_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT query_id, vec_id,
+                              list_cosine_similarity(qe, embedding) AS score
+                       FROM q CROSS JOIN embeddings),
+                 r AS (SELECT query_id, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) - 1 AS rank
+                       FROM s)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM r WHERE rank < 5
+        """,
+        "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
+        "q_cell_hist": f"""
+            WITH t AS (
+              SELECT (CAST(7 AS BIGINT) << 58)
+                     + (({cell_tx}) << 29)
+                     + (CAST(127 AS BIGINT) - ({cell_ty})) AS cell
+              FROM customer)
+            SELECT cell, COUNT(*) AS n_points FROM t GROUP BY cell
+        """,
+        "q_bbox_join": """
+            WITH cpts AS (SELECT c_custkey,
+                    (c_custkey * 2654435761) % 4294967296 AS px,
+                    (c_custkey * 2246822519) % 4294967296 AS py
+                  FROM customer),
+                 sboxes AS (SELECT s_suppkey,
+                    (s_suppkey * 2654435761) % 4294967296 AS sx,
+                    (s_suppkey * 2246822519) % 4294967296 AS sy,
+                    134217728 + (s_suppkey % 5) * 33554432 AS hw
+                  FROM supplier)
+            SELECT s_suppkey, COUNT(*) AS n_points
+            FROM cpts, sboxes
+            WHERE abs(px - sx) < hw AND abs(py - sy) < hw
+            GROUP BY s_suppkey
+        """,
+    }

@@ -1,0 +1,125 @@
+"""Rows-only queries over the synthetic image corpus, sized by sf_dir.
+
+The DuckDB gate can't see the image corpus (it registers only the TPC-H-ish
+views), so these entries get the driver's weaker rows-only check; their
+EXACT correctness is enforced by the pytest oracles
+(tests/test_flagship.py, tests/test_raster_ops.py) against the independent
+scalar-formula tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from gdal_ray.fixtures.generate import generate_corpus
+
+__all__ = [
+    "corpus_for_sf",
+    "q_flagship_tiles",
+    "q_pip_join",
+    "q_knn",
+    "q_raster_roundtrip",
+    "q_near_dup_images",
+    "q_decode_stats",
+    "q_text_analysis",
+    "q_minhash_pairs",
+]
+
+_SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 20000}
+
+
+def corpus_for_sf(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_IMAGES.get(name, 1000)
+    return generate_corpus(n)
+
+
+def q_flagship_tiles(sf_dir: str):
+    from gdal_ray.pipelines import flagship as F
+
+    d = corpus_for_sf(sf_dir)
+    return F.tile_assignments(F.placed_images(d, decode=False))
+
+
+def q_pip_join(sf_dir: str):
+    from gdal_ray.pipelines import flagship as F
+
+    d = corpus_for_sf(sf_dir)
+    return F.pip_join_images(F.placed_images(d, decode=False), d)
+
+
+def q_knn(sf_dir: str):
+    from gdal_ray.pipelines import flagship as F
+
+    return F.knn_images(corpus_for_sf(sf_dir))
+
+
+def q_raster_roundtrip(sf_dir: str):
+    from gdal_ray.sources import corpus as SRC
+    from gdal_ray.stages.raster import roundtrip_batch
+
+    d = corpus_for_sf(sf_dir)
+    return SRC.read_rasters(d).map_batches(roundtrip_batch, batch_format="pyarrow").drop_columns(
+        ["pixel_counts"]
+    )
+
+
+def q_near_dup_images(sf_dir: str):
+    from gdal_ray.sources import corpus as SRC
+    from gdal_ray.stages.dedup import near_dup_image_pairs
+
+    d = corpus_for_sf(sf_dir)
+    imgs = SRC.read_images(d, columns=["image_id", "phash"])
+    return near_dup_image_pairs(imgs, max_hamming=2)
+
+
+def q_decode_stats(sf_dir: str):
+    from gdal_ray.pipelines.flagship import decoded_meta
+
+    d = corpus_for_sf(sf_dir)
+    ds = decoded_meta(d)
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["phash_ok"] = batch["phash_check"] == batch["phash"]
+        return batch[["image_id", "mean", "std", "minv", "maxv", "checksum", "phash_ok"]]
+
+    return ds.map_batches(check, batch_format="pandas")
+
+
+def q_text_analysis(sf_dir: str):
+    """Language-ID + quality scoring over the documents table (heuristics,
+    not SQL-expressible -> rows-only)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.text import LangId, TextStats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        ds.map_batches(TextStats, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .select_columns(["doc_id", "lang", "lang_pred", "n_tokens", "quality", "stopword_ratio"])
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate buckets over documents (rows-only)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import minhash_bands
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    bands = minhash_bands(ds)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = bands.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,209 @@
+"""SQL-checkable relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator surface (the OGR SQL engine
+equivalents — ``ogr/ogr_swq.h`` aggregates/filters, ``ogr_gensql.cpp``
+ORDER BY / DISTINCT / JOIN) re-expressed as Ray Data pipelines. Every
+function here has a matching ANSI-SQL oracle in ``__ray_entry__.oracle_sql``
+with IDENTICAL output column names; aggregate floats are rounded on both
+sides to absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+__all__ = [
+    "q1_pricing_summary",
+    "q_filter_parts",
+    "q_join_segment_revenue",
+    "q_topk_orders",
+    "q_distinct_flags",
+    "q_window_events_hourly",
+    "q_dedup_docs",
+    "q_token_stats",
+    "q_sim_topk",
+]
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with per-batch partial pre-aggregation
+    (combiner before the shuffle — SURVEY.md §2.5 mapping of OGR SQL
+    aggregates, ogr_gensql.cpp:642)."""
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= cutoff]
+        batch = batch.assign(disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"]))
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_qty"] = (batch["sum_qty"] / batch["count_order"]).round(4)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch[c] = batch[c].round(2)
+        return batch
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+def q_filter_parts(sf_dir: str):
+    """Attribute filter (LIKE + BETWEEN, ogr_swq.h:53-57) + grouped count."""
+    ds = _t(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.match_substring(batch["p_type"], "DAR"),
+            pc.and_(pc.greater_equal(batch["p_size"], 10), pc.less_equal(batch["p_size"], 30)),
+        )
+        return batch.filter(m)
+
+    return (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"), Sum("p_size", alias_name="sum_size"))
+    )
+
+
+def q_join_segment_revenue(sf_dir: str):
+    """Hash equi-join (OGR SQL JOIN, ogr_gensql.cpp:1497) + aggregate."""
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["revenue"].round(2)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_topk_orders(sf_dir: str):
+    """ORDER BY + LIMIT (CreateOrderByIndex / swq LIMIT, ogr_gensql.cpp:634)."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_distinct_flags(sf_dir: str):
+    """DISTINCT over two columns (SWQM_DISTINCT_LIST, ogr_gensql.cpp:642)."""
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def q_window_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events log (ordered-log treatment
+    of stream-shaped data; window = integer hour bucket of epoch micros)."""
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()))
+        hour = us // 3_600_000_000
+        return pa.table(
+            {"event_type": batch["event_type"], "hour": pa.array(hour), "value": batch["value"]}
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["sum_value"].round(4)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup: md5 content hash -> min doc_id per group (md5 chosen so
+    the oracle is plain ANSI SQL; same pattern as phash-keyed image dedup)."""
+    from gdal_ray.stages.dedup import add_md5
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_md5, batch_format="pyarrow").drop_columns(["text"])
+    return hashed.groupby("md5").aggregate(Min("doc_id", alias_name="doc_id_keep"))
+
+
+def q_token_stats(sf_dir: str):
+    """Whitespace token counting + per-language doc stats (SQL-parity
+    definition: count of maximal [^ \\t\\n\\r]+ runs)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = batch["text"].fillna("").str.count(r"[^ \t\n\r]+").astype("int64")
+        return batch[["lang", "n_chars", "n_tokens"]]
+
+    return (
+        ds.map_batches(stats, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+
+def q_sim_topk(sf_dir: str):
+    """Brute-force cosine top-5 for the first 8 vectors against the whole
+    embeddings table (broadcast query matrix; exact baseline of the
+    similarity-search operator)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.stages.simsearch import topk_cosine
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(qt["vec_id"], 8)
+    qt = qt.filter(mask).sort_by("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"])
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    top = topk_cosine(ds, queries, k=5)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["query_id"] = qids[batch["query_idx"].to_numpy()]
+        return batch[["query_id", "rank", "vec_id"]]
+
+    return top.map_batches(finish, batch_format="pandas")

@@ -18,11 +18,11 @@ import ray
 __all__ = ["BruteForceTopK", "topk_cosine", "ivf_assign", "kmeans_fit"]
 
 
-def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _matrix(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
     c = batch[col]
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
-    flat = np.asarray(c.flatten(), dtype=np.float32)
+    flat = np.asarray(c.flatten(), dtype=dtype)
     n = len(c)
     return flat.reshape(n, -1)
 
@@ -35,17 +35,18 @@ class BruteForceTopK:
     pattern, no full shuffle of the embedding table).
     """
 
-    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding", dtype=np.float64):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.dtype = np.dtype(dtype)
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1
-        self.q = (q / qn).astype(np.float32)
+        self.q = (q / qn).astype(self.dtype)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _matrix(batch, self.vec_col)
+        m = _matrix(batch, self.vec_col, self.dtype)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1
         sims = (m / norms) @ self.q.T  # (batch, nq)
@@ -68,7 +69,7 @@ class BruteForceTopK:
 def topk_cosine(ds, queries: np.ndarray, k: int = 10, **stage_kw):
     """Dataset of (vec_id, embedding) -> exact global top-k rows per query:
     (query_idx, rank, vec_id, score). Ties broken by vec_id."""
-    ref = ray.put(np.asarray(queries, dtype=np.float32))
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
     cand = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": ref, "k": k, **stage_kw},
