@@ -1,0 +1,121 @@
+"""Headline benchmark: images/sec end-to-end flagship pipeline.
+
+Usage:
+    python bench.py              # one timed run, prints ONE JSON line
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes; prints throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1) sizes the synthetic corpus;
+RAY_GRAFT_CPUS (default 32) sets ray.init(num_cpus=...).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from gdal_ray.pipelines import corpus_queries as CQ
+    from gdal_ray.pipelines import flagship as F
+    from gdal_ray.pipelines import relational as R
+
+    corpus = CQ.corpus_for_sf(sf_dir)  # cached after first call
+    import pyarrow.parquet as pq
+
+    n_images = pq.read_metadata(os.path.join(corpus, "images.parquet")).num_rows
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    _ = F.placed_images(corpus, decode=False).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return out
+
+    # headline: decode + cell encode + tile assign + PIP join, one DAG pass
+    def run_flagship():
+        placed = F.placed_images(corpus, decode=True).materialize()  # metadata only
+        n_tiles = F.tile_assignments(placed).count()
+        n_pip = F.pip_join_images(placed, corpus).count()
+        return n_tiles, n_pip
+
+    timed("flagship", run_flagship)
+    timed("knn", lambda: F.knn_images(corpus).count())
+    timed("near_dup", lambda: CQ.q_near_dup_images(sf_dir).count())
+    timed("raster_roundtrip", lambda: CQ.q_raster_roundtrip(sf_dir).count())
+    timed("q1_pricing", lambda: R.q1_pricing_summary(sf_dir).count())
+    timed("join_segment", lambda: R.q_join_segment_revenue(sf_dir).count())
+    timed("sim_topk", lambda: R.q_sim_topk(sf_dir).count())
+
+    headline_sec = queries["flagship"]
+    result = {
+        "metric": "images/sec end-to-end (decode + cell encode + PIP join + tile assign)",
+        "value": headline_sec,
+        "unit": "sec",
+        "images_per_sec": round(n_images / headline_sec, 1),
+        "n_images": n_images,
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling():
+    import subprocess
+
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[ncpu] = json.loads(line)
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions, same input)",
+                "sec_8": t8,
+                "sec_32": t32,
+                "images_per_sec_8": out[8]["images_per_sec"],
+                "images_per_sec_32": out[32]["images_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_images": out[32]["n_images"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        print(json.dumps(_run_bench()))

@@ -60,19 +60,14 @@ def make_image(seed: int, i: int, w: int, h: int) -> np.ndarray:
     return np.clip(img + 96, 0, 255).astype(np.uint8)
 
 
-def _gen_images(seed, n, out, pixel_refs: bool):
-    sizes = np.array([64, 128, 256])
-    r = _rng(seed, 0)
-    size_idx_w = r.choice(3, size=n, p=[0.5, 0.35, 0.15])
-    size_idx_h = r.choice(3, size=n, p=[0.5, 0.35, 0.15])
-    is_jpeg = r.random(n) < 0.2
-    ref_dir = out / "pixels_ref"
-    if pixel_refs:
-        ref_dir.mkdir(exist_ok=True)
+def _image_rows(seed, lo, hi, size_idx_w, size_idx_h, is_jpeg, ref_dir):
+    """Rows [lo, hi) of the images table — deterministic per (seed, i),
+    callable inside Ray tasks for parallel corpus generation."""
     ids, blobs, ws, hs, fmts, captions, hashes = [], [], [], [], [], [], []
-    for i in range(n):
+    sizes = np.array([64, 128, 256])
+    for i in range(lo, hi):
         image_id = f"img{i:08d}"
-        if i % 100 == 99:  # ~1% near-duplicates of the previous image
+        if i % 100 == 99 and i > lo:  # ~1% near-duplicates of the previous image
             w, h = int(ws[-1]), int(hs[-1])
             base = make_image(seed, i - 1, w, h)
             jit = _rng(seed, 2, i).integers(-1, 2, base.shape, dtype=np.int16)
@@ -94,8 +89,52 @@ def _gen_images(seed, n, out, pixel_refs: bool):
         fmts.append(fmt)
         captions.append(f"A synthetic scene {image_id}: {w}x{h} {fmt} tile with seeded gradients.")
         hashes.append(int(PH.phash64(C.decode_image(blob, fmt))))
-        if pixel_refs:
+        if ref_dir is not None:
             np.save(ref_dir / f"{image_id}.npy", img)
+    return ids, blobs, ws, hs, fmts, captions, hashes
+
+
+def _gen_images(seed, n, out, pixel_refs: bool):
+    r = _rng(seed, 0)
+    size_idx_w = r.choice(3, size=n, p=[0.5, 0.35, 0.15])
+    size_idx_h = r.choice(3, size=n, p=[0.5, 0.35, 0.15])
+    is_jpeg = r.random(n) < 0.2
+    ref_dir = out / "pixels_ref"
+    if pixel_refs:
+        ref_dir.mkdir(exist_ok=True)
+
+    use_ray = False
+    if n >= 4000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except Exception:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        # chunk boundaries on multiples of 100 so near-dup pairs (i%100==99
+        # copies i-1) never straddle a chunk
+        chunk = 1000
+        gen = ray.remote(_image_rows)
+        futs = [
+            gen.remote(seed, lo, min(lo + chunk, n), size_idx_w, size_idx_h, is_jpeg,
+                       ref_dir if pixel_refs else None)
+            for lo in range(0, n, chunk)
+        ]
+        parts = ray.get(futs)
+        ids = [x for p in parts for x in p[0]]
+        blobs = [x for p in parts for x in p[1]]
+        ws = [x for p in parts for x in p[2]]
+        hs = [x for p in parts for x in p[3]]
+        fmts = [x for p in parts for x in p[4]]
+        captions = [x for p in parts for x in p[5]]
+        hashes = [x for p in parts for x in p[6]]
+    else:
+        ids, blobs, ws, hs, fmts, captions, hashes = _image_rows(
+            seed, 0, n, size_idx_w, size_idx_h, is_jpeg, ref_dir if pixel_refs else None
+        )
     t = pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -480,7 +519,7 @@ def generate_corpus(n_images: int, seed: int = 42, pixel_refs: bool | None = Non
     if (out_final / "_SUCCESS").exists() and not force:
         return str(out_final)
     if pixel_refs is None:
-        pixel_refs = n_images <= 20000
+        pixel_refs = n_images <= 2000
     tmp = pathlib.Path(str(out_final) + ".tmp")
     if tmp.exists():
         import shutil
@@ -494,7 +533,8 @@ def generate_corpus(n_images: int, seed: int = 42, pixel_refs: bool | None = Non
     polygons = _gen_polygons(seed, n_images, tmp)
     query_points = _gen_query_points(seed, n_images, tmp)
     rasters = _gen_rasters(seed, n_images, tmp)
-    _gen_oracles(placements, polygons, query_points, rasters, tmp)
+    if n_images <= 5000:  # oracle tables only for test tiers (scalar loops)
+        _gen_oracles(placements, polygons, query_points, rasters, tmp)
     (tmp / "_SUCCESS").touch()
     if out_final.exists():
         import shutil

@@ -1,0 +1,94 @@
+"""Shuffle helpers: bucketed group-apply and hot-key salting.
+
+``Dataset.groupby(...).map_groups(fn)`` invokes ``fn`` once per GROUP — fine
+for thousands of rows per group, pathological for millions of tiny groups
+(per-call Python overhead dominates). ``bucketed_group_apply`` shuffles on a
+HASH BUCKET of the keys instead (B buckets ~ a small multiple of the
+cluster CPU count), so the per-call unit is a whole partition and the
+caller's function handles all of its key-groups vectorized (pandas groupby
+inside the partition).
+
+Salting (``salt_hot_keys``) splits keys whose row count exceeds a cap into
+``key#i`` sub-keys before a keyed shuffle — the skew treatment SURVEY.md §4
+calls out for dense urban cells; callers re-merge sub-key results with a
+second (tiny) aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["bucketed_group_apply", "salt_hot_keys"]
+
+_HASH_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_cols(batch: pa.Table, keys, num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(batch), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = batch[k]
+            if pa.types.is_integer(col.type):
+                v = np.asarray(col, dtype=np.int64).view(np.uint64)
+            else:
+                # process-independent string hash (Python's hash() is salted
+                # per process — workers would disagree on buckets)
+                import zlib
+
+                v = np.asarray(
+                    [np.uint64(zlib.crc32(str(x).encode())) for x in col.to_pylist()],
+                    dtype=np.uint64,
+                )
+            h = (h ^ v) * _HASH_SEED
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def bucketed_group_apply(ds, keys, fn, num_buckets: int = 64):
+    """Apply ``fn(partition_df) -> df`` to hash-bucketed partitions.
+
+    ``fn`` receives ALL rows whose key-hash lands in one bucket (possibly
+    many distinct key-groups) WITHOUT the helper column; it must do its own
+    within-partition grouping. Equivalent result to groupby(keys).map_groups
+    for group-local computations, at partition-call granularity.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__bucket", pa.array(_hash_cols(batch, keys, num_buckets)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def salt_hot_keys(ds, key: str, cap: int, num_salts: int = 16, counts: dict | None = None):
+    """Split keys whose row count exceeds ``cap`` into ``num_salts`` sub-keys.
+
+    ``counts``: optional precomputed {key: n} (e.g. from a cheap first-pass
+    aggregate or the partition manifest's cell histogram); if None it is
+    computed with a count aggregate (one extra pass).
+    Adds a ``__salted`` string column = f"{key}#{i}" for hot keys, str(key)
+    otherwise.
+    """
+    if counts is None:
+        cdf = ds.groupby(key).count().to_pandas()
+        counts = dict(zip(cdf[key], cdf["count()"]))
+    hot = {k for k, n in counts.items() if n > cap}
+    hot_ref = hot  # captured; small
+
+    def add(batch: pa.Table) -> pa.Table:
+        kv = batch[key].to_pylist()
+        # round-robin within the batch: even spread, no cross-process state
+        out = [
+            f"{v}#{i % num_salts}" if v in hot_ref else str(v)
+            for i, v in enumerate(kv)
+        ]
+        return batch.append_column("__salted", pa.array(out, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow"), hot

@@ -110,16 +110,30 @@ def q_minhash_pairs(sf_dir: str):
 
     from gdal_ray.stages.dedup import minhash_bands
 
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     bands = minhash_bands(ds)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated(["band_id", "band_key"], keep=False)]
+        out_a, out_b = [], []
+        for _, g in part.groupby(["band_id", "band_key"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
 
-    cand = bands.groupby(["band_id", "band_key"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, 32)
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8
+    )

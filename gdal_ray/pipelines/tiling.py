@@ -1,0 +1,310 @@
+"""Tile-pyramid pipeline: render base tiles, build overviews, resume.
+
+The Ray-Data shape of gdal2tiles (reference
+``swig/python/gdal-utils/osgeo_utils/gdal2tiles.py``):
+
+- base zoom (``generate_base_tiles:2795``): each image renders its PARTIAL
+  view of every tile it covers (per-image `map_batches`, nearest-neighbor
+  inverse-affine sampling — the GRIORA_NearestNeighbour default), then a
+  ``groupby(z, x, y)`` composes partials in image_id order (deterministic
+  under any parallelism — SURVEY.md §2.10);
+- overview zooms (``create_overview_tile:1471``): iterative
+  ``groupby(parent)`` composing <=4 children with 2x2 average downsampling
+  (``gcore/overview.cpp`` average kernel);
+- resume: instead of per-file ``isfile()`` probes (gdal2tiles.py:2846-2848)
+  a partition manifest records (lineage, rows, cell histogram) per tile
+  GROUP; rerunning with the same inputs anti-joins the plan against the
+  manifest and renders only missing groups. Output partitions are written
+  atomically (temp dir + rename).
+
+Tile payloads are PNG bytes in parquet rows keyed (z, x, y) — the tabular
+equivalent of the z/x/y.png directory tree (a filesystem exporter is a
+trivial `iter_batches` consumer).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray.config import IMAGE_BATCH
+from gdal_ray.geo.mercator import TILE_SIZE
+from gdal_ray.geo import affine as A
+from gdal_ray.geo import mercator as M
+from gdal_ray.io import codec as C
+from gdal_ray.sources import corpus as SRC
+from gdal_ray.state.manifest import Manifest, fragment_lineage
+
+__all__ = ["render_partial_tiles", "compose_tiles", "build_overview", "tile_pyramid"]
+
+GROUP = 16  # tile-group edge (in tiles) = resume partition granularity
+
+
+def _render_one(img: np.ndarray, gt, srs: str, z: int, tx: int, ty_tms: int):
+    """Nearest-neighbor sample of one image into one 256x256 tile.
+
+    Returns (tile_rgb uint8, mask bool) or None if no pixel lands inside.
+    """
+    inv = A.invert_geotransform(gt)
+    if inv is None:
+        return None
+    minx, miny, maxx, maxy = M.tile_bounds(tx, ty_tms, z)
+    res = (maxx - minx) / TILE_SIZE
+    # pixel-center sample grid in meters (row 0 = north/top of tile)
+    xs = minx + (np.arange(TILE_SIZE) + 0.5) * res
+    ys = maxy - (np.arange(TILE_SIZE) + 0.5) * res
+    gx, gy = np.meshgrid(xs, ys)
+    if srs == "EPSG:4326":
+        lat, lon = M.meters_to_latlon(gx, gy)
+        gx, gy = lon, lat
+    px, py = A.apply_geotransform(inv, gx, gy)
+    ix = np.floor(px).astype(np.int64)
+    iy = np.floor(py).astype(np.int64)
+    h, w = img.shape[:2]
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    if not ok.any():
+        return None
+    tile = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+    tile[ok] = img[iy[ok], ix[ok], :3]
+    return tile, ok
+
+
+def render_partial_tiles(batch: pa.Table, z: int) -> pa.Table:
+    """images⋈placements batch -> per-(image, tile) partial renders.
+
+    Emits (z, x, y, image_id, partial, mask) rows; ``partial``/``mask`` are
+    raw little buffers (256*256*3 u8 / packed bits) composed downstream.
+    """
+    from gdal_ray.stages.geo import _gt_matrix
+
+    gts = _gt_matrix(batch)
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    srss = batch["srs"].to_pylist()
+    ids = batch["image_id"].to_pylist()
+    minx = np.asarray(batch["minx"])
+    miny = np.asarray(batch["miny"])
+    maxx = np.asarray(batch["maxx"])
+    maxy = np.asarray(batch["maxy"])
+
+    n = np.int64(1) << np.int64(z)
+    out = {"z": [], "x": [], "y": [], "image_id": [], "partial": [], "mask": []}
+    for i in range(len(ids)):
+        img = C.decode_image(blobs[i], fmts[i])
+        tx0, ty0 = M.meters_to_tile(minx[i], miny[i], z)
+        tx1, ty1 = M.meters_to_tile(maxx[i], maxy[i], z)
+        tx0 = int(np.clip(tx0, 0, n - 1))
+        tx1 = int(np.clip(tx1, 0, n - 1))
+        ty0 = int(np.clip(ty0, 0, n - 1))
+        ty1 = int(np.clip(ty1, 0, n - 1))
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                r = _render_one(img, gts[i], srss[i], z, tx, ty)
+                if r is None:
+                    continue
+                tile, ok = r
+                out["z"].append(z)
+                out["x"].append(tx)
+                out["y"].append(int(M.tms_to_xyz(np.int64(ty), z)))
+                out["image_id"].append(ids[i])
+                out["partial"].append(tile.tobytes())
+                out["mask"].append(np.packbits(ok).tobytes())
+    return pa.table(
+        {
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "partial": pa.array(out["partial"], pa.binary()),
+            "mask": pa.array(out["mask"], pa.binary()),
+        }
+    )
+
+
+def _compose_group(part: pd.DataFrame) -> pd.DataFrame:
+    """All partials of a hash-bucket of tiles -> composed PNG tile rows."""
+    rows = {"z": [], "x": [], "y": [], "png": [], "n_sources": []}
+    for (z, x, y), g in part.groupby(["z", "x", "y"], sort=False):
+        g = g.sort_values("image_id")  # deterministic paint order
+        tile = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
+        for _, r in g.iterrows():
+            partial = np.frombuffer(r["partial"], dtype=np.uint8).reshape(TILE_SIZE, TILE_SIZE, 3)
+            ok = np.unpackbits(np.frombuffer(r["mask"], dtype=np.uint8))[: TILE_SIZE * TILE_SIZE]
+            ok = ok.reshape(TILE_SIZE, TILE_SIZE).astype(bool)
+            tile[ok] = partial[ok]
+        rows["z"].append(int(z))
+        rows["x"].append(int(x))
+        rows["y"].append(int(y))
+        rows["png"].append(C.encode_png(tile))
+        rows["n_sources"].append(len(g))
+    return pd.DataFrame(rows)
+
+
+def compose_tiles(partials_ds):
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(partials_ds, ["z", "x", "y"], _compose_group, 64)
+
+
+def _downsample_group(part: pd.DataFrame) -> pd.DataFrame:
+    """Children tiles (z) -> parent tiles (z-1); 2x2 average (overview.cpp
+    average kernel on the 2x-decimated grid)."""
+    rows = {"z": [], "x": [], "y": [], "png": [], "n_sources": []}
+    for (pz, px_, py_), g in part.groupby(["pz", "px", "py"], sort=False):
+        canvas = np.zeros((2 * TILE_SIZE, 2 * TILE_SIZE, 3), dtype=np.uint8)
+        for _, r in g.iterrows():
+            child = C.decode_png(r["png"])[:, :, :3]
+            dx = (int(r["x"]) - 2 * int(px_)) * TILE_SIZE
+            dy = (int(r["y"]) - 2 * int(py_)) * TILE_SIZE
+            canvas[dy : dy + TILE_SIZE, dx : dx + TILE_SIZE] = child
+        small = (
+            canvas.reshape(TILE_SIZE, 2, TILE_SIZE, 2, 3).astype(np.uint32).sum(axis=(1, 3)) // 4
+        ).astype(np.uint8)
+        rows["z"].append(int(pz))
+        rows["x"].append(int(px_))
+        rows["y"].append(int(py_))
+        rows["png"].append(C.encode_png(small))
+        rows["n_sources"].append(len(g))
+    return pd.DataFrame(rows)
+
+
+def build_overview(tiles_ds):
+    """One zoom step: tiles at z -> composed tiles at z-1."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    def parent_cols(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"])
+        return (
+            batch.append_column("pz", pa.array((z - 1).astype(np.int32)))
+            .append_column("px", pa.array(np.asarray(batch["x"]) // 2))
+            .append_column("py", pa.array(np.asarray(batch["y"]) // 2))
+        )
+
+    withp = tiles_ds.map_batches(parent_cols, batch_format="pyarrow")
+    return bucketed_group_apply(withp, ["pz", "px", "py"], _downsample_group, 32)
+
+
+def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4):
+    """Resumable pyramid build. Returns summary dict.
+
+    Resume granularity = GROUP x GROUP tile blocks at z_base (partition id
+    ``z{z}_gx{gx}_gy{gy}``). On rerun with unchanged inputs, images whose
+    ENTIRE tile-group cover is already in the manifest are dropped before
+    decode/render (the expensive stages); stragglers overlapping both done
+    and pending groups are re-rendered but only pending groups are written.
+    Every group parquet is written atomically (temp dir + rename).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_ray.pipelines.flagship import placed_images
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifest = Manifest(out_dir)
+    lineage = fragment_lineage(
+        [os.path.join(corpus_dir, "images.parquet"), os.path.join(corpus_dir, "placements.parquet")]
+    )
+    done = {r["partition_id"] for r in manifest.records() if r.get("lineage") == lineage}
+
+    placed = placed_images(corpus_dir, decode=False)
+
+    def groups_of_bbox(batch: pa.Table) -> pa.Table:
+        """Per-image pending flag: any covered tile group not yet done?"""
+        n = np.int64(1) << np.int64(z_base)
+        tx0, ty0 = M.meters_to_tile(np.asarray(batch["minx"]), np.asarray(batch["miny"]), z_base)
+        tx1, ty1 = M.meters_to_tile(np.asarray(batch["maxx"]), np.asarray(batch["maxy"]), z_base)
+        tx0 = np.clip(tx0, 0, n - 1); tx1 = np.clip(tx1, 0, n - 1)
+        ty0 = np.clip(ty0, 0, n - 1); ty1 = np.clip(ty1, 0, n - 1)
+        keep = []
+        for i in range(len(tx0)):
+            pending = False
+            for tx in range(int(tx0[i]) // GROUP, int(tx1[i]) // GROUP + 1):
+                if pending:
+                    break
+                y_hi = int(M.tms_to_xyz(ty0[i], z_base))
+                y_lo = int(M.tms_to_xyz(ty1[i], z_base))
+                for gy in range(y_lo // GROUP, y_hi // GROUP + 1):
+                    if f"z{z_base}_gx{tx}_gy{gy}" not in done:
+                        pending = True
+                        break
+            keep.append(pending)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    pending_placed = placed.map_batches(groups_of_bbox, batch_format="pyarrow") if done else placed
+    n_pending_images = pending_placed.count() if done else None
+    composed = None
+    if n_pending_images != 0:
+        imgs = SRC.read_images(corpus_dir, columns=["image_id", "bytes", "fmt"])
+        with_bytes = pending_placed.join(imgs, join_type="inner", num_partitions=8, on=("image_id",))
+        partials = with_bytes.map_batches(
+            render_partial_tiles, fn_kwargs={"z": z_base}, batch_format="pyarrow", batch_size=IMAGE_BATCH
+        )
+        composed = compose_tiles(partials)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch["z"])
+        gx = np.asarray(batch["x"]) // GROUP
+        gy = np.asarray(batch["y"]) // GROUP
+        pid = [f"z{z[i]}_gx{gx[i]}_gy{gy[i]}" for i in range(len(z))]
+        return batch.append_column("pid", pa.array(pid, pa.string()))
+
+    def write_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # bucketed on pid -> every pid is wholly inside ONE call (no write race)
+        summary = {"pid": [], "n_rows": []}
+        if len(part) == 0:
+            return pd.DataFrame(summary)
+        for pid, g in part.groupby("pid", sort=False):
+            if pid in done:
+                continue  # straggler overlap: group already complete
+            pdir = out / pid
+            tmp = out / (pid + ".tmp")
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            tmp.mkdir(parents=True)
+            t = pa.Table.from_pandas(
+                g.drop(columns=["pid"]).sort_values(["z", "x", "y"]), preserve_index=False
+            )
+            pq.write_table(t, tmp / "tiles.parquet")
+            if pdir.exists():
+                shutil.rmtree(pdir)
+            tmp.rename(pdir)
+            summary["pid"].append(pid)
+            summary["n_rows"].append(len(g))
+        return pd.DataFrame(summary)
+
+    n_written = 0
+    summaries = pd.DataFrame({"pid": [], "n_rows": []})
+    if composed is not None:
+        composed = composed.map_batches(add_pid, batch_format="pyarrow")
+        summaries = bucketed_group_apply(composed, ["pid"], write_partition, 32).to_pandas()
+    if len(summaries):
+        for _, row in summaries.iterrows():
+            manifest.mark(row["pid"], lineage, int(row["n_rows"]))
+            n_written += int(row["n_rows"])
+
+    # overview zooms recomputed from the written base tiles (cheap vs render)
+    base_files = sorted(str(p) for p in out.glob(f"z{z_base}_*/tiles.parquet"))
+    n_tiles = {z_base: sum(r["n_rows"] for r in manifest.records() if r.get("lineage") == lineage)}
+    level = rd.read_parquet(base_files) if base_files else None
+    for z in range(z_base, z_min, -1):
+        level = build_overview(level).materialize()
+        n_tiles[z - 1] = level.count()
+        parts = [b for b in level.iter_batches(batch_format="pyarrow")]
+        if parts:
+            t = pa.concat_tables(parts, promote_options="default")
+            tmpf = str(out / f"overview_z{z - 1}.parquet") + ".tmp"
+            pq.write_table(t.sort_by([("z", "ascending"), ("x", "ascending"), ("y", "ascending")]), tmpf)
+            os.replace(tmpf, out / f"overview_z{z - 1}.parquet")
+    return {
+        "n_tiles": n_tiles,
+        "n_written": n_written,
+        "skipped_partitions": len(done),
+        "lineage": lineage,
+    }

@@ -75,34 +75,49 @@ def phash_bands(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
     )
 
 
-def _verify_pairs(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    """Within one (band_id, band_key) bucket emit verified near-dup pairs."""
-    g = g.sort_values("image_id").drop_duplicates("image_id")
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    ids = g["image_id"].to_numpy()
-    ph = g["phash"].to_numpy()
-    ia, ib = np.triu_indices(n, k=1)
-    d = hamming64(ph[ia], ph[ib])
-    keep = d <= max_hamming
-    return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """One hash-bucket partition (many band-groups): emit verified pairs.
+
+    Vectorized: only band-groups with >= 2 members are expanded; the exact
+    hamming check prunes LSH false positives.
+    """
+    dup_mask = part.duplicated(["band_id", "band_key"], keep=False)
+    part = part[dup_mask]
+    out_a, out_b = [], []
+    for _, g in part.groupby(["band_id", "band_key"], sort=False):
+        g = g.sort_values("image_id").drop_duplicates("image_id")
+        n = len(g)
+        if n < 2:
+            continue
+        ids = g["image_id"].to_numpy()
+        ph = g["phash"].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        d = hamming64(ph[ia], ph[ib])
+        keep = d <= max_hamming
+        out_a.append(ids[ia[keep]])
+        out_b.append(ids[ib[keep]])
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)})
+    return pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    ).drop_duplicates()
 
 
-def near_dup_image_pairs(images_ds, max_hamming: int = 2):
+def near_dup_image_pairs(images_ds, max_hamming: int = 2, num_buckets: int = 64):
     """images (image_id, phash) -> verified near-duplicate pairs (id_a < id_b).
 
-    Shuffle key = (band_id, band_key); buckets are tiny (16-bit keys), so no
-    salting is needed unless a degenerate corpus maps everything to one
-    band value.
+    Shuffle unit = hash bucket of (band_id, band_key) (bucketed_group_apply:
+    one Python call per PARTITION, not per tiny band-group); a second
+    bucketed pass dedups pairs that matched in multiple bands.
     """
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
     bands = images_ds.map_batches(phash_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
-        lambda g: _verify_pairs(g, max_hamming), batch_format="pandas"
+    pairs = bucketed_group_apply(
+        bands, ["band_id", "band_key"], lambda p: _verify_partition(p, max_hamming), num_buckets
     )
-    # same pair can match in multiple bands -> distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return bucketed_group_apply(
+        pairs, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), max(8, num_buckets // 4)
     )
 
 
