@@ -146,7 +146,19 @@ def _gen_images(seed, n, out, pixel_refs: bool):
             "phash": pa.array(hashes, pa.int64()),
         }
     )
-    pq.write_table(t, out / "images.parquet")
+    # sharded layout: images.parquet is a DIRECTORY of part files so
+    # distributed readers scan in parallel (single-file reads serialize on
+    # one task); small row groups keep per-task splits fine-grained
+    d = out / "images.parquet"
+    d.mkdir(exist_ok=True)
+    shard = 1000
+    for si, lo in enumerate(range(0, t.num_rows, shard)):
+        # compression=NONE: the payload column is already PNG/zlib —
+        # snappy on top costs decode bandwidth for ~0 size win
+        pq.write_table(
+            t.slice(lo, shard), d / f"part-{si:05d}.parquet",
+            row_group_size=256, compression="NONE",
+        )
     return t
 
 
@@ -191,7 +203,13 @@ def _gen_placements(seed, n, ws, hs, out):
             "lat": pa.array(lat, pa.float64()),
         }
     )
-    pq.write_table(t, out / "placements.parquet")
+    # sharded 1:1 with images.parquet parts -> storage-co-partitioned join
+    # (at corpus scale these would be columns of the same Lance table)
+    d = out / "placements.parquet"
+    d.mkdir(exist_ok=True)
+    shard = 1000
+    for si, lo in enumerate(range(0, t.num_rows, shard)):
+        pq.write_table(t.slice(lo, shard), d / f"part-{si:05d}.parquet", row_group_size=256)
     return t
 
 

@@ -28,7 +28,7 @@ __all__ = [
     "q_minhash_pairs",
 ]
 
-_SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 20000}
+_SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
 
 
 def corpus_for_sf(sf_dir: str) -> str:

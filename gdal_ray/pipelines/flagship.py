@@ -27,8 +27,8 @@ import ray.data as rd
 from gdal_ray.config import CELL_LEVEL, IMAGE_BATCH, META_BATCH, TILE_ZOOMS
 from gdal_ray.sources import corpus as SRC
 from gdal_ray.stages import geo as G
-from gdal_ray.stages.pipjoin import PipJoinStage, build_polygon_cell_index
-from gdal_ray.stages.knn import KnnStage, build_centroid_cell_index
+from gdal_ray.stages.pipjoin import PipJoinStage, build_polygon_cell_index, pip_join_batch
+from gdal_ray.stages.knn import KnnStage, build_centroid_cell_index, knn_batch
 
 __all__ = [
     "decoded_meta",
@@ -41,12 +41,21 @@ __all__ = [
 
 
 def _default_partitions() -> int:
+    """Hash-join partition count.
+
+    The join's shuffle aggregators are ACTORS holding a CPU each: sizing
+    them at ~cpus/4 leaves the upstream decode/read task pools enough
+    slots to stream (measured on 20k images @32 CPUs: 8 partitions -> 22 s,
+    32 partitions -> 163 s from aggregator starvation). On a multi-node
+    cluster scale this with aggregate cores, not per-node cores.
+    """
     import ray as _r
 
     try:
-        return max(2, min(32, int(_r.cluster_resources().get("CPU", 8))))
+        cpus = int(_r.cluster_resources().get("CPU", 8))
     except Exception:
-        return 8
+        cpus = 8
+    return max(4, min(16, cpus // 4))
 
 
 def decoded_meta(corpus_dir: str, keep_pixels=False) -> rd.Dataset:
@@ -65,36 +74,139 @@ def decoded_meta(corpus_dir: str, keep_pixels=False) -> rd.Dataset:
     )
 
 
-def placed_images(corpus_dir: str, decode: bool = True, num_partitions: int | None = None) -> rd.Dataset:
-    """(decoded) images ⋈ placements with centroid/bbox/cell columns added."""
-    if decode:
-        left = decoded_meta(corpus_dir)
+def _copart_shards(corpus_dir: str):
+    """Aligned (images, placements) shard pairs, or None if not co-sharded."""
+    import os
+
+    ip = os.path.join(corpus_dir, "images.parquet")
+    pp = os.path.join(corpus_dir, "placements.parquet")
+    if not (os.path.isdir(ip) and os.path.isdir(pp)):
+        return None
+    a = sorted(os.listdir(ip))
+    b = sorted(os.listdir(pp))
+    if a != b:
+        return None
+    return [(os.path.join(ip, f), os.path.join(pp, f)) for f in a]
+
+
+# per-worker cache of placements shards (path -> {image_id: row_idx} + table)
+_PLC_CACHE: dict = {}
+
+
+def _plc_shard(path: str):
+    ent = _PLC_CACHE.get(path)
+    if ent is None:
+        import pyarrow.parquet as pq
+
+        from gdal_ray.sources.corpus import _split_gt
+
+        t = _split_gt(pq.read_table(path))
+        idx = {v: i for i, v in enumerate(t["image_id"].to_pylist())}
+        if len(_PLC_CACHE) > 64:
+            _PLC_CACHE.clear()
+        ent = (t, idx)
+        _PLC_CACHE[path] = ent
+    return ent
+
+
+def _merge_placements(batch: pa.Table, plc_dir: str) -> pa.Table:
+    """Co-partitioned merge: each image row pulls its placement row from the
+    like-named placements shard (worker-cached). No shuffle; batches may
+    span shard boundaries."""
+    import os
+
+    paths = batch["path"].to_pylist()
+    batch = batch.drop_columns(["path"])
+    out_parts = []
+    pos = 0
+    n = len(paths)
+    while pos < n:
+        end = pos
+        p = paths[pos]
+        while end < n and paths[end] == p:
+            end += 1
+        sub = batch.slice(pos, end - pos)
+        t, idx = _plc_shard(os.path.join(plc_dir, os.path.basename(p)))
+        take = pa.array([idx[v] for v in sub["image_id"].to_pylist()], pa.int64())
+        merged = sub
+        for name in t.column_names:
+            if name != "image_id":
+                merged = merged.append_column(name, t[name].take(take))
+        out_parts.append(merged)
+        pos = end
+    return pa.concat_tables(out_parts, promote_options="default")
+
+
+def placed_images(
+    corpus_dir: str,
+    decode: bool = True,
+    num_partitions: int | None = None,
+    join_strategy: str = "auto",
+) -> rd.Dataset:
+    """(decoded) images ⋈ placements with centroid/bbox/cell columns added.
+
+    join_strategy:
+      - "copartition" (default when shard layouts align): storage-level
+        merge, one task per shard pair, NO shuffle — the Lance-style
+        "placement columns live with the payload" layout;
+      - "hash": Ray's hash-shuffle join (the general path when the two
+        tables are not co-sharded).
+    """
+    import os
+
+    pairs = _copart_shards(corpus_dir) if join_strategy in ("auto", "copartition") else None
+    if pairs:
+        cols = None if decode else ["image_id", "w", "h"]
+        src = rd.read_parquet(
+            os.path.join(corpus_dir, "images.parquet"), columns=cols, include_paths=True
+        )
+        joined = src.map_batches(
+            _merge_placements,
+            fn_kwargs={"plc_dir": os.path.join(corpus_dir, "placements.parquet")},
+            batch_format="pyarrow",
+            batch_size=IMAGE_BATCH,
+        )
+        if decode:
+            from gdal_ray.stages.decode import decode_stats
+
+            joined = joined.map_batches(
+                decode_stats, batch_format="pyarrow", batch_size=IMAGE_BATCH
+            )
     else:
-        left = SRC.read_images(corpus_dir, columns=["image_id", "w", "h"])
-    placements = SRC.read_placements(corpus_dir)
-    joined = left.join(
-        placements,
-        join_type="inner",
-        num_partitions=num_partitions or _default_partitions(),
-        on=("image_id",),
-    )
+        if decode:
+            left = decoded_meta(corpus_dir)
+        else:
+            left = SRC.read_images(corpus_dir, columns=["image_id", "w", "h"])
+        placements = SRC.read_placements(corpus_dir)
+        joined = left.join(
+            placements,
+            join_type="inner",
+            num_partitions=num_partitions or _default_partitions(),
+            on=("image_id",),
+        )
+    # batch_size=None: operate on whole incoming blocks. These cheap
+    # vectorized stages FUSE with the upstream decode chain; a large
+    # explicit batch_size would make the fused task bundler wait for that
+    # many rows and collapse the whole pipeline into one task.
     return (
-        joined.map_batches(G.add_centroid_meters, batch_format="pyarrow", batch_size=META_BATCH)
-        .map_batches(G.add_bbox_meters, batch_format="pyarrow", batch_size=META_BATCH)
-        .map_batches(G.add_cell, batch_format="pyarrow", batch_size=META_BATCH)
+        joined.map_batches(G.add_centroid_meters, batch_format="pyarrow", batch_size=None)
+        .map_batches(G.add_bbox_meters, batch_format="pyarrow", batch_size=None)
+        .map_batches(G.add_cell, batch_format="pyarrow", batch_size=None)
     )
 
 
 def tile_assignments(placed: rd.Dataset, zooms=TILE_ZOOMS) -> rd.Dataset:
     return placed.map_batches(
-        lambda b: G.explode_tiles(b, zooms), batch_format="pyarrow", batch_size=META_BATCH
+        lambda b: G.explode_tiles(b, zooms), batch_format="pyarrow", batch_size=None
     )
 
 
 def _polygon_index_ref(corpus_dir: str):
-    # small side: collect once on the driver, broadcast via ray.put
-    polys = SRC.read_polygons(corpus_dir, columns=["poly_id", "wkb"])
-    table = pa.concat_tables(ray.get(polys.to_arrow_refs()), promote_options="default")
+    # small side: read + index on the driver (plain pyarrow, no Ray job),
+    # broadcast once via ray.put
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{corpus_dir}/polygons.parquet", columns=["poly_id", "wkb"])
     return ray.put(build_polygon_cell_index(table, CELL_LEVEL))
 
 
@@ -105,12 +217,10 @@ def pip_join_images(placed: rd.Dataset, corpus_dir: str, concurrency=(1, 4)) -> 
         {"image_id": "src_id"}
     )
     return pts.map_batches(
-        PipJoinStage,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        pip_join_batch,
+        fn_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
-        batch_size=META_BATCH,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=None,
     )
 
 
@@ -137,26 +247,42 @@ def pip_join_query_points(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
         prep, batch_format="pyarrow", batch_size=META_BATCH
     )
     return pts.map_batches(
-        PipJoinStage,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        pip_join_batch,
+        fn_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
-        batch_size=META_BATCH,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=None,
     )
 
 
 def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
-    """query_points kNN against image centroids -> (query_id, rank, image_id, dist)."""
-    placed = placed_images(corpus_dir, decode=False)
-    meta = pa.concat_tables(
-        ray.get(placed.select_columns(["image_id", "cx", "cy"]).to_arrow_refs()),
-        promote_options="default",
-    )
+    """query_points kNN against image centroids -> (query_id, rank, image_id, dist).
+
+    The reference-point index is metadata-only (id + centroid), so it is
+    built directly from the two parquet files on the driver (pandas merge +
+    the same centroid kernel) and broadcast — no distributed join needed to
+    construct a broadcast side.
+    """
+    import pyarrow.parquet as pq
+
+    imgs = pq.read_table(
+        f"{corpus_dir}/images.parquet", columns=["image_id", "w", "h"]
+    ).to_pandas()
+    plc = pq.read_table(f"{corpus_dir}/placements.parquet").to_pandas()
+    meta_df = imgs.merge(plc, on="image_id")
+    gt = np.stack(meta_df["gt"].to_numpy())
+    w = meta_df["w"].to_numpy(dtype=np.float64)
+    h = meta_df["h"].to_numpy(dtype=np.float64)
+    cx = gt[:, 0] + (w / 2) * gt[:, 1] + (h / 2) * gt[:, 2]
+    cy = gt[:, 3] + (w / 2) * gt[:, 4] + (h / 2) * gt[:, 5]
+    from gdal_ray.geo import mercator as M
+
+    deg = (meta_df["srs"] == "EPSG:4326").to_numpy()
+    if deg.any():
+        mx, my = M.latlon_to_meters(cy[deg], cx[deg])
+        cx[deg] = mx
+        cy[deg] = my
     index_ref = ray.put(
-        build_centroid_cell_index(
-            np.asarray(meta["image_id"]), np.asarray(meta["cx"]), np.asarray(meta["cy"])
-        )
+        build_centroid_cell_index(meta_df["image_id"].to_numpy(), cx, cy)
     )
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -176,12 +302,10 @@ def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
         prep, batch_format="pyarrow", batch_size=META_BATCH
     )
     return queries.map_batches(
-        KnnStage,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        knn_batch,
+        fn_kwargs={"index_ref": index_ref},
         batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=1024,
     )
 
 
@@ -191,3 +315,51 @@ def flagship(corpus_dir: str, zooms=TILE_ZOOMS):
     tiles = tile_assignments(placed, zooms)
     pip = pip_join_images(placed, corpus_dir)
     return {"placed": placed, "tiles": tiles, "pip": pip}
+
+
+def flagship_single_pass(corpus_dir: str, zooms=TILE_ZOOMS) -> rd.Dataset:
+    """The headline pipeline as ONE streaming Dataset (no mid-pipeline
+    materialization, one execution): every placed+decoded batch emits its
+    tile-assignment rows AND its PIP join rows, tagged by ``kind``.
+
+    Output schema: (kind: 'tile'|'pip', src_id, z, x, y, poly_id) with
+    nulls in the columns the row kind doesn't use.
+    """
+    index_ref = _polygon_index_ref(corpus_dir)
+    placed = placed_images(corpus_dir, decode=True)
+
+    def both(batch: pa.Table) -> pa.Table:
+        tiles = G.explode_tiles(batch, zooms)
+        pts = pa.table(
+            {
+                "src_id": batch["image_id"],
+                "cx": batch["cx"],
+                "cy": batch["cy"],
+                "cell": batch["cell"],
+            }
+        )
+        pip = pip_join_batch(pts, index_ref)
+        n_t = tiles.num_rows
+        n_p = pip.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["tile"] * n_t + ["pip"] * n_p, pa.string()),
+                "src_id": pa.concat_arrays(
+                    [tiles["image_id"].combine_chunks(), pip["src_id"].combine_chunks()]
+                ),
+                "z": pa.concat_arrays(
+                    [tiles["z"].combine_chunks(), pa.nulls(n_p, pa.int32())]
+                ),
+                "x": pa.concat_arrays(
+                    [tiles["x"].combine_chunks(), pa.nulls(n_p, pa.int64())]
+                ),
+                "y": pa.concat_arrays(
+                    [tiles["y"].combine_chunks(), pa.nulls(n_p, pa.int64())]
+                ),
+                "poly_id": pa.concat_arrays(
+                    [pa.nulls(n_t, pa.string()), pip["poly_id"].combine_chunks()]
+                ),
+            }
+        )
+
+    return placed.map_batches(both, batch_format="pyarrow", batch_size=None)

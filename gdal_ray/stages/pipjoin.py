@@ -30,7 +30,7 @@ from gdal_ray.geo import cells as CL
 from gdal_ray.geo import pip as P
 from gdal_ray.geo import wkb as W
 
-__all__ = ["build_polygon_cell_index", "PipJoinStage"]
+__all__ = ["build_polygon_cell_index", "PipJoinStage", "pip_join_batch"]
 
 
 def build_polygon_cell_index(polygons_table: pa.Table, level: int = CELL_LEVEL):
@@ -124,3 +124,19 @@ class PipJoinStage:
                 "poly_id": pa.array(out_poly, pa.string()),
             }
         )
+
+
+# per-worker-process cache: the broadcast index is fetched/deserialized once
+# per worker even under a stateless TASK pool (no actor spin-up latency);
+# keyed by object ref so a new index invalidates naturally
+_STAGE_CACHE: dict = {}
+
+
+def pip_join_batch(batch: pa.Table, index_ref, id_col: str = "src_id") -> pa.Table:
+    key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        _STAGE_CACHE.clear()
+        stage = PipJoinStage(index_ref, id_col)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)

@@ -28,9 +28,17 @@ __all__ = ["Manifest", "fragment_lineage"]
 
 
 def fragment_lineage(paths) -> str:
-    """Stable hash of input files (path, size, mtime_ns)."""
+    """Stable hash of input files (path, size, mtime_ns); directories are
+    expanded to their files."""
     h = hashlib.sha256()
-    for p in sorted(str(p) for p in paths):
+    expanded = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            expanded.extend(os.path.join(p, f) for f in os.listdir(p))
+        else:
+            expanded.append(p)
+    for p in sorted(expanded):
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
