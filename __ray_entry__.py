@@ -29,6 +29,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from gdal_ray.pipelines import corpus_queries as CQ
     from gdal_ray.pipelines import derived_geo as DG
+    from gdal_ray.pipelines import rasterq as RQ
     from gdal_ray.pipelines import relational as R
 
     return {
@@ -42,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_docs": R.q_dedup_docs,
         "q_token_stats": R.q_token_stats,
         "q_sim_topk": R.q_sim_topk,
+        "q_semi_anti_customers": R.q_semi_anti_customers,
+        "q_sessionize_events": R.q_sessionize_events,
+        "q_string_expr": R.q_string_expr,
         # --- SQL-checkable geospatial kernels on derived lattice points ---
         "q_tile_assign": DG.q_tile_assign,
         "q_cell_hist": DG.q_cell_hist,
@@ -55,6 +59,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_stats": CQ.q_decode_stats,
         "q_text_analysis": CQ.q_text_analysis,
         "q_minhash_pairs": CQ.q_minhash_pairs,
+        # --- raster-operator pipelines (rows-only; kernel exactness in pytest) ---
+        "q_dem_metrics": RQ.q_dem_metrics,
+        "q_resample_roundtrip": RQ.q_resample_roundtrip,
+        "q_global_band_stats": RQ.q_global_band_stats,
+        "q_global_histogram": RQ.q_global_histogram,
+        "q_point_query": RQ.q_point_query,
+        "q_zonal_category_stats": RQ.q_zonal_category_stats,
+        "q_hilbert_order": RQ.q_hilbert_order,
+        "q_contour": RQ.q_contour,
+        "q_grid_invdist": RQ.q_grid_invdist,
     }
 
 
@@ -149,6 +163,31 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
             FROM r WHERE rank < 5
+        """,
+        "q_semi_anti_customers": """
+            SELECT c_mktsegment,
+                   EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                       AS has_orders,
+                   COUNT(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment, has_orders
+        """,
+        "q_sessionize_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+                 l AS (SELECT user_id,
+                              us - LAG(us) OVER (PARTITION BY user_id
+                                                 ORDER BY us) AS gap
+                       FROM e)
+            SELECT user_id,
+                   1 + COUNT(*) FILTER (WHERE gap > 1800000000) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM l GROUP BY user_id
+        """,
+        "q_string_expr": """
+            SELECT p_partkey,
+                   UPPER(SUBSTR(p_name, 1, 8)) AS name8,
+                   p_brand || '-' || UPPER(SUBSTR(p_name, 1, 8)) AS label,
+                   LENGTH(p_name) AS name_len
+            FROM part
         """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""

@@ -1,0 +1,277 @@
+"""Raster-operator pipelines exposed as queries (rows-only gate; exact
+semantics covered by tests/test_raster_kernels.py scalar checks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+from gdal_ray.sources import corpus as SRC
+
+__all__ = [
+    "q_dem_metrics",
+    "q_resample_roundtrip",
+    "q_global_band_stats",
+    "q_global_histogram",
+    "q_point_query",
+    "q_zonal_category_stats",
+    "q_hilbert_order",
+    "q_contour",
+    "q_grid_invdist",
+]
+
+
+def q_dem_metrics(sf_dir: str):
+    from gdal_ray.stages.rasterops import dem_metrics_batch
+
+    d = corpus_for_sf(sf_dir)
+    return SRC.read_rasters(d).map_batches(dem_metrics_batch, batch_format="pyarrow")
+
+
+def q_resample_roundtrip(sf_dir: str):
+    from gdal_ray.stages.rasterops import resample_roundtrip_batch
+
+    d = corpus_for_sf(sf_dir)
+    return SRC.read_rasters(d).map_batches(resample_roundtrip_batch, batch_format="pyarrow")
+
+
+def q_global_band_stats(sf_dir: str):
+    """Two-phase exact global pixel statistics over ALL decoded images."""
+    from gdal_ray.stages.rasterops import global_stats_partials
+
+    d = corpus_for_sf(sf_dir)
+    partials = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
+        global_stats_partials, batch_format="pyarrow", batch_size=256
+    )
+    pdf = partials.to_pandas()
+    n = int(pdf["n"].sum())
+    s = float(pdf["sum"].sum())
+    ss = float(pdf["sumsq"].sum())
+    mean = s / n
+    return pd.DataFrame(
+        {
+            "n_pixels": [n],
+            "mean": [round(mean, 6)],
+            "std": [round(float(np.sqrt(ss / n - mean * mean)), 6)],
+            "min": [pdf["min"].min()],
+            "max": [pdf["max"].max()],
+        }
+    )
+
+
+def q_global_histogram(sf_dir: str):
+    """Exact global 256-bin pixel histogram (vector-sum of partials)."""
+    from gdal_ray.stages.rasterops import histogram_partials
+
+    d = corpus_for_sf(sf_dir)
+    parts = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
+        histogram_partials, batch_format="pyarrow", batch_size=256
+    )
+    acc = np.zeros(256, dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for row in b["hist"].to_pylist():
+            acc += np.asarray(row, dtype=np.int64)
+    return pd.DataFrame({"bin": np.arange(256, dtype=np.int32), "count": acc})
+
+
+def q_point_query(sf_dir: str):
+    """gdallocationinfo as a pipeline (apps/gdallocationinfo.cpp:373):
+    each query point -> images whose footprint contains it -> band-0 pixel
+    value via the inverse geotransform (O(1) arithmetic lookup). Query
+    points are broadcast; the image table streams (no shuffle)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from gdal_ray.geo import affine as A
+    from gdal_ray.geo import mercator as M
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.flagship import _merge_placements
+    from gdal_ray.stages import geo as G
+
+    d = corpus_for_sf(sf_dir)
+    qp = pq.read_table(f"{d}/query_points.parquet").to_pandas()
+    qx, qy = M.latlon_to_meters(qp["lat"].to_numpy(), qp["lon"].to_numpy())
+    pts_ref = ray.put({"id": qp["query_id"].to_numpy(), "x": qx, "y": qy})
+
+    src = rd.read_parquet(os.path.join(d, "images.parquet"), include_paths=True)
+    placed = src.map_batches(
+        _merge_placements,
+        fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
+        batch_format="pyarrow",
+        batch_size=64,
+    ).map_batches(G.add_bbox_meters, batch_format="pyarrow", batch_size=None)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        from gdal_ray.stages.geo import _gt_matrix
+
+        pts = ray.get(pts_ref)
+        gts = _gt_matrix(batch)
+        out_q, out_img, out_val = [], [], []
+        minx = np.asarray(batch["minx"])
+        miny = np.asarray(batch["miny"])
+        maxx = np.asarray(batch["maxx"])
+        maxy = np.asarray(batch["maxy"])
+        srs = batch["srs"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = np.asarray(batch["w"])
+        hs = np.asarray(batch["h"])
+        for i in range(len(ids)):
+            m = (
+                (pts["x"] >= minx[i])
+                & (pts["x"] <= maxx[i])
+                & (pts["y"] >= miny[i])
+                & (pts["y"] <= maxy[i])
+            )
+            if not m.any():
+                continue
+            inv = A.invert_geotransform(gts[i])
+            if inv is None:
+                continue
+            gx = pts["x"][m]
+            gy = pts["y"][m]
+            if srs[i] == "EPSG:4326":
+                lat, lon = M.meters_to_latlon(gx, gy)
+                gx, gy = lon, lat
+            px, py = A.apply_geotransform(inv, gx, gy)
+            ix = np.floor(px).astype(np.int64)
+            iy = np.floor(py).astype(np.int64)
+            ok = (ix >= 0) & (ix < ws[i]) & (iy >= 0) & (iy < hs[i])
+            if not ok.any():
+                continue
+            img = C.decode_image(blobs[i], fmts[i])
+            sel = np.flatnonzero(m)[ok]
+            out_q.extend(pts["id"][sel])
+            out_img.extend([ids[i]] * int(ok.sum()))
+            out_val.extend(img[iy[ok], ix[ok], 0].astype(int).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "image_id": pa.array(out_img, pa.string()),
+                "value": pa.array(out_val, pa.int32()),
+            }
+        )
+
+    return placed.map_batches(sample, batch_format="pyarrow", batch_size=None)
+
+
+def q_zonal_category_stats(sf_dir: str):
+    """Zonal aggregate: PIP join rows x polygon categories -> per-category
+    image counts (the RAT/zonal-stats shape, SURVEY §2.5)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+    from gdal_ray.pipelines import flagship as F
+
+    d = corpus_for_sf(sf_dir)
+    cat = pq.read_table(f"{d}/polygons.parquet", columns=["poly_id", "category"]).to_pandas()
+    cat_ref = ray.put(dict(zip(cat["poly_id"], cat["category"])))
+    pip = F.pip_join_images(F.placed_images(d, decode=False), d)
+
+    def add_cat(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(cat_ref)
+        batch["category"] = batch["poly_id"].map(lut)
+        return batch
+
+    return (
+        pip.map_batches(add_cat, batch_format="pandas")
+        .groupby("category")
+        .aggregate(Count(alias_name="n_hits"))
+    )
+
+
+def q_hilbert_order(sf_dir: str):
+    """Hilbert spatial-locality sort of image centroids (FlatGeobuf packed
+    R-tree write order, packedrtree.h:93): returns the first 200 ids in
+    Hilbert order."""
+    from gdal_ray.geo.hilbert import hilbert_key_meters
+    from gdal_ray.pipelines.flagship import placed_images
+
+    placed = placed_images(corpus_for_sf(sf_dir), decode=False)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = hilbert_key_meters(np.asarray(batch["cx"]), np.asarray(batch["cy"]))
+        return pa.table({"image_id": batch["image_id"], "hilbert": pa.array(key)})
+
+    return placed.map_batches(add_key, batch_format="pyarrow", batch_size=None).sort(
+        "hilbert"
+    ).limit(200)
+
+
+def q_contour(sf_dir: str):
+    """Iso-lines per raster at fixed levels (marching squares)."""
+    from gdal_ray.raster.contour import contour_lines
+
+    d = corpus_for_sf(sf_dir)
+
+    def per_raster(batch: pa.Table) -> pa.Table:
+        rows = {"raster_id": [], "level": [], "n_points": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            arr = np.asarray(pix[i], dtype=np.float64).reshape(hs[i], ws[i])
+            for line in contour_lines(arr, [0.5, 2.5]):
+                rows["raster_id"].append(batch["raster_id"][i].as_py())
+                rows["level"].append(line["level"])
+                rows["n_points"].append(len(line["coords"]))
+        return pa.table(
+            {
+                "raster_id": pa.array(rows["raster_id"], pa.string()),
+                "level": pa.array(rows["level"]),
+                "n_points": pa.array(rows["n_points"], pa.int32()),
+            }
+        )
+
+    return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow")
+
+
+def q_grid_invdist(sf_dir: str):
+    """gdal_grid invdist: per-cell gridding of image centroids (value =
+    decoded mean is expensive; use phash-derived value as the scalar)."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.raster.grid import grid_points
+    from gdal_ray.pipelines.flagship import placed_images
+    from gdal_ray.geo import cells as CL
+
+    placed = placed_images(corpus_for_sf(sf_dir), decode=False)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch["cell"],
+                "cx": batch["cx"],
+                "cy": batch["cy"],
+                "val": pa.array(np.asarray(batch["w"], dtype=np.float64)),
+            }
+        )
+
+    pts = placed.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def per_cell(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"cell": [], "n_points": [], "grid_cksum": []}
+        for cell, g in part.groupby("cell", sort=False):
+            z, x, y = CL.cell_to_xyz(int(cell))
+            from gdal_ray.geo import mercator as M
+
+            ty_tms = M.tms_to_xyz(np.int64(y), int(z))
+            minx, miny, maxx, maxy = M.tile_bounds(int(x), int(ty_tms), int(z))
+            gt = (float(minx), (float(maxx) - float(minx)) / 16, 0.0, float(maxy), 0.0, -(float(maxy) - float(miny)) / 16)
+            grid = grid_points(
+                g["cx"].to_numpy(), g["cy"].to_numpy(), g["val"].to_numpy(), 16, 16, gt
+            )
+            from gdal_ray.raster.checksum import checksum_image
+
+            rows["cell"].append(int(cell))
+            rows["n_points"].append(len(g))
+            rows["grid_cksum"].append(checksum_image(grid))
+        return pd.DataFrame(rows)
+
+    return bucketed_group_apply(pts, ["cell"], per_cell, 32)

@@ -207,3 +207,74 @@ def q_sim_topk(sf_dir: str):
         return batch[["query_id", "rank", "vec_id"]]
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+def q_semi_anti_customers(sf_dir: str):
+    """Semi/anti join via broadcast key set (SURVEY §2.4: Clip ≈ semi,
+    Erase ≈ anti, ogrlayer.cpp:5497/5806): per market segment, customers
+    WITH orders and customers WITHOUT orders."""
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    keyset_ref = ray.put(set(keys["o_custkey"].to_pylist()))
+
+    ds = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keyset_ref)
+        batch["has_orders"] = batch["c_custkey"].isin(ks)
+        return batch
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby(["c_mktsegment", "has_orders"]).aggregate(
+        Count(alias_name="n_customers")
+    )
+
+
+def q_sessionize_events(sf_dir: str):
+    """Sessionization over the events log (stream-shaped data as an ordered
+    partitioned log): per user, a new session starts when the gap to the
+    previous event exceeds 1800 s; returns (user_id, n_sessions, n_events)."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"], "us": batch["ts"].cast(pa.int64())}
+        )
+
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"user_id": [], "n_sessions": [], "n_events": []}
+        for uid, g in part.groupby("user_id", sort=False):
+            us = np.sort(g["us"].to_numpy())
+            gaps = np.diff(us) > 1_800_000_000
+            rows["user_id"].append(int(uid))
+            rows["n_sessions"].append(int(gaps.sum()) + 1)
+            rows["n_events"].append(len(us))
+        return pd.DataFrame(rows)
+
+    return bucketed_group_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), ["user_id"], sessions, 16
+    )
+
+
+def q_string_expr(sf_dir: str):
+    """OGR SQL scalar string functions (CONCAT/SUBSTR/UPPER, ogr_swq.h:63-65)
+    as pyarrow.compute expressions."""
+    ds = _t(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def expr(batch: pa.Table) -> pa.Table:
+        name8 = pc.utf8_upper(pc.utf8_slice_codeunits(batch["p_name"], 0, 8))
+        label = pc.binary_join_element_wise(batch["p_brand"], name8, "-")
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "name8": name8,
+                "label": label,
+                "name_len": pc.utf8_length(batch["p_name"]),
+            }
+        )
+
+    return ds.map_batches(expr, batch_format="pyarrow")

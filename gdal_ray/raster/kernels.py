@@ -1,0 +1,328 @@
+"""Per-image raster kernels (vectorized numpy), GDAL-faithful semantics.
+
+Each function operates on one 2-D (or 3-D HWC) array; pipelines apply them
+inside `map_batches` over image rows — the distributed form of GDAL's
+per-band algorithms. Citations per function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "translate_window",
+    "rescale_linear",
+    "cast_clip",
+    "resample_nearest",
+    "resample_bilinear",
+    "resample_average",
+    "reclassify",
+    "hillshade",
+    "slope_horn",
+    "aspect",
+    "tri",
+    "tpi",
+    "roughness",
+    "proximity",
+    "sieve",
+    "fillnodata",
+    "histogram",
+    "PIXEL_FUNCTIONS",
+]
+
+_RAD2DEG = 180.0 / np.pi
+
+
+def translate_window(img, x0, y0, w, h):
+    """Window subset (gdal_translate -srcwin, apps/gdal_translate_lib.cpp:591)."""
+    return img[y0 : y0 + h, x0 : x0 + w]
+
+
+def rescale_linear(img, scale, offset, out_dtype=np.uint8):
+    """a*x+b rescale with clamp to the output dtype range
+    (gdal_translate -scale / -a_scale -a_offset semantics)."""
+    out = img.astype(np.float64) * scale + offset
+    info = np.iinfo(out_dtype) if np.issubdtype(out_dtype, np.integer) else None
+    if info is not None:
+        out = np.clip(np.floor(out + 0.5), info.min, info.max)
+    return out.astype(out_dtype)
+
+
+def cast_clip(img, out_dtype):
+    """Type conversion with GDALCopyWords clamping (+0.5 floor for int)."""
+    if np.issubdtype(out_dtype, np.integer):
+        info = np.iinfo(out_dtype)
+        return np.clip(np.floor(img.astype(np.float64) + 0.5), info.min, info.max).astype(out_dtype)
+    return img.astype(out_dtype)
+
+
+def _sample_grid(h_out, w_out, h_in, w_in):
+    ys = (np.arange(h_out) + 0.5) * (h_in / h_out)
+    xs = (np.arange(w_out) + 0.5) * (w_in / w_out)
+    return ys, xs
+
+
+def resample_nearest(img, h_out, w_out):
+    """GRIORA_NearestNeighbour decimation/zoom (pixel-center rule)."""
+    h_in, w_in = img.shape[:2]
+    ys, xs = _sample_grid(h_out, w_out, h_in, w_in)
+    iy = np.minimum(ys.astype(np.int64), h_in - 1)
+    ix = np.minimum(xs.astype(np.int64), w_in - 1)
+    return img[np.ix_(iy, ix)]
+
+
+def resample_bilinear(img, h_out, w_out):
+    """GRIORA_Bilinear."""
+    h_in, w_in = img.shape[:2]
+    ys, xs = _sample_grid(h_out, w_out, h_in, w_in)
+    fy = np.clip(ys - 0.5, 0, h_in - 1)
+    fx = np.clip(xs - 0.5, 0, w_in - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h_in - 1)
+    x1 = np.minimum(x0 + 1, w_in - 1)
+    wy = (fy - y0)[:, None]
+    wx = (fx - x0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    f = img.astype(np.float64)
+    top = f[np.ix_(y0, x0)] * (1 - wx) + f[np.ix_(y0, x1)] * wx
+    bot = f[np.ix_(y1, x0)] * (1 - wx) + f[np.ix_(y1, x1)] * wx
+    out = top * (1 - wy) + bot * wy
+    return cast_clip(out, img.dtype) if np.issubdtype(img.dtype, np.integer) else out
+
+
+def resample_average(img, factor):
+    """Integer-factor box average (overview AVERAGE kernel,
+    gcore/overview.cpp:1144 on exact-factor grids)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    img = img[: h2 * factor, : w2 * factor]
+    if img.ndim == 3:
+        c = img.shape[2]
+        s = img.reshape(h2, factor, w2, factor, c).astype(np.float64).mean(axis=(1, 3))
+    else:
+        s = img.reshape(h2, factor, w2, factor).astype(np.float64).mean(axis=(1, 3))
+    return cast_clip(s, img.dtype) if np.issubdtype(img.dtype, np.integer) else s
+
+
+def reclassify(img, mapping: dict, default=None):
+    """Value LUT remap (gdalalg_raster_reclassify semantics: unmapped values
+    pass through unless a default is given)."""
+    out = img.copy() if default is None else np.full_like(img, default)
+    for src, dst in mapping.items():
+        out[img == src] = dst
+    return out
+
+
+def _windows(dem):
+    """Edge-clamped 3x3 shifted views w0..w8; row 0 = north (index [0,:])."""
+    p = np.pad(dem.astype(np.float64), 1, mode="edge")
+    return [p[y : y + dem.shape[0], x : x + dem.shape[1]] for y in (0, 1, 2) for x in (0, 1, 2)]
+
+
+def _horn_xy(w, ewres, nsres, z=1.0, scale=1.0):
+    x = z * ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * ewres * scale)
+    y = z * ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * nsres * scale)
+    return x, y
+
+
+def hillshade(dem, ewres=1.0, nsres=-1.0, z=1.0, scale=1.0, az=315.0, alt=45.0):
+    """Classic Horn hillshade (apps/gdaldem_lib.cpp:847-866 unoptimized
+    formulas): cang = sin(alt)cos(slope)+cos(alt)sin(slope)cos(az-90°-aspect);
+    output byte 1..255 (<=0 -> 1)."""
+    w = _windows(dem)
+    x, y = _horn_xy(w, ewres, nsres, z, scale)
+    slope = np.arctan(np.sqrt(x * x + y * y))
+    aspect_ = np.arctan2(y, x)
+    azr = az * np.pi / 180.0
+    altr = alt * np.pi / 180.0
+    cang = np.sin(altr) * np.cos(slope) + np.cos(altr) * np.sin(slope) * np.cos(
+        azr - np.pi / 2 - aspect_
+    )
+    out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    return out.astype(np.uint8)
+
+
+def slope_horn(dem, ewres=1.0, nsres=1.0, scale=1.0, percent=False):
+    """Horn slope (apps/gdaldem_lib.cpp GDALSlopeHornAlg:1345)."""
+    w = _windows(dem)
+    dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (ewres * scale)
+    dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (nsres * scale)
+    key = dx * dx + dy * dy
+    if percent:
+        return (100.0 * np.sqrt(key) / 8.0).astype(np.float32)
+    return (np.arctan(np.sqrt(key) / 8.0) * _RAD2DEG).astype(np.float32)
+
+
+def aspect(dem, azimuth=True, nodata=-9999.0):
+    """Aspect (apps/gdaldem_lib.cpp GDALAspectAlg:1415): flat -> nodata;
+    azimuth convention 0..360 clockwise from north."""
+    w = _windows(dem)
+    dx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+    dy = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    a = (np.arctan2(dy, -dx) * _RAD2DEG).astype(np.float32)
+    if azimuth:
+        a = np.where(a > 90.0, 450.0 - a, 90.0 - a)
+    else:
+        a = np.where(a < 0, a + 360.0, a)
+    a = np.where(a == 360.0, 0.0, a)
+    return np.where((dx == 0) & (dy == 0), np.float32(nodata), a).astype(np.float32)
+
+
+def tri(dem, variant="riley"):
+    """Terrain Ruggedness Index (gdaldem_lib.cpp:2351-2378):
+    riley = sqrt(sum (w_k - center)^2); wilson = mean |w_k - center|."""
+    w = _windows(dem)
+    c = w[4]
+    diffs = [w[k] - c for k in (0, 1, 2, 3, 5, 6, 7, 8)]
+    if variant == "wilson":
+        return (sum(np.abs(d) for d in diffs) * 0.125).astype(np.float32)
+    return np.sqrt(sum(d * d for d in diffs)).astype(np.float32)
+
+
+def tpi(dem):
+    """Topographic Position Index (gdaldem_lib.cpp GDALTPIAlg): center minus
+    neighborhood mean."""
+    w = _windows(dem)
+    return (w[4] - (w[0] + w[1] + w[2] + w[3] + w[5] + w[6] + w[7] + w[8]) * 0.125).astype(
+        np.float32
+    )
+
+
+def roughness(dem):
+    """Max minus min of the 3x3 window (gdaldem_lib.cpp GDALRoughnessAlg)."""
+    w = _windows(dem)
+    stack = np.stack(w)
+    return (stack.max(axis=0) - stack.min(axis=0)).astype(np.float32)
+
+
+def proximity(target_mask, max_dist=None):
+    """Chamfer-style two-pass distance to the nearest target pixel
+    (alg/gdalproximity.cpp:94 two-sweep structure; this implementation
+    computes exact euclidean distance via per-row propagation of the
+    nearest-target coordinates, adequate for per-image grids)."""
+    h, w = target_mask.shape
+    INF = 1 << 30
+    # squared distance transform (Felzenszwalb-style two 1-D passes)
+    d = np.where(target_mask, 0, INF).astype(np.int64)
+    # columns pass
+    for y in range(1, h):
+        d[y] = np.minimum(d[y], d[y - 1] + 1)
+    for y in range(h - 2, -1, -1):
+        d[y] = np.minimum(d[y], d[y + 1] + 1)
+    # d now = vertical distance in rows; exact 2-D euclidean via per-row scan
+    out = np.empty((h, w), dtype=np.float64)
+    xs = np.arange(w)
+    for y in range(h):
+        row = d[y]
+        best = np.full(w, np.inf)
+        cand = np.flatnonzero(row < INF)
+        if cand.size:
+            dy = row[cand].astype(np.float64)
+            # lower envelope over candidates (O(w * ncand) worst, fine <=128)
+            for i, cx in enumerate(cand):
+                dist = np.sqrt((xs - cx) ** 2 + dy[i] ** 2)
+                np.minimum(best, dist, out=best)
+        out[y] = best
+    if max_dist is not None:
+        out = np.minimum(out, max_dist)
+    return out
+
+
+def sieve(arr, threshold, nodata=None, connect8=False):
+    """Remove connected regions smaller than threshold by merging them into
+    their largest neighbor (alg/gdalsievefilter.cpp:178 semantics)."""
+    from gdal_ray.raster.polygonize import label_regions
+
+    out = arr.copy()
+    for _ in range(arr.size):  # iterate until stable (small grids)
+        labels = label_regions(out, nodata=nodata, connect8=connect8)
+        nlab = labels.max() + 1
+        if nlab <= 0:
+            return out
+        sizes = np.bincount(labels[labels >= 0].ravel(), minlength=nlab)
+        small = np.flatnonzero(sizes < threshold)
+        if small.size == 0:
+            return out
+        changed = False
+        for lab in small:
+            mask = labels == lab
+            # neighbor values along the region boundary
+            p = np.pad(mask, 1)
+            nb = (
+                np.roll(p, 1, 0) | np.roll(p, -1, 0) | np.roll(p, 1, 1) | np.roll(p, -1, 1)
+            )[1:-1, 1:-1] & ~mask
+            vals, counts = np.unique(out[nb], return_counts=True)
+            keep = [(v, c) for v, c in zip(vals, counts) if nodata is None or v != nodata]
+            if not keep:
+                continue
+            vbest = max(keep, key=lambda t: t[1])[0]
+            out[mask] = vbest
+            changed = True
+        if not changed:
+            return out
+    return out
+
+
+def fillnodata(arr, nodata, max_iter=100):
+    """Fill nodata by iterative 4-neighbor averaging from valid edges
+    (alg/rasterfill.cpp IDW-from-edges, simplified ring fill)."""
+    out = arr.astype(np.float64)
+    hole = arr == nodata
+    while hole.any() and max_iter > 0:
+        max_iter -= 1
+        p = np.pad(out, 1, mode="edge")
+        ph = np.pad(hole, 1, mode="edge")
+        acc = np.zeros_like(out)
+        cnt = np.zeros_like(out)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            v = p[1 + dy : 1 + dy + out.shape[0], 1 + dx : 1 + dx + out.shape[1]]
+            m = ~ph[1 + dy : 1 + dy + out.shape[0], 1 + dx : 1 + dx + out.shape[1]]
+            acc += np.where(m, v, 0)
+            cnt += m
+        fill = hole & (cnt > 0)
+        out[fill] = acc[fill] / cnt[fill]
+        hole = hole & ~fill
+    return out
+
+
+def histogram(img, bins=256, vmin=0, vmax=256):
+    """Per-image histogram partial (gcore/gdalrasterband.cpp:4176
+    GetHistogram); partials vector-sum into the global histogram."""
+    return np.bincount(
+        np.clip(((img.ravel() - vmin) * bins / (vmax - vmin)).astype(np.int64), 0, bins - 1),
+        minlength=bins,
+    )
+
+
+# VRT pixel functions (frmts/vrt/pixelfunctions.cpp:4006) — the commonly
+# used subset, each over a list of band arrays:
+PIXEL_FUNCTIONS = {
+    "sum": lambda bands: np.sum(bands, axis=0),
+    "diff": lambda bands: bands[0].astype(np.float64) - bands[1],
+    "mul": lambda bands: np.prod(np.asarray(bands, dtype=np.float64), axis=0),
+    "div": lambda bands: np.divide(
+        bands[0], bands[1], out=np.zeros_like(bands[0], dtype=np.float64), where=bands[1] != 0
+    ),
+    "min": lambda bands: np.min(bands, axis=0),
+    "max": lambda bands: np.max(bands, axis=0),
+    "mean": lambda bands: np.mean(np.asarray(bands, dtype=np.float64), axis=0),
+    "geometric_mean": lambda bands: np.prod(np.asarray(bands, dtype=np.float64), axis=0)
+    ** (1.0 / len(bands)),
+    "sqrt": lambda bands: np.sqrt(bands[0].astype(np.float64)),
+    "log10": lambda bands: np.log10(np.maximum(bands[0].astype(np.float64), 1e-300)),
+    "exp": lambda bands: np.exp(bands[0].astype(np.float64)),
+    "pow": lambda bands, power=2.0: bands[0].astype(np.float64) ** power,
+    "scale": lambda bands, scale=1.0, offset=0.0: bands[0].astype(np.float64) * scale + offset,
+    "norm_diff": lambda bands: np.divide(
+        bands[0].astype(np.float64) - bands[1],
+        bands[0].astype(np.float64) + bands[1],
+        out=np.zeros_like(bands[0], dtype=np.float64),
+        where=(bands[0].astype(np.float64) + bands[1]) != 0,
+    ),
+    "replace_nodata": lambda bands, nodata=0, to=0: np.where(bands[0] == nodata, to, bands[0]),
+    "interpolate_linear": lambda bands, t=0.5: bands[0].astype(np.float64) * (1 - t)
+    + bands[1].astype(np.float64) * t,
+}

@@ -1,0 +1,126 @@
+"""Raster-processing stages over the rasters/images tables (stateless
+`map_batches` wrappers around gdal_ray.raster.kernels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.raster import kernels as K
+from gdal_ray.raster.checksum import checksum_image
+
+__all__ = ["dem_metrics_batch", "resample_roundtrip_batch", "global_stats_partials", "histogram_partials"]
+
+
+def _grids(batch: pa.Table):
+    pix = batch["pixels"].to_pylist()
+    ws = batch["w"].to_pylist()
+    hs = batch["h"].to_pylist()
+    for i in range(len(pix)):
+        yield batch["raster_id"][i].as_py(), np.asarray(pix[i], dtype=np.float64).reshape(
+            hs[i], ws[i]
+        )
+
+
+def dem_metrics_batch(batch: pa.Table) -> pa.Table:
+    """rasters -> hillshade/slope/TRI/TPI/roughness checksums + means.
+
+    The per-image embarrassingly-parallel form of gdaldem
+    (apps/gdaldem_lib.cpp:3530); checksums give a compact exactness probe
+    (autotest golden-value style)."""
+    rows = {
+        "raster_id": [],
+        "hillshade_cksum": [],
+        "slope_mean": [],
+        "aspect_mean": [],
+        "tri_mean": [],
+        "tpi_mean": [],
+        "roughness_max": [],
+    }
+    for rid, dem in _grids(batch):
+        hs = K.hillshade(dem, ewres=1.0, nsres=-1.0)
+        rows["raster_id"].append(rid)
+        rows["hillshade_cksum"].append(checksum_image(hs))
+        rows["slope_mean"].append(float(K.slope_horn(dem).mean()))
+        a = K.aspect(dem)
+        rows["aspect_mean"].append(float(a[a != -9999.0].mean()) if (a != -9999.0).any() else 0.0)
+        rows["tri_mean"].append(float(K.tri(dem).mean()))
+        rows["tpi_mean"].append(float(K.tpi(dem).mean()))
+        rows["roughness_max"].append(float(K.roughness(dem).max()))
+    return pa.table(
+        {
+            "raster_id": pa.array(rows["raster_id"], pa.string()),
+            "hillshade_cksum": pa.array(rows["hillshade_cksum"], pa.int32()),
+            "slope_mean": pa.array(rows["slope_mean"]),
+            "aspect_mean": pa.array(rows["aspect_mean"]),
+            "tri_mean": pa.array(rows["tri_mean"]),
+            "tpi_mean": pa.array(rows["tpi_mean"]),
+            "roughness_max": pa.array(rows["roughness_max"]),
+        }
+    )
+
+
+def resample_roundtrip_batch(batch: pa.Table) -> pa.Table:
+    """rasters -> 2x bilinear upsample -> 2x box downsample -> checksums
+    (warp/overview kernel probe; gdalwarp -r bilinear + AVERAGE overview)."""
+    rows = {"raster_id": [], "orig_cksum": [], "up_cksum": [], "down_cksum": []}
+    for rid, dem in _grids(batch):
+        up = K.resample_bilinear(dem, dem.shape[0] * 2, dem.shape[1] * 2)
+        down = K.resample_average(up, 2)
+        rows["raster_id"].append(rid)
+        rows["orig_cksum"].append(checksum_image(dem))
+        rows["up_cksum"].append(checksum_image(up))
+        rows["down_cksum"].append(checksum_image(down))
+    return pa.table(
+        {
+            "raster_id": pa.array(rows["raster_id"], pa.string()),
+            "orig_cksum": pa.array(rows["orig_cksum"], pa.int32()),
+            "up_cksum": pa.array(rows["up_cksum"], pa.int32()),
+            "down_cksum": pa.array(rows["down_cksum"], pa.int32()),
+        }
+    )
+
+
+def global_stats_partials(batch: pa.Table) -> pa.Table:
+    """Decoded images -> per-batch partial (n, sum, sumsq, min, max) over
+    pixel values; a tiny final aggregate yields exact GLOBAL band stats
+    (two-phase form of gcore/gdalrasterband.cpp:5157 ComputeStatistics)."""
+    from gdal_ray.io import codec as C
+
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    n = 0
+    s = 0.0
+    ss = 0.0
+    mn = np.inf
+    mx = -np.inf
+    for i in range(len(blobs)):
+        img = C.decode_image(blobs[i], fmts[i]).astype(np.float64)
+        n += img.size
+        s += float(img.sum())
+        ss += float((img * img).sum())
+        mn = min(mn, float(img.min()))
+        mx = max(mx, float(img.max()))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum": pa.array([s]),
+            "sumsq": pa.array([ss]),
+            "min": pa.array([mn]),
+            "max": pa.array([mx]),
+        }
+    )
+
+
+def histogram_partials(batch: pa.Table, bins=256) -> pa.Table:
+    """Decoded images -> one histogram-partial row per batch (vector sum
+    downstream = exact global histogram, gdalrasterband.cpp:4176)."""
+    from gdal_ray.io import codec as C
+
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    acc = np.zeros(bins, dtype=np.int64)
+    for i in range(len(blobs)):
+        img = C.decode_image(blobs[i], fmts[i])
+        acc += K.histogram(img, bins=bins)
+    return pa.table({"hist": pa.array([acc.tolist()], pa.list_(pa.int64()))})

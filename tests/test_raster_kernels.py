@@ -1,0 +1,170 @@
+"""Raster kernel semantics (translate/resample/DEM/proximity/sieve/fill/
+contour/grid) vs straightforward scalar references."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster import kernels as K
+from gdal_ray.raster.contour import contour_lines, contour_segments
+from gdal_ray.raster.grid import grid_points
+
+
+def test_translate_rescale_cast():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert (K.translate_window(img, 2, 1, 4, 3) == img[1:4, 2:6]).all()
+    out = K.rescale_linear(img, 2.0, 10.0)
+    assert out.dtype == np.uint8 and out[0, 5] == 20 and out.max() == 136
+    assert K.cast_clip(np.array([-3.2, 310.7]), np.uint8).tolist() == [0, 255]
+    assert K.cast_clip(np.array([1.5, 2.49]), np.int32).tolist() == [2, 2]
+
+
+def test_resample_nearest_identity_and_decimate():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert (K.resample_nearest(img, 4, 4) == img).all()
+    half = K.resample_nearest(img, 2, 2)
+    assert half.shape == (2, 2)
+    avg = K.resample_average(img, 2)
+    want = img.reshape(2, 2, 2, 2).mean(axis=(1, 3))
+    assert np.allclose(avg, np.floor(want + 0.5))
+
+
+def test_resample_bilinear_constant_preserved():
+    img = np.full((5, 7), 42.0)
+    out = K.resample_bilinear(img, 10, 14)
+    assert np.allclose(out, 42.0)
+
+
+def test_reclassify():
+    img = np.array([[1, 2], [3, 1]])
+    out = K.reclassify(img, {1: 9})
+    assert out.tolist() == [[9, 2], [3, 9]]
+    out = K.reclassify(img, {1: 9}, default=0)
+    assert out.tolist() == [[9, 0], [0, 9]]
+
+
+def _scalar_win(dem, i, j):
+    """Edge-clamped 3x3 window, row-major, row0=north (kernels._windows)."""
+    h, w = dem.shape
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            y = min(max(i + dy, 0), h - 1)
+            x = min(max(j + dx, 0), w - 1)
+            out.append(float(dem[y, x]))
+    return out
+
+
+def test_dem_kernels_match_scalar_formulas():
+    rng = np.random.default_rng(9)
+    dem = rng.uniform(0, 100, (12, 15))
+    hs = K.hillshade(dem, ewres=1.0, nsres=-1.0)
+    sl = K.slope_horn(dem)
+    tp = K.tpi(dem)
+    tr = K.tri(dem, "riley")
+    tw = K.tri(dem, "wilson")
+    ro = K.roughness(dem)
+    for i, j in [(0, 0), (3, 4), (11, 14), (5, 0)]:
+        w = _scalar_win(dem, i, j)
+        x = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / (8.0 * 1.0)
+        y = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / (8.0 * -1.0)
+        slope = np.arctan(np.sqrt(x * x + y * y))
+        asp = np.arctan2(y, x)
+        az, alt = np.radians(315.0), np.radians(45.0)
+        cang = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(
+            az - np.pi / 2 - asp
+        )
+        want_hs = 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+        assert hs[i, j] == np.uint8(want_hs)
+        dx = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) / 1.0
+        dy = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) / 1.0
+        assert sl[i, j] == pytest.approx(
+            np.arctan(np.sqrt(dx * dx + dy * dy) / 8.0) * 180 / np.pi, rel=1e-6
+        )
+        c = w[4]
+        others = [w[k] for k in (0, 1, 2, 3, 5, 6, 7, 8)]
+        assert tp[i, j] == pytest.approx(c - sum(others) / 8.0, rel=1e-5, abs=1e-5)
+        assert tr[i, j] == pytest.approx(np.sqrt(sum((o - c) ** 2 for o in others)), rel=1e-6)
+        assert tw[i, j] == pytest.approx(sum(abs(o - c) for o in others) / 8.0, rel=1e-5)
+        assert ro[i, j] == pytest.approx(max(w) - min(w), rel=1e-6)
+
+
+def test_proximity_exact_euclidean():
+    mask = np.zeros((9, 11), dtype=bool)
+    mask[2, 3] = True
+    mask[7, 9] = True
+    d = K.proximity(mask)
+    ys, xs = np.mgrid[0:9, 0:11]
+    want = np.minimum(np.hypot(ys - 2, xs - 3), np.hypot(ys - 7, xs - 9))
+    assert np.allclose(d, want)
+
+
+def test_sieve_removes_small_regions():
+    a = np.zeros((8, 8), np.int32)
+    a[0:4, 0:4] = 1
+    a[6, 6] = 5  # 1-pixel speck
+    out = K.sieve(a, threshold=2)
+    assert (out[6, 6] == 0) and (out[0:4, 0:4] == 1).all()
+
+
+def test_fillnodata():
+    a = np.full((5, 5), 10.0)
+    a[2, 2] = -1
+    out = K.fillnodata(a, nodata=-1)
+    assert out[2, 2] == pytest.approx(10.0)
+
+
+def test_histogram_partials_sum_to_global():
+    rng = np.random.default_rng(10)
+    imgs = [rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(5)]
+    partials = [K.histogram(im) for im in imgs]
+    total = np.sum(partials, axis=0)
+    want = np.bincount(np.concatenate([im.ravel() for im in imgs]), minlength=256)
+    assert (total == want).all()
+
+
+def test_pixel_functions():
+    a = np.array([[4.0, 9.0]])
+    b = np.array([[2.0, 3.0]])
+    F = K.PIXEL_FUNCTIONS
+    assert (F["sum"]([a, b]) == [[6, 12]]).all()
+    assert (F["diff"]([a, b]) == [[2, 6]]).all()
+    assert (F["mul"]([a, b]) == [[8, 27]]).all()
+    assert (F["div"]([a, b]) == [[2, 3]]).all()
+    assert np.allclose(F["norm_diff"]([a, b]), [[2 / 6, 6 / 12]])
+    assert np.allclose(F["sqrt"]([a]), [[2, 3]])
+    assert np.allclose(F["geometric_mean"]([a, b]), [[np.sqrt(8), np.sqrt(27)]])
+
+
+def test_contour_circle_levels():
+    ys, xs = np.mgrid[0:40, 0:40]
+    arr = np.hypot(ys - 20, xs - 20)
+    lines = contour_lines(arr, [10.0])
+    assert lines, "no contours found"
+    pts = np.concatenate([l["coords"] for l in lines])
+    # all contour points lie near radius 10 around (20.5, 20.5) pixel centers
+    r = np.hypot(pts[:, 0] - 20.5, pts[:, 1] - 20.5)
+    assert abs(r.mean() - 10.0) < 0.2 and r.std() < 0.2
+
+
+def test_contour_segment_endpoints_interpolate_to_level():
+    rng = np.random.default_rng(12)
+    arr = rng.uniform(0, 1, (10, 10))
+    segs = contour_segments(arr, 0.5)
+    assert len(segs) > 0
+
+
+def test_grid_invdist_and_nearest():
+    px = np.array([0.5, 3.5])
+    py = np.array([0.5, 3.5])
+    pv = np.array([10.0, 30.0])
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    g = grid_points(px, py, pv, 4, 4, gt, algorithm="invdist")
+    # node exactly on a point -> exact value
+    assert g[0, 0] == 10.0 and g[3, 3] == 30.0
+    assert 10.0 < g[1, 1] < 30.0
+    n = grid_points(px, py, pv, 4, 4, gt, algorithm="nearest")
+    assert n[0, 0] == 10.0 and n[3, 3] == 30.0 and n[0, 3] in (10.0, 30.0)
+    c = grid_points(px, py, pv, 4, 4, gt, algorithm="count", radius=1.0)
+    assert c[0, 0] == 1 and c[1, 2] == 0
+    a = grid_points(px, py, pv, 4, 4, gt, algorithm="average", radius=10.0)
+    assert np.allclose(a, 20.0)
