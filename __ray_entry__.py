@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hilbert_order": RQ.q_hilbert_order,
         "q_contour": RQ.q_contour,
         "q_grid_invdist": RQ.q_grid_invdist,
+        "q_footprint": RQ.q_footprint,
+        "q_vector_ops": RQ.q_vector_ops,
+        "q_sim_ivf": RQ.q_sim_ivf,
     }
 
 

@@ -1,0 +1,176 @@
+"""Constructive / measurement geometry operations (pure numpy, no GEOS).
+
+The GDAL reference delegates these to GEOS (``ogr/ogr_geometry.h:563-592``);
+here each is a direct vector kernel over ring arrays. Implemented subset:
+area, perimeter/length, centroid, convex hull, Douglas-Peucker simplify,
+rectangle clip (Sutherland-Hodgman — exact for the ogr2ogr
+``-clipsrc xmin ymin xmax ymax`` case, apps/ogr2ogr_lib.cpp clip path),
+segmentize, swap_xy. Polygon-polygon boolean ops are out of scope without a
+robust-geometry library; rectangle clip covers the dominant pipeline use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ring_area",
+    "ring_length",
+    "polygon_area",
+    "polygon_centroid",
+    "convex_hull",
+    "simplify_dp",
+    "clip_ring_rect",
+    "segmentize",
+    "swap_xy",
+]
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of a closed ring."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def ring_length(ring: np.ndarray) -> float:
+    d = np.diff(ring, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def polygon_area(rings) -> float:
+    """|outer| minus |holes| (OGR_GEOM_AREA special field semantics)."""
+    if not rings:
+        return 0.0
+    return abs(ring_area(rings[0])) - sum(abs(ring_area(h)) for h in rings[1:])
+
+
+def polygon_centroid(rings):
+    """Area-weighted centroid of the outer ring (holes subtracted)."""
+    cx = cy = total = 0.0
+    for i, ring in enumerate(rings):
+        x = ring[:-1, 0]
+        y = ring[:-1, 1]
+        x1 = ring[1:, 0]
+        y1 = ring[1:, 1]
+        cross = x * y1 - x1 * y
+        a = cross.sum() / 2.0
+        if a == 0:
+            continue
+        gx = ((x + x1) * cross).sum() / (6.0 * a)
+        gy = ((y + y1) * cross).sum() / (6.0 * a)
+        w = abs(a) * (1 if i == 0 else -1)
+        cx += gx * w
+        cy += gy * w
+        total += w
+    if total == 0:
+        return float(rings[0][:, 0].mean()), float(rings[0][:, 1].mean())
+    return cx / total, cy / total
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns closed CCW hull ring."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        hull = []
+        for p in seq:
+            while len(hull) >= 2 and np.cross(hull[-1] - hull[-2], p - hull[-2]) <= 0:
+                hull.pop()
+            hull.append(p)
+        return hull
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_dp(line: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker simplification (OGR Simplify semantics; tolerance =
+    max perpendicular deviation)."""
+    if len(line) <= 2:
+        return line
+    keep = np.zeros(len(line), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(line) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b <= a + 1:
+            continue
+        seg = line[b] - line[a]
+        norm = np.hypot(*seg)
+        pts = line[a + 1 : b]
+        if norm == 0:
+            d = np.hypot(pts[:, 0] - line[a][0], pts[:, 1] - line[a][1])
+        else:
+            d = np.abs(np.cross(seg, pts - line[a])) / norm
+        imax = int(np.argmax(d))
+        if d[imax] > tolerance:
+            keep[a + 1 + imax] = True
+            stack.append((a, a + 1 + imax))
+            stack.append((a + 1 + imax, b))
+    return line[keep]
+
+
+def clip_ring_rect(ring: np.ndarray, xmin, ymin, xmax, ymax) -> np.ndarray:
+    """Sutherland-Hodgman clip of a closed ring by an axis-aligned rect.
+
+    Exact for convex clip windows; returns a closed ring (possibly empty).
+    """
+    poly = ring[:-1].tolist() if (ring[0] == ring[-1]).all() else ring.tolist()
+
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur = pts[i]
+            prev = pts[i - 1]
+            ci, pi = inside(cur), inside(prev)
+            if ci:
+                if not pi:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prev, cur))
+        return out
+
+    def ix(p, q, x):
+        t = (x - p[0]) / (q[0] - p[0])
+        return [x, p[1] + t * (q[1] - p[1])]
+
+    def iy(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return [p[0] + t * (q[0] - p[0]), y]
+
+    poly = clip_edge(poly, lambda p: p[0] >= xmin, lambda p, q: ix(p, q, xmin))
+    if poly:
+        poly = clip_edge(poly, lambda p: p[0] <= xmax, lambda p, q: ix(p, q, xmax))
+    if poly:
+        poly = clip_edge(poly, lambda p: p[1] >= ymin, lambda p, q: iy(p, q, ymin))
+    if poly:
+        poly = clip_edge(poly, lambda p: p[1] <= ymax, lambda p, q: iy(p, q, ymax))
+    if not poly:
+        return np.empty((0, 2))
+    arr = np.asarray(poly)
+    return np.vstack([arr, arr[:1]])
+
+
+def segmentize(line: np.ndarray, max_length: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_length (OGR Segmentize)."""
+    out = [line[0]]
+    for i in range(1, len(line)):
+        seg = line[i] - line[i - 1]
+        dist = float(np.hypot(*seg))
+        n = int(np.ceil(dist / max_length))
+        for k in range(1, n + 1):
+            out.append(line[i - 1] + seg * (k / n))
+    return np.asarray(out)
+
+
+def swap_xy(coords: np.ndarray) -> np.ndarray:
+    """gdal vector swap-xy step."""
+    return coords[:, ::-1]

@@ -21,6 +21,9 @@ __all__ = [
     "q_hilbert_order",
     "q_contour",
     "q_grid_invdist",
+    "q_footprint",
+    "q_vector_ops",
+    "q_sim_ivf",
 ]
 
 
@@ -275,3 +278,108 @@ def q_grid_invdist(sf_dir: str):
         return pd.DataFrame(rows)
 
     return bucketed_group_apply(pts, ["cell"], per_cell, 32)
+
+
+def q_footprint(sf_dir: str):
+    """Raster footprint (apps/gdal_footprint_lib.cpp:1268): valid-data mask
+    (pixels != nodata) -> boundary polygons -> WKB + area per raster."""
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.raster.polygonize import label_regions, polygonize_array
+
+    d = corpus_for_sf(sf_dir)
+
+    def per_raster(batch: pa.Table) -> pa.Table:
+        rows = {"raster_id": [], "n_parts": [], "area_px": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            arr = np.asarray(pix[i], dtype=np.int32).reshape(hs[i], ws[i])
+            mask = (arr != -1).astype(np.int32)  # footprint = not-nodata
+            polys = polygonize_array(mask, nodata=0)
+            area = sum(GO.polygon_area(p["rings"]) for p in polys)
+            rows["raster_id"].append(batch["raster_id"][i].as_py())
+            rows["n_parts"].append(len(polys))
+            rows["area_px"].append(float(area))
+        return pa.table(
+            {
+                "raster_id": pa.array(rows["raster_id"], pa.string()),
+                "n_parts": pa.array(rows["n_parts"], pa.int32()),
+                "area_px": pa.array(rows["area_px"]),
+            }
+        )
+
+    return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow")
+
+
+def q_vector_ops(sf_dir: str):
+    """Vector pipeline steps over the polygon layer (ogr2ogr/gdal vector
+    steps: simplify, segmentize, centroid, area, convex-hull, rect clip)."""
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+
+    d = corpus_for_sf(sf_dir)
+
+    def per_poly(batch: pa.Table) -> pa.Table:
+        rows = {
+            "poly_id": [],
+            "area": [],
+            "perimeter": [],
+            "centroid_x": [],
+            "centroid_y": [],
+            "n_pts": [],
+            "n_pts_simplified": [],
+            "hull_area": [],
+            "clipped_area": [],
+        }
+        ids = batch["poly_id"].to_pylist()
+        blobs = batch["wkb"].to_pylist()
+        for i in range(len(ids)):
+            polys = W.decode_polygons(blobs[i])
+            area = sum(GO.polygon_area(p) for p in polys)
+            outer = polys[0][0]
+            cx, cy = GO.polygon_centroid(polys[0])
+            simp = GO.simplify_dp(outer, tolerance=100.0)
+            hull = GO.convex_hull(np.vstack([p[0][:-1] for p in polys]))
+            e = W.wkb_envelope(blobs[i])
+            midx, midy = (e[0] + e[2]) / 2, (e[1] + e[3]) / 2
+            clipped = GO.clip_ring_rect(outer, e[0], e[1], midx, midy)
+            rows["poly_id"].append(ids[i])
+            rows["area"].append(round(area, 4))
+            rows["perimeter"].append(round(sum(GO.ring_length(p[0]) for p in polys), 4))
+            rows["centroid_x"].append(round(cx, 4))
+            rows["centroid_y"].append(round(cy, 4))
+            rows["n_pts"].append(len(outer))
+            rows["n_pts_simplified"].append(len(simp))
+            rows["hull_area"].append(round(abs(GO.ring_area(hull)), 4))
+            rows["clipped_area"].append(
+                round(abs(GO.ring_area(clipped)) if clipped.size else 0.0, 4)
+            )
+        import pandas as pd
+
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return SRC.read_polygons(d).map_batches(per_poly, batch_format="pyarrow")
+
+
+def q_sim_ivf(sf_dir: str):
+    """IVF approximate cosine top-5 over embeddings (scale path of
+    q_sim_topk; recall vs exact asserted in tests)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import topk_cosine_ivf
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = qt.filter(pc.less(qt["vec_id"], 8)).sort_by("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return topk_cosine_ivf(ds, queries, k=5)

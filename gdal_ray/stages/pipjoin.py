@@ -140,3 +140,123 @@ def pip_join_batch(batch: pa.Table, index_ref, id_col: str = "src_id") -> pa.Tab
         stage = PipJoinStage(index_ref, id_col)
         _STAGE_CACHE[key] = stage
     return stage(batch)
+
+
+def explode_polygon_covers(batch: pa.Table, level: int = CELL_LEVEL) -> pa.Table:
+    """polygons -> one row per (cell, polygon) cover entry: the shuffle-side
+    representation of the polygon layer (cell-keyed equi-join plan)."""
+    ids = batch["poly_id"].to_pylist()
+    blobs = batch["wkb"].to_pylist()
+    envs = np.empty((len(ids), 4), dtype=np.float64)
+    for i, b in enumerate(blobs):
+        envs[i] = W.wkb_envelope(b)
+    row, cell = CL.bbox_cover(envs[:, 0], envs[:, 1], envs[:, 2], envs[:, 3], level)
+    return pa.table(
+        {
+            "cell": pa.array(cell),
+            "poly_id": pa.array([ids[r] for r in row], pa.string()),
+            "wkb": pa.array([blobs[r] for r in row], pa.binary()),
+            "minx": pa.array(envs[row, 0]),
+            "miny": pa.array(envs[row, 1]),
+            "maxx": pa.array(envs[row, 2]),
+            "maxy": pa.array(envs[row, 3]),
+        }
+    )
+
+
+def pip_join_shuffle(points_ds, polygons_ds, level: int = CELL_LEVEL, num_buckets: int = 64,
+                     hot_cells: set | None = None, num_salts: int = 8):
+    """Cell-partitioned PIP join for polygon sides too large to broadcast.
+
+    Both sides are keyed by cell id and co-shuffled with
+    ``bucketed_group_apply``; inside each partition the exact ray-cast test
+    runs per cell group. Hot cells (from the manifest's cell histogram or a
+    count pass) are SALTED: their points split into ``cell#salt`` sub-keys
+    and the polygon cover rows are REPLICATED to every salt (small side of
+    the skew), so no single task sees a whole hot cell.
+
+    points_ds columns: (src_id, cx, cy, cell); polygons_ds: (poly_id, wkb).
+    Returns (src_id, poly_id) rows, identical to the broadcast path.
+    """
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    covers = polygons_ds.map_batches(
+        explode_polygon_covers, fn_kwargs={"level": level}, batch_format="pyarrow"
+    )
+
+    hot = hot_cells or set()
+
+    def salt_points(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_pylist()
+        salted = [
+            f"{c}#{i % num_salts}" if c in hot else str(c) for i, c in enumerate(cells)
+        ]
+        return batch.append_column("skey", pa.array(salted, pa.string()))
+
+    def salt_covers(batch: pa.Table) -> pa.Table:
+        if not hot:
+            return batch.append_column(
+                "skey", pa.array([str(c) for c in batch["cell"].to_pylist()], pa.string())
+            )
+        tables = []
+        cells = batch["cell"].to_pylist()
+        plain_idx = [i for i, c in enumerate(cells) if c not in hot]
+        if plain_idx:
+            t = batch.take(pa.array(plain_idx))
+            tables.append(t.append_column(
+                "skey", pa.array([str(cells[i]) for i in plain_idx], pa.string())))
+        hot_idx = [i for i, c in enumerate(cells) if c in hot]
+        for s in range(num_salts if hot_idx else 0):
+            t = batch.take(pa.array(hot_idx))
+            tables.append(t.append_column(
+                "skey", pa.array([f"{cells[i]}#{s}" for i in hot_idx], pa.string())))
+        return pa.concat_tables(tables, promote_options="default") if tables else batch.append_column("skey", pa.array([], pa.string()))
+
+    pts = points_ds.map_batches(salt_points, batch_format="pyarrow")
+    cvs = covers.map_batches(salt_covers, batch_format="pyarrow")
+    # tag sides and union into one keyed shuffle
+    pts = pts.map_batches(
+        lambda b: b.append_column("side", pa.array(["p"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    cvs = cvs.map_batches(
+        lambda b: b.append_column("side", pa.array(["g"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    both = pts.union(cvs)
+
+    def join_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out_src, out_poly = [], []
+        for _, g in part.groupby("skey", sort=False):
+            p = g[g["side"] == "p"]
+            q = g[g["side"] == "g"]
+            if len(p) == 0 or len(q) == 0:
+                continue
+            px = p["cx"].to_numpy(dtype=np.float64)
+            py = p["cy"].to_numpy(dtype=np.float64)
+            sid = p["src_id"].to_numpy()
+            for _, poly in q.iterrows():
+                m = (
+                    (px >= poly["minx"]) & (px <= poly["maxx"])
+                    & (py >= poly["miny"]) & (py <= poly["maxy"])
+                )
+                if not m.any():
+                    continue
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                sx = px[m]
+                sy = py[m]
+                for rings in W.decode_polygons(poly["wkb"]):
+                    inside = P.points_in_ring(sx, sy, rings[0])
+                    for hole in rings[1:]:
+                        if inside.any():
+                            inside &= ~P.points_in_ring(sx, sy, hole)
+                    hit |= inside
+                if hit.any():
+                    out_src.extend(sid[m][hit])
+                    out_poly.extend([poly["poly_id"]] * int(hit.sum()))
+        return pd.DataFrame({"src_id": pd.Series(out_src, dtype=str),
+                             "poly_id": pd.Series(out_poly, dtype=str)})
+
+    return bucketed_group_apply(both, ["skey"], join_partition, num_buckets)

