@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_footprint": RQ.q_footprint,
         "q_vector_ops": RQ.q_vector_ops,
         "q_sim_ivf": RQ.q_sim_ivf,
+        "q_warp_4326_images": RQ.q_warp_4326_images,
     }
 
 

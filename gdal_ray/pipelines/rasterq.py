@@ -24,6 +24,7 @@ __all__ = [
     "q_footprint",
     "q_vector_ops",
     "q_sim_ivf",
+    "q_warp_4326_images",
 ]
 
 
@@ -383,3 +384,53 @@ def q_sim_ivf(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return topk_cosine_ivf(ds, queries, k=5)
+
+
+def q_warp_4326_images(sf_dir: str):
+    """gdalwarp as a pipeline: the EPSG:4326 slice of the corpus warped to
+    EPSG:3857 (dst-driven nearest), reporting dst grid + checksum."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.flagship import _merge_placements
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import warp_image
+    from gdal_ray.stages.geo import _gt_matrix
+
+    d = corpus_for_sf(sf_dir)
+    src = rd.read_parquet(os.path.join(d, "images.parquet"), include_paths=True)
+    placed = src.map_batches(
+        _merge_placements,
+        fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        keep = [i for i, s in enumerate(batch["srs"].to_pylist()) if s == "EPSG:4326"]
+        rows = {"image_id": [], "dst_w": [], "dst_h": [], "warp_cksum": []}
+        if keep:
+            batch2 = batch.take(pa.array(keep))
+            gts = _gt_matrix(batch2)
+            blobs = batch2["bytes"].to_pylist()
+            fmts = batch2["fmt"].to_pylist()
+            ids = batch2["image_id"].to_pylist()
+            for i in range(len(ids)):
+                img = C.decode_image(blobs[i], fmts[i])
+                out, ogt = warp_image(img, tuple(gts[i]), "EPSG:4326", "EPSG:3857")
+                rows["image_id"].append(ids[i])
+                rows["dst_w"].append(out.shape[1])
+                rows["dst_h"].append(out.shape[0])
+                rows["warp_cksum"].append(checksum_image(out[:, :, 0]))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "dst_w": pa.array(rows["dst_w"], pa.int32()),
+                "dst_h": pa.array(rows["dst_h"], pa.int32()),
+                "warp_cksum": pa.array(rows["warp_cksum"], pa.int32()),
+            }
+        )
+
+    return placed.map_batches(per_image, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,117 @@
+"""Per-image warp/reproject (dst-driven resampling).
+
+The Ray-Data form of gdalwarp (``apps/gdalwarp_lib.cpp:1414`` +
+``alg/gdalwarpoperation.cpp``): GDAL splits the DESTINATION into chunks and
+pulls each chunk's source window through a transformer chain
+(dst pixel -> dst SRS -> src SRS -> src pixel). Here every image row IS a
+destination chunk: the output grid is computed from the source footprint
+(GDALWarpCreateOutput's suggested-extent step), and each dst pixel center
+maps back through the inverse chain to sample the source (nearest or
+bilinear kernels — GRIORA_NearestNeighbour/Bilinear).
+
+Supported SRS pair: EPSG:4326 <-> EPSG:3857 (spherical formulas,
+gdal2tiles.py:422-443); the transformer seam is a single function, so a
+PROJ-backed chain slots in without touching the sampling kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_ray.geo import affine as A
+from gdal_ray.geo import mercator as M
+
+__all__ = ["suggest_output_grid", "warp_image"]
+
+
+def _fwd(gx, gy, src_srs, dst_srs):
+    if src_srs == dst_srs:
+        return gx, gy
+    if src_srs == "EPSG:4326" and dst_srs == "EPSG:3857":
+        return M.latlon_to_meters(gy, gx)
+    if src_srs == "EPSG:3857" and dst_srs == "EPSG:4326":
+        lat, lon = M.meters_to_latlon(gx, gy)
+        return lon, lat
+    raise NotImplementedError(f"SRS pair {src_srs}->{dst_srs} needs a PROJ backend")
+
+
+def suggest_output_grid(src_gt, w, h, src_srs, dst_srs, dst_size=None):
+    """Axis-aligned dst grid covering the warped source footprint.
+
+    Mirrors GDALWarpCreateOutput (apps/gdalwarp_lib.cpp:254): sample the
+    forward transform along the source edges, take the bbox, preserve the
+    pixel count unless dst_size is given.
+    """
+    edge = np.concatenate(
+        [
+            np.stack([np.linspace(0, w, 21), np.zeros(21)], axis=1),
+            np.stack([np.linspace(0, w, 21), np.full(21, h)], axis=1),
+            np.stack([np.zeros(21), np.linspace(0, h, 21)], axis=1),
+            np.stack([np.full(21, w), np.linspace(0, h, 21)], axis=1),
+        ]
+    )
+    gx, gy = A.apply_geotransform(src_gt, edge[:, 0], edge[:, 1])
+    dx, dy = _fwd(gx, gy, src_srs, dst_srs)
+    minx, maxx = float(dx.min()), float(dx.max())
+    miny, maxy = float(dy.min()), float(dy.max())
+    if dst_size is None:
+        dst_w, dst_h = w, h
+    else:
+        dst_w, dst_h = dst_size
+    res_x = (maxx - minx) / dst_w
+    res_y = (maxy - miny) / dst_h
+    return (minx, res_x, 0.0, maxy, 0.0, -res_y), dst_w, dst_h
+
+
+def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=None,
+               resampling="nearest", fill=0):
+    """Warp one image to dst_srs. Returns (dst_img, dst_gt)."""
+    h, w = img.shape[:2]
+    if dst_gt is None:
+        dst_gt, dst_w, dst_h = suggest_output_grid(src_gt, w, h, src_srs, dst_srs)
+    inv = A.invert_geotransform(src_gt)
+    if inv is None:
+        raise ValueError("singular source geotransform")
+    cols, rows = np.meshgrid(np.arange(dst_w) + 0.5, np.arange(dst_h) + 0.5)
+    dx, dy = A.apply_geotransform(dst_gt, cols, rows)
+    sx, sy = _fwd(dx, dy, dst_srs, src_srs)
+    px, py = A.apply_geotransform(inv, sx, sy)
+    shape = (dst_h, dst_w) + img.shape[2:]
+    out = np.full(shape, fill, dtype=img.dtype)
+    if resampling == "nearest":
+        ix = np.floor(px).astype(np.int64)
+        iy = np.floor(py).astype(np.int64)
+        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out[ok] = img[iy[ok], ix[ok]]
+    elif resampling == "bilinear":
+        fx = px - 0.5
+        fy = py - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        ok = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+        wx = (fx - x0)[ok]
+        wy = (fy - y0)[ok]
+        if img.ndim == 3:
+            wx = wx[:, None]
+            wy = wy[:, None]
+        f = img.astype(np.float64)
+        x0o = x0[ok]
+        y0o = y0[ok]
+        val = (
+            f[y0o, x0o] * (1 - wx) * (1 - wy)
+            + f[y0o, x0o + 1] * wx * (1 - wy)
+            + f[y0o + 1, x0o] * (1 - wx) * wy
+            + f[y0o + 1, x0o + 1] * wx * wy
+        )
+        if np.issubdtype(img.dtype, np.integer):
+            val = np.clip(np.floor(val + 0.5), np.iinfo(img.dtype).min, np.iinfo(img.dtype).max)
+        out[ok] = val.astype(img.dtype)
+        # fall back to nearest at the right/bottom edge rows GDAL handles
+        # with clamped windows
+        edge = (~ok) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        ixe = np.floor(px[edge]).astype(np.int64)
+        iye = np.floor(py[edge]).astype(np.int64)
+        out[edge] = img[iye, ixe]
+    else:
+        raise ValueError(resampling)
+    return out, dst_gt

@@ -168,3 +168,41 @@ def test_grid_invdist_and_nearest():
     assert c[0, 0] == 1 and c[1, 2] == 0
     a = grid_points(px, py, pv, 4, 4, gt, algorithm="average", radius=10.0)
     assert np.allclose(a, 20.0)
+
+
+def test_warp_identity_same_srs():
+    from gdal_ray.raster.warp import warp_image
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    gt = (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+    out, ogt = warp_image(img, gt, "EPSG:3857", "EPSG:3857")
+    assert out.shape == img.shape
+    assert (out == img).all()  # same grid -> nearest hits each src pixel
+
+
+def test_warp_roundtrip_4326_3857():
+    from gdal_ray.raster.warp import warp_image
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    # 0.01-degree pixels near Paris
+    gt = (2.0, 0.01, 0.0, 49.0, 0.0, -0.01)
+    merc, mgt = warp_image(img, gt, "EPSG:4326", "EPSG:3857")
+    back, bgt = warp_image(merc, mgt, "EPSG:3857", "EPSG:4326")
+    assert merc.shape == img.shape and back.shape == img.shape
+    # nearest-neighbor round trip: interior mostly identical
+    interior = (slice(2, -2), slice(2, -2))
+    agree = (back[interior] == img[interior]).mean()
+    assert agree > 0.7, agree
+
+
+def test_warp_bilinear_smooth_field():
+    from gdal_ray.raster.warp import warp_image
+
+    ys, xs = np.mgrid[0:40, 0:40]
+    img = (xs * 3 + ys * 2).astype(np.float64)
+    gt = (0.0, 1.0, 0.0, 40.0, 0.0, -1.0)
+    out, ogt = warp_image(img, gt, "EPSG:3857", "EPSG:3857", resampling="bilinear")
+    # linear field is reproduced exactly by bilinear sampling on same grid
+    assert np.allclose(out[1:-1, 1:-1], img[1:-1, 1:-1])
