@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vector_ops": RQ.q_vector_ops,
         "q_sim_ivf": RQ.q_sim_ivf,
         "q_warp_4326_images": RQ.q_warp_4326_images,
+        "q_embed_near_dup": RQ.q_embed_near_dup,
+        "q_simhash_docs": RQ.q_simhash_docs,
+        "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
     }
 
 
@@ -192,6 +195,12 @@ def oracle_sql() -> dict[str, str]:
                    p_brand || '-' || UPPER(SUBSTR(p_name, 1, 8)) AS label,
                    LENGTH(p_name) AS name_len
             FROM part
+        """,
+        "q_embed_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) > 0.45
         """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""

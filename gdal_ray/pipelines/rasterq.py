@@ -25,6 +25,9 @@ __all__ = [
     "q_vector_ops",
     "q_sim_ivf",
     "q_warp_4326_images",
+    "q_embed_near_dup",
+    "q_simhash_docs",
+    "q_jaccard_near_dup",
 ]
 
 
@@ -434,3 +437,45 @@ def q_warp_4326_images(sf_dir: str):
         )
 
     return placed.map_batches(per_image, batch_format="pyarrow", batch_size=None)
+
+
+def q_embed_near_dup(sf_dir: str):
+    """EXACT all-pairs embedding-cosine near-dup join (threshold 0.45,
+    chosen so the nearest pair sits 5e-4 from the boundary — float-safe
+    against the DuckDB oracle's cross join)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import embedding_near_dup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup(ds, threshold=0.45)
+
+
+def q_simhash_docs(sf_dir: str):
+    """SimHash sketch per document (hyperplane-sign near-dup key)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import SimHasher
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, 4), num_cpus=1
+    )
+
+
+def q_jaccard_near_dup(sf_dir: str):
+    """MinHash-LSH candidates verified with exact n-gram Jaccard >= 0.8."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import verified_text_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return verified_text_near_dups(ds, jaccard_threshold=0.8)

@@ -184,3 +184,90 @@ def minhash_bands(docs_ds, **kw):
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens (hyperplane-sign sketch): bit b is the
+    sign of the sum of per-token random projections. Near-dup docs land at
+    small hamming distance; banded exactly like pHash."""
+
+    def __init__(self, seed: int = 42):
+        import re
+
+        self.token = re.compile(r"\w+")
+        self.seed = seed
+
+    def _hash64(self, tok: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8, salt=b"simhash0").digest(), "little"
+        )
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in self.token.findall((text or "").lower()):
+            h = self._hash64(tok)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                out |= np.uint64(1) << np.uint64(b)
+        return int(out.astype(np.int64)) if out < (1 << 63) else int(out) - (1 << 64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = batch["text"].map(self.simhash).astype("int64")
+        return batch[["doc_id", "simhash"]]
+
+
+def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
+    """Exact character n-gram Jaccard similarity (the verify step after
+    MinHash-LSH candidate generation)."""
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8, **minhash_kw):
+    """MinHash-LSH candidates -> exact n-gram Jaccard verification.
+
+    Texts for verification are fetched via a broadcast {doc_id: text} dict
+    (documents side assumed to fit; at corpus scale the verify step becomes
+    a co-partitioned join on doc_id instead)."""
+    import ray as _ray
+
+    texts = {}
+    for b in docs_ds.iter_batches(batch_format="pandas"):
+        texts.update(dict(zip(b["doc_id"], b["text"])))
+    text_ref = _ray.put(texts)
+
+    bands = minhash_bands(docs_ds, **minhash_kw)
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated(["band_id", "band_key"], keep=False)]
+        lut = _ray.get(text_ref)
+        out_a, out_b, out_j = [], [], []
+        seen = set()
+        for _, g in part.groupby(["band_id", "band_key"], sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    key = (int(ids[x]), int(ids[y]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    j = ngram_jaccard(lut.get(key[0], ""), lut.get(key[1], ""))
+                    if j >= jaccard_threshold:
+                        out_a.append(key[0])
+                        out_b.append(key[1])
+                        out_j.append(round(j, 6))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, 32)
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8
+    )

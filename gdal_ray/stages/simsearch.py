@@ -167,3 +167,64 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         return g[["query_idx", "rank", "vec_id", "score"]]
 
     return cand.groupby("query_idx").map_groups(reduce_group, batch_format="pandas")
+
+
+@ray.remote
+def _block_pair_sims(block_a, block_b, threshold, same):
+    """One (block, block) tile of the all-pairs cosine matrix."""
+    ids_a, va = block_a
+    ids_b, vb = block_b
+    na = va / np.maximum(np.linalg.norm(va, axis=1, keepdims=True), 1e-30)
+    nb = vb / np.maximum(np.linalg.norm(vb, axis=1, keepdims=True), 1e-30)
+    s = na @ nb.T
+    ia, ib = np.nonzero(s > threshold)
+    if same:  # keep strict upper triangle
+        keep = ids_a[ia] < ids_b[ib]
+        ia, ib = ia[keep], ib[keep]
+    return ids_a[ia], ids_b[ib], s[ia, ib] if len(ia) else np.empty(0)
+
+
+def embedding_near_dup(ds, threshold: float, block_size: int = 4096):
+    """EXACT all-pairs cosine near-duplicate join over an embedding column.
+
+    The Dataset API has no native self-cross-join, so this drops to raw Ray
+    tasks over O(K^2/2) block tiles (K = ceil(N/block_size)) — each tile one
+    matmul, results tiny. At 10^9 rows you'd pre-filter candidates with the
+    hyperplane-LSH bands (ivf/simhash) and verify exactly per tile; the
+    tile kernel is identical.
+
+    Returns pandas (id_a, id_b, score) with id_a < id_b.
+    """
+    import pandas as pd
+
+    blocks = []
+    ids_acc, vec_acc = [], []
+    count = 0
+    for batch in ds.iter_batches(batch_size=block_size, batch_format="pyarrow"):
+        m = _matrix(batch, "embedding", np.float64)
+        ids = np.asarray(batch["vec_id"])
+        blocks.append(ray.put((ids, m)))
+        count += len(ids)
+    futs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            futs.append(_block_pair_sims.remote(blocks[i], blocks[j], threshold, i == j))
+    out_a, out_b, out_s = [], [], []
+    for ia, ib, s in ray.get(futs):
+        if len(ia):
+            lo = np.minimum(ia, ib)
+            hi = np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(s)
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return (
+        pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        .drop_duplicates()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

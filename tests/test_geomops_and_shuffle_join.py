@@ -113,3 +113,67 @@ def test_ivf_recall_vs_exact(ray_session):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.5, f"recall too low: {hits}/{total}"
+
+
+def test_multimodal_stub_stages(ray_session):
+    """Audio/video stages: real Ray plumbing, deterministic stub decode,
+    strict mode raises at the documented seam."""
+    import pytest
+    import ray.data as rd
+
+    from gdal_ray.stages.multimodal import (
+        AudioFeatures,
+        VideoFrameSampler,
+        make_fake_audio_table,
+        make_fake_video_table,
+    )
+
+    audio = rd.from_arrow(make_fake_audio_table(20))
+    feats = audio.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1, num_cpus=1
+    ).to_pandas()
+    assert len(feats) == 20 and len(feats["features"][0]) == 16
+    # deterministic: same payload -> same features
+    feats2 = (
+        rd.from_arrow(make_fake_audio_table(20))
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=1, num_cpus=1)
+        .to_pandas()
+    )
+    import numpy as np2
+
+    np2.testing.assert_array_equal(
+        np2.stack(feats["features"].to_numpy()), np2.stack(feats2["features"].to_numpy())
+    )
+
+    video = rd.from_arrow(make_fake_video_table(10))
+    frames = video.map_batches(
+        VideoFrameSampler, batch_format="pyarrow", batch_size=4, concurrency=1, num_cpus=1
+    ).to_pandas()
+    assert frames.groupby("video_id").size().max() <= 4
+    assert len(frames) > 10
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(strict=True)(make_fake_audio_table(1))
+
+
+def test_embedding_near_dup_exact_small(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import embedding_near_dup
+
+    rng = np.random.default_rng(33)
+    vecs = rng.normal(0, 1, (300, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.normal(0, 1, 16)  # planted near-dup
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    pairs = embedding_near_dup(ds, threshold=0.99, block_size=64)
+    assert (3, 7) in set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    # brute-force reference
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = (n.astype(np.float64) @ n.astype(np.float64).T)
+    ia, ib = np.nonzero(np.triu(s, 1) > 0.99)
+    assert set(zip(ia.tolist(), ib.tolist())) == set(
+        map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False))
+    )
