@@ -17,6 +17,22 @@ import sys
 import time
 
 
+def _tile_render(corpus: str) -> int:
+    """Timed slice of the tile pyramid: base-tile render+compose at z=5
+    into a throwaway dir (fresh manifest each run)."""
+    import shutil
+    import tempfile
+
+    from gdal_ray.pipelines.tiling import tile_pyramid
+
+    out = tempfile.mkdtemp(prefix="bench_tiles_")
+    try:
+        s = tile_pyramid(corpus, out, z_base=5, z_min=4)
+        return s["n_written"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _run_bench() -> dict:
     import ray
 
@@ -69,6 +85,20 @@ def _run_bench() -> dict:
     timed("q1_pricing", lambda: R.q1_pricing_summary(sf_dir).count())
     timed("join_segment", lambda: R.q_join_segment_revenue(sf_dir).count())
     timed("sim_topk", lambda: R.q_sim_topk(sf_dir).count())
+
+    from gdal_ray.pipelines import rasterq as RQ
+
+    timed("dem_metrics", lambda: RQ.q_dem_metrics(sf_dir).count())
+    timed("warp_4326", lambda: RQ.q_warp_4326_images(sf_dir).count())
+    timed("embed_near_dup", lambda: len(RQ.q_embed_near_dup(sf_dir)))
+    # tile render is per-image-heavy (decode + 256^2 resample + PNG per
+    # partial); benchmark the operator on a bounded corpus
+    render_corpus = corpus
+    if n_images > 10000:
+        from gdal_ray.fixtures.generate import generate_corpus
+
+        render_corpus = generate_corpus(3000)
+    timed("tile_render_z5_3k", lambda: _tile_render(render_corpus))
 
     headline_sec = queries["flagship"]
     result = {
