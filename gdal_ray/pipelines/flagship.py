@@ -27,8 +27,8 @@ import ray.data as rd
 from gdal_ray.config import CELL_LEVEL, IMAGE_BATCH, META_BATCH, TILE_ZOOMS
 from gdal_ray.sources import corpus as SRC
 from gdal_ray.stages import geo as G
-from gdal_ray.stages.pipjoin import PipJoinStage, build_polygon_cell_index, pip_join_batch
-from gdal_ray.stages.knn import KnnStage, build_centroid_cell_index, knn_batch
+from gdal_ray.stages.pipjoin import build_polygon_cell_index, pip_join_batch
+from gdal_ray.stages.knn import build_centroid_cell_index, knn_batch
 
 __all__ = [
     "decoded_meta",

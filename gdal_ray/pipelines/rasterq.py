@@ -289,7 +289,7 @@ def q_footprint(sf_dir: str):
     (pixels != nodata) -> boundary polygons -> WKB + area per raster."""
     from gdal_ray.geo import geomops as GO
     from gdal_ray.geo import wkb as W
-    from gdal_ray.raster.polygonize import label_regions, polygonize_array
+    from gdal_ray.raster.polygonize import polygonize_array
 
     d = corpus_for_sf(sf_dir)
 

@@ -10,7 +10,6 @@ sides to absorb summation-order differences.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np

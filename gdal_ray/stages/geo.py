@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from gdal_ray.geo import affine as A
 from gdal_ray.geo import cells as CL
 from gdal_ray.geo import mercator as M
 from gdal_ray.config import CELL_LEVEL, TILE_ZOOMS

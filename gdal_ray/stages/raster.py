@@ -14,7 +14,6 @@ import pyarrow as pa
 from gdal_ray.raster.polygonize import polygonize_array
 from gdal_ray.raster.rasterize import rasterize_polygon_px
 from gdal_ray.raster.checksum import checksum_image
-from gdal_ray.geo import affine as A
 from gdal_ray.geo import wkb as W
 
 __all__ = ["polygonize_batch", "roundtrip_batch"]

@@ -11,7 +11,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 __all__ = ["TextStats", "LangId", "Fingerprint", "token_count_sql_parity"]
 
