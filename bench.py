@@ -39,12 +39,16 @@ def _run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    init_kw = {}
+    if os.environ.get("GRAFT_OBJSTORE_BYTES"):
+        init_kw["object_store_memory"] = int(os.environ["GRAFT_OBJSTORE_BYTES"])
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **init_kw,
     )
     from ray.data import DataContext
 
@@ -55,7 +59,7 @@ def _run_bench() -> dict:
     from gdal_ray.pipelines import flagship as F
     from gdal_ray.pipelines import relational as R
 
-    corpus = CQ.corpus_for_sf(sf_dir)  # cached after first call
+    corpus = os.environ.get("GRAFT_CORPUS_DIR") or CQ.corpus_for_sf(sf_dir)
     import pyarrow.dataset as pads
 
     n_images = pads.dataset(os.path.join(corpus, "images.parquet")).count_rows()
@@ -79,6 +83,20 @@ def _run_bench() -> dict:
 
     run_flagship()  # untimed warm-up pass
     timed("flagship", run_flagship)
+    if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
+        headline_sec = queries["flagship"]
+        result = {
+            "metric": "images/sec end-to-end (decode + cell encode + PIP join + tile assign)",
+            "value": headline_sec,
+            "unit": "sec",
+            "images_per_sec": round(n_images / headline_sec, 1),
+            "n_images": n_images,
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+        }
+        ray.shutdown()
+        return result
     timed("knn", lambda: F.knn_images(corpus).count())
     timed("near_dup", lambda: CQ.q_near_dup_images(sf_dir).count())
     timed("raster_roundtrip", lambda: CQ.q_raster_roundtrip(sf_dir).count())
@@ -115,30 +133,103 @@ def _run_bench() -> dict:
     return result
 
 
-def _scaling():
+def _scaling(repeats: int = 3):
+    """Median-of-N fresh-process runs per level (single-box wall times are
+    noisy at seconds scale; median absorbs page-cache / scheduler jitter)."""
+    import statistics
     import subprocess
 
-    out = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out[ncpu] = json.loads(line)
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
+    runs = {8: [], 32: []}
+    last = {}
+    for _ in range(repeats):
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_FLAGSHIP_ONLY="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            d = json.loads(line)
+            runs[ncpu].append(d["value"])
+            last[ncpu] = d
+    t8 = statistics.median(runs[8])
+    t32 = statistics.median(runs[32])
     eff = (t8 / t32) / (32 / 8)
+    n = last[32]["n_images"]
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions, same input)",
+                "metric": "scaling efficiency (8 -> 32 CPUs, fresh sessions, same input, median of %d)" % repeats,
                 "sec_8": t8,
                 "sec_32": t32,
-                "images_per_sec_8": out[8]["images_per_sec"],
-                "images_per_sec_32": out[32]["images_per_sec"],
+                "all_sec_8": runs[8],
+                "all_sec_32": runs[32],
+                "images_per_sec_8": round(n / t8, 1),
+                "images_per_sec_32": round(n / t32, 1),
                 "scaling_efficiency": round(eff, 3),
-                "n_images": out[32]["n_images"],
+                "n_images": n,
+            }
+        )
+    )
+
+
+def _scaling_nodes(n_nodes: int = 4, cpus_per_node: int = 8):
+    """Node-scaling proxy (WEAK scaling): one 8-CPU Ray instance running the
+    headline job vs ``n_nodes`` CONCURRENT 8-CPU Ray instances each running
+    the IDENTICAL job — separate object stores, shared box. A 4N-node
+    cluster processes 4x the data in the same wall time when per-node work
+    is fixed; the headline path has no cross-node exchange (broadcast index
+    + co-partitioned merge), so concurrent independent instances are the
+    faithful in-sandbox stand-in."""
+    import subprocess
+    import time as _time
+
+    from gdal_ray.pipelines import corpus_queries as CQ
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus = CQ.corpus_for_sf(sf_dir)
+    quarters = [corpus] * n_nodes  # identical job per node (weak scaling)
+
+    objstore = str(4 * 1024**3)
+
+    def run_one(corpus_dir, ncpu):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_CORPUS_DIR=corpus_dir,
+            GRAFT_BENCH_FLAGSHIP_ONLY="1",
+            GRAFT_OBJSTORE_BYTES=objstore,
+        )
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    def harvest(proc):
+        out, _ = proc.communicate()
+        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # N = 1 node
+    one = harvest(run_one(corpus, cpus_per_node))
+    n_total = one["n_images"]
+    ips_1 = one["images_per_sec"]
+
+    # 4N = n_nodes concurrent identical jobs (aggregate 4x data processed)
+    procs = [run_one(q, cpus_per_node) for q in quarters]
+    results = [harvest(p) for p in procs]
+    ips_4 = sum(r["images_per_sec"] for r in results)
+    eff = ips_4 / (n_nodes * ips_1)
+    print(
+        json.dumps(
+            {
+                "metric": f"node-scaling proxy (weak): 1 vs {n_nodes} concurrent "
+                f"{cpus_per_node}-CPU Ray instances, identical per-node job",
+                "images_per_sec_1node": ips_1,
+                "aggregate_images_per_sec_%dnodes" % n_nodes: round(ips_4, 1),
+                "per_node_sec": [r["value"] for r in results],
+                "scaling_efficiency": round(eff, 3),
+                "n_images_per_node": n_total,
             }
         )
     )
@@ -147,5 +238,7 @@ def _scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling()
+    elif "--scaling-nodes" in sys.argv:
+        _scaling_nodes()
     else:
         print(json.dumps(_run_bench()))
