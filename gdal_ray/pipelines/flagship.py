@@ -1,20 +1,19 @@
 """Flagship end-to-end pipeline: decode + cell encode + PIP join + tile assign.
 
 This is the BASELINE.json headline metric pipeline (images/sec end-to-end)
-re-expressed Ray-Data-first:
+re-expressed Ray-Data-first. Headline path (flagship_single_pass) has NO
+shuffle and no mid-pipeline materialization:
 
-    read images ──▶ DecodeStats actor pool (drops bytes)──┐
-    read placements ──────────────────────────────────────┤ hash join on image_id
-                                                          ▼
-                                 add_centroid_meters + add_bbox + add_cell
-                                   │                          │
-                 PipJoinStage (broadcast polygon cell index)  explode_tiles
-                                   │                          │
-                           (src_id, poly_id) rows      (image_id, z, x, y) rows
+    read images shards (parallel, include_paths)
+      ─▶ co-partitioned placements merge (worker-cached shard lookup)
+      ─▶ decode_stats (stateless task pool; drops bytes)
+      ─▶ add_centroid/add_bbox/add_cell (fused vectorized stages)
+      ─▶ per-batch: explode_tiles  +  pip_join_batch(broadcast polygon index)
+      ─▶ tagged (tile | pip) rows, streamed to the consumer
 
-No full materialization: every edge is a streaming Dataset; the only
-collected objects are the broadcast polygon index (small side) and final
-result samples/counts.
+The general hash-shuffle join path remains for non-co-sharded tables
+(join_strategy="hash"); the shuffle PIP variant with hot-cell salting
+lives in stages/pipjoin.pip_join_shuffle.
 """
 
 from __future__ import annotations
