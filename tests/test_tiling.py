@@ -94,3 +94,43 @@ def test_resume_skips_and_recomputes_exactly(ray_session, small_corpus, pyramid)
     b = before.sort_values(["z", "x", "y"]).reset_index(drop=True)
     a = after.sort_values(["z", "x", "y"]).reset_index(drop=True)
     assert (a["png"] == b["png"]).all()
+
+
+def test_flagship_checkpointed_resume(ray_session, corpus, tmp_path):
+    """Checkpointed flagship: partitioned output + cell-histogram manifest,
+    killed-run resume recomputes only the missing partition."""
+    import json
+
+    import pyarrow.parquet as pq2
+
+    from gdal_ray.pipelines.checkpointed import flagship_checkpointed
+
+    out = str(tmp_path / "ckpt")
+    s1 = flagship_checkpointed(corpus, out)
+    assert s1["written_partitions"] > 1 and s1["n_rows"] > 0
+    # output rows = oracle tiles + oracle pip(img) rows
+    parts = sorted(pathlib.Path(out).glob("cellpart=*/rows.parquet"))
+    rows = sum(pq2.read_metadata(str(p)).num_rows for p in parts)
+    want_tiles = pq2.read_metadata(f"{corpus}/oracle_tiles.parquet").num_rows
+    pipdf = pq2.read_table(f"{corpus}/oracle_pip.parquet").to_pandas()
+    want_pip = int(pipdf["src_id"].str.startswith("img").sum())
+    assert rows == want_tiles + want_pip == s1["n_rows"]
+    # manifest carries cell histograms
+    recs = json.loads(next(pathlib.Path(out, "_manifest").glob("*.json")).read_text())
+    assert recs["cell_hist"] and sum(recs["cell_hist"].values()) == recs["n_rows"]
+
+    s2 = flagship_checkpointed(corpus, out)
+    assert s2["written_partitions"] == 0 and s2["skipped_partitions"] == s1["written_partitions"]
+
+    # simulate a killed run: drop one manifest record + its partition dir
+    victim = sorted(pathlib.Path(out, "_manifest").glob("*.json"))[0]
+    vrec = json.loads(victim.read_text())
+    victim.unlink()
+    shutil.rmtree(pathlib.Path(out) / f"cellpart={vrec['partition_id']}")
+    s3 = flagship_checkpointed(corpus, out)
+    assert s3["written_partitions"] == 1 and s3["n_rows"] == vrec["n_rows"]
+    rows_after = sum(
+        pq2.read_metadata(str(p)).num_rows
+        for p in sorted(pathlib.Path(out).glob("cellpart=*/rows.parquet"))
+    )
+    assert rows_after == rows
