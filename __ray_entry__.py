@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_near_dup": RQ.q_embed_near_dup,
         "q_simhash_docs": RQ.q_simhash_docs,
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
+        "q_poly_intersect_pairs": RQ.q_poly_intersect_pairs,
     }
 
 

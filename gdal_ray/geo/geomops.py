@@ -23,6 +23,9 @@ __all__ = [
     "clip_ring_rect",
     "segmentize",
     "swap_xy",
+    "segments_intersect_any",
+    "polygons_intersect",
+    "clip_ring_convex",
 ]
 
 
@@ -174,3 +177,97 @@ def segmentize(line: np.ndarray, max_length: float) -> np.ndarray:
 def swap_xy(coords: np.ndarray) -> np.ndarray:
     """gdal vector swap-xy step."""
     return coords[:, ::-1]
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """True iff any segment of closed ring ``a`` intersects any of ``b``
+    (proper or touching). Vectorized over the full segment-pair grid."""
+    a0 = a[:-1]
+    a1 = a[1:]
+    b0 = b[:-1]
+    b1 = b[1:]
+    # orientation of each b endpoint against each a segment, broadcast
+    d1 = _orient(a0[:, None, 0], a0[:, None, 1], a1[:, None, 0], a1[:, None, 1], b0[None, :, 0], b0[None, :, 1])
+    d2 = _orient(a0[:, None, 0], a0[:, None, 1], a1[:, None, 0], a1[:, None, 1], b1[None, :, 0], b1[None, :, 1])
+    d3 = _orient(b0[None, :, 0], b0[None, :, 1], b1[None, :, 0], b1[None, :, 1], a0[:, None, 0], a0[:, None, 1])
+    d4 = _orient(b0[None, :, 0], b0[None, :, 1], b1[None, :, 0], b1[None, :, 1], a1[:, None, 0], a1[:, None, 1])
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        return True
+    # collinear / endpoint-touching cases: any zero orientation with overlap
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+        )
+    t1 = (d1 == 0) & on_seg(a0[:, None, 0], a0[:, None, 1], a1[:, None, 0], a1[:, None, 1], b0[None, :, 0], b0[None, :, 1])
+    t2 = (d2 == 0) & on_seg(a0[:, None, 0], a0[:, None, 1], a1[:, None, 0], a1[:, None, 1], b1[None, :, 0], b1[None, :, 1])
+    t3 = (d3 == 0) & on_seg(b0[None, :, 0], b0[None, :, 1], b1[None, :, 0], b1[None, :, 1], a0[:, None, 0], a0[:, None, 1])
+    t4 = (d4 == 0) & on_seg(b0[None, :, 0], b0[None, :, 1], b1[None, :, 0], b1[None, :, 1], a1[:, None, 0], a1[:, None, 1])
+    return bool((t1 | t2 | t3 | t4).any())
+
+
+def polygons_intersect(polys_a, polys_b) -> bool:
+    """OGC Intersects for simple (multi)polygons (outer rings + holes):
+    boundaries cross, or one lies inside the other (hole-aware) — the
+    exact test GDAL gets from GEOS (ogr_geometry.h:552).
+    """
+    from gdal_ray.geo.pip import points_in_polygon_rings
+
+    for ra in polys_a:
+        for rb in polys_b:
+            ea = (ra[0][:, 0].min(), ra[0][:, 1].min(), ra[0][:, 0].max(), ra[0][:, 1].max())
+            eb = (rb[0][:, 0].min(), rb[0][:, 1].min(), rb[0][:, 0].max(), rb[0][:, 1].max())
+            if ea[0] > eb[2] or eb[0] > ea[2] or ea[1] > eb[3] or eb[1] > ea[3]:
+                continue
+            if segments_intersect_any(ra[0], rb[0]):
+                return True
+            # containment either way (hole-aware)
+            if points_in_polygon_rings(rb[0][:1, 0], rb[0][:1, 1], ra)[0]:
+                return True
+            if points_in_polygon_rings(ra[0][:1, 0], ra[0][:1, 1], rb)[0]:
+                return True
+    return False
+
+
+def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of ``subject`` by a CONVEX closed ring
+    (CCW or CW — orientation is normalized). The layer-algebra
+    Intersection kernel for convex clip geometries (Clip/Intersection,
+    ogrlayer.cpp:3345/5497, restricted to convex method features)."""
+    clip = clip_ring[:-1] if (clip_ring[0] == clip_ring[-1]).all() else clip_ring
+    if ring_area(np.vstack([clip, clip[:1]])) < 0:
+        clip = clip[::-1]
+    poly = subject[:-1].tolist() if (subject[0] == subject[-1]).all() else subject.tolist()
+    n = len(clip)
+    for i in range(n):
+        if not poly:
+            break
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        out = []
+        m = len(poly)
+        for j in range(m):
+            cur = poly[j]
+            prev = poly[j - 1]
+            cin = _orient(ax, ay, bx, by, cur[0], cur[1]) >= 0
+            pin = _orient(ax, ay, bx, by, prev[0], prev[1]) >= 0
+            if cin != pin:
+                # intersection of (prev, cur) with the clip edge line
+                x1, y1 = prev
+                x2, y2 = cur
+                denom = (x1 - x2) * (ay - by) - (y1 - y2) * (ax - bx)
+                if denom != 0:
+                    t = ((x1 - ax) * (ay - by) - (y1 - ay) * (ax - bx)) / denom
+                    out.append([x1 + t * (x2 - x1), y1 + t * (y2 - y1)])
+            if cin:
+                out.append(list(cur))
+        poly = out
+    if not poly:
+        return np.empty((0, 2))
+    arr = np.asarray(poly)
+    return np.vstack([arr, arr[:1]])

