@@ -78,24 +78,48 @@ def phash_bands(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
 def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     """One hash-bucket partition (many band-groups): emit verified pairs.
 
-    Vectorized: only band-groups with >= 2 members are expanded; the exact
-    hamming check prunes LSH false positives.
+    numpy-only inner loop: the partition is lexsorted once by
+    (band_id, band_key, image_id); group boundaries come from diff, and
+    each >=2-member group expands to its triu pair set verified with the
+    SWAR hamming kernel (no per-group pandas objects — ~10x faster on
+    tens of thousands of small groups).
     """
-    dup_mask = part.duplicated(["band_id", "band_key"], keep=False)
-    part = part[dup_mask]
+    band_id = part["band_id"].to_numpy()
+    band_key = part["band_key"].to_numpy()
+    ids = part["image_id"].to_numpy()
+    ph = part["phash"].to_numpy()
+    order = np.lexsort((ids, band_key, band_id))
+    band_id = band_id[order]
+    band_key = band_key[order]
+    ids = ids[order]
+    ph = ph[order]
+    new_group = np.empty(len(ids), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (band_id[1:] != band_id[:-1]) | (band_key[1:] != band_key[:-1])
+    starts = np.flatnonzero(new_group)
+    ends = np.append(starts[1:], len(ids))
     out_a, out_b = [], []
-    for _, g in part.groupby(["band_id", "band_key"], sort=False):
-        g = g.sort_values("image_id").drop_duplicates("image_id")
-        n = len(g)
+    for s0, e0 in zip(starts, ends):
+        n = e0 - s0
         if n < 2:
             continue
-        ids = g["image_id"].to_numpy()
-        ph = g["phash"].to_numpy()
+        gids = ids[s0:e0]
+        gph = ph[s0:e0]
+        # drop duplicate ids (same image may repeat across chunks)
+        uniq = np.empty(n, dtype=bool)
+        uniq[0] = True
+        uniq[1:] = gids[1:] != gids[:-1]
+        if not uniq.all():
+            gids = gids[uniq]
+            gph = gph[uniq]
+            n = len(gids)
+            if n < 2:
+                continue
         ia, ib = np.triu_indices(n, k=1)
-        d = hamming64(ph[ia], ph[ib])
-        keep = d <= max_hamming
-        out_a.append(ids[ia[keep]])
-        out_b.append(ids[ib[keep]])
+        keep = hamming64(gph[ia], gph[ib]) <= max_hamming
+        if keep.any():
+            out_a.append(gids[ia[keep]])
+            out_b.append(gids[ib[keep]])
     if not out_a:
         return pd.DataFrame({"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)})
     return pd.DataFrame(

@@ -94,3 +94,17 @@ def test_cell_histogram_matches_oracle(ray_session, corpus, placed):
     )
     assert (hist["cell"].to_numpy() == want["cell"].to_numpy()).all()
     assert (hist["n_images"].to_numpy() == want["n_images"].to_numpy()).all()
+
+
+def test_near_dup_contains_planted_duplicates(ray_session, corpus):
+    """FIXTURES invariant 3: every planted near-duplicate (img i-1, i for
+    i % 100 == 99) is found by the banded-LSH + hamming<=2 pipeline."""
+    from gdal_ray.sources import corpus as SRC
+    from gdal_ray.stages.dedup import near_dup_image_pairs
+
+    imgs = SRC.read_images(corpus, columns=["image_id", "phash"])
+    pairs = near_dup_image_pairs(imgs).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    n = SRC.read_images(corpus, columns=["image_id"]).count()
+    planted = {(f"img{i-1:08d}", f"img{i:08d}") for i in range(99, n, 100)}
+    assert planted <= found, f"missing {sorted(planted - found)[:5]}"
