@@ -68,10 +68,39 @@ def _image_rows(seed, lo, hi, size_idx_w, size_idx_h, is_jpeg, ref_dir):
     for i in range(lo, hi):
         image_id = f"img{i:08d}"
         if i % 100 == 99 and i > lo:  # ~1% near-duplicates of the previous image
+            # FIXTURES invariant: planted pairs have STORED phash hamming <= 2
+            # (hashes are of the decoded payload, so the check runs after the
+            # codec round trip; retries shrink the jitter, fallback = exact copy)
             w, h = int(ws[-1]), int(hs[-1])
             base = make_image(seed, i - 1, w, h)
-            jit = _rng(seed, 2, i).integers(-1, 2, base.shape, dtype=np.int16)
-            img = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
+            prev_hash = hashes[-1]
+            img = None
+            for attempt in range(3):
+                jit = _rng(seed, 2, i * 4 + attempt).integers(-1, 2, base.shape, dtype=np.int16)
+                if attempt > 0:
+                    jit = jit * (attempt == 1)  # second try: zero jitter
+                cand = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
+                blob_c = C.encode_qlossy(cand) if is_jpeg[i] else C.encode_png(cand)
+                fmt_c = "jpeg" if is_jpeg[i] else "png"
+                hh = int(PH.phash64(C.decode_image(blob_c, fmt_c)))
+                from gdal_ray.io.phash import hamming64 as _ham
+
+                if int(_ham(hh, prev_hash)) <= 2:
+                    img = cand
+                    break
+            if img is None:  # copy previous row verbatim (hamming 0)
+                ids.append(image_id)
+                blobs.append(blobs[-1])
+                ws.append(w)
+                hs.append(h)
+                fmts.append(fmts[-1])
+                captions.append(
+                    f"A synthetic scene {image_id}: {w}x{h} {fmts[-1]} tile with seeded gradients."
+                )
+                hashes.append(prev_hash)
+                if ref_dir is not None:
+                    np.save(ref_dir / f"{image_id}.npy", np.load(ref_dir / f"img{i-1:08d}.npy"))
+                continue
         else:
             w = int(sizes[size_idx_w[i]])
             h = int(sizes[size_idx_h[i]])
