@@ -323,6 +323,29 @@ def _gen_polygons(seed, n_images, out):
         wkbs.append(blob)
         cats.append(CATEGORIES[int(r.integers(0, 8))])
         areas.append(area)
+    # fixed hand-written edge cases (FIXTURES.md §3): the probe point
+    # q_edgecase sits exactly ON a vertical edge, exactly AT a vertex of
+    # another polygon, and a degenerate sliver passes through it — the
+    # strict ogrlinearring.cpp:462 crossing rules decide all three, and the
+    # decisive x-coordinates are trig-free so engine and scalar oracle agree
+    pmx, pmy = O.merc_latlon_to_meters(EDGE_LAT, EDGE_LON)
+    edge_polys = [
+        # vertical LEFT edge passes exactly through (pmx, pmy)
+        np.array([[pmx, pmy - 5000], [pmx + 9000, pmy - 5000],
+                  [pmx + 9000, pmy + 5000], [pmx, pmy + 5000], [pmx, pmy - 5000]]),
+        # vertex exactly at the probe point
+        np.array([[pmx, pmy], [pmx + 7000, pmy + 2000], [pmx + 3000, pmy + 8000], [pmx, pmy]]),
+        # degenerate sliver (zero-area spike) through the point
+        np.array([[pmx - 4000, pmy], [pmx + 4000, pmy], [pmx - 4000, pmy],
+                  [pmx - 4000, pmy]]),
+    ]
+    from gdal_ray.geo import wkb as _W
+
+    for kk, ring in enumerate(edge_polys):
+        ids.append(f"polyedge{kk}")
+        wkbs.append(_W.encode_polygon([ring]))
+        cats.append(CATEGORIES[0])
+        areas.append(abs(_shoelace(np.vstack([ring, ring[:1]]) if (ring[0] != ring[-1]).any() else ring)))
     t = pa.table(
         {
             "poly_id": pa.array(ids),
@@ -335,6 +358,11 @@ def _gen_polygons(seed, n_images, out):
     return t
 
 
+# fixed edge-case probes (FIXTURES.md §3): coordinates chosen so the
+# decisive x comparisons are trig-free (mx = lon*originShift/180 exactly)
+EDGE_LON, EDGE_LAT = 18.0, 10.0  # mx = originShift/10 exactly in any impl
+
+
 def _gen_query_points(seed, n_images, out):
     n = max(20, n_images // 10)
     r = _rng(seed, 5)
@@ -343,9 +371,14 @@ def _gen_query_points(seed, n_images, out):
     lon = np.where(outlier, r.uniform(-179.0, 179.0, n), lon)
     lat = np.where(outlier, np.where(r.random(n) < 0.5, -82.0, 82.0), lat)
     k = r.choice([1, 4, 8], size=n).astype(np.int32)
+    # append the fixed edge-case probe point
+    ids = [f"q{i:06d}" for i in range(n)] + ["q_edgecase"]
+    lon = np.append(lon, EDGE_LON)
+    lat = np.append(lat, EDGE_LAT)
+    k = np.append(k, np.int32(1)).astype(np.int32)
     t = pa.table(
         {
-            "query_id": pa.array([f"q{i:06d}" for i in range(n)]),
+            "query_id": pa.array(ids),
             "lon": pa.array(lon, pa.float64()),
             "lat": pa.array(lat, pa.float64()),
             "k": pa.array(k, pa.int32()),
