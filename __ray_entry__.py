@@ -125,7 +125,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "q_filter_parts": """
-            SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(SUM(p_size) AS BIGINT) AS sum_size
             FROM part
             WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 10 AND 30
             GROUP BY p_brand
@@ -153,10 +154,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "q_token_stats": """
-            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-                   SUM(array_length(list_filter(
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(array_length(list_filter(
                         regexp_split_to_array(text, '[ \t\n\r]+'),
-                        x -> len(x) > 0))) AS sum_tokens
+                        x -> len(x) > 0))) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY lang
         """,
         "q_sim_topk": """
