@@ -29,6 +29,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from gdal_ray.pipelines import corpus_queries as CQ
     from gdal_ray.pipelines import derived_geo as DG
+    from gdal_ray.pipelines import lattice_oracles as LO
     from gdal_ray.pipelines import rasterq as RQ
     from gdal_ray.pipelines import relational as R
 
@@ -50,6 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_assign": DG.q_tile_assign,
         "q_cell_hist": DG.q_cell_hist,
         "q_bbox_join": DG.q_bbox_join,
+        "q_knn_lattice": LO.q_knn_lattice,
+        "q_pip_lattice": LO.q_pip_lattice,
+        "q_hilbert_lattice": LO.q_hilbert_lattice,
+        "q_geom_lattice": LO.q_geom_lattice,
+        "q_rasterize_lattice": LO.q_rasterize_lattice,
+        "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -204,6 +211,111 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) > 0.45
+        """,
+        "q_knn_lattice": """
+            WITH q AS (SELECT c_custkey,
+                              (c_custkey*2654435761) % 16777216 AS qx,
+                              (c_custkey*2246822519) % 16777216 AS qy
+                       FROM customer WHERE c_custkey <= 16),
+                 p AS (SELECT 's' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS image_id,
+                              (s_suppkey*2654435761) % 16777216 AS px,
+                              (s_suppkey*2246822519) % 16777216 AS py
+                       FROM supplier),
+                 d AS (SELECT 'q' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS query_id,
+                              image_id,
+                              (px-qx)*(px-qx) + (py-qy)*(py-qy) AS d2
+                       FROM q CROSS JOIN p),
+                 r AS (SELECT query_id, image_id, d2,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, image_id) - 1 AS rank
+                       FROM d)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, image_id,
+                   sqrt(CAST(d2 AS DOUBLE)) AS dist
+            FROM r WHERE rank < 5
+        """,
+        "q_pip_lattice": """
+            WITH c AS (SELECT c_custkey,
+                              (c_custkey*2654435761) % 16777216 AS px,
+                              (c_custkey*2246822519) % 16777216 AS py
+                       FROM customer),
+                 s AS (SELECT s_suppkey,
+                              (s_suppkey*2654435761) % 16777216 AS sx,
+                              (s_suppkey*2246822519) % 16777216 AS sy,
+                              1048576 + (s_suppkey % 7) * 262144 AS hw
+                       FROM supplier),
+                 t AS (SELECT s_suppkey, sx-hw AS ax, sy-hw AS ay,
+                              sx+hw AS bx, sy-hw AS by_, sx AS cx, sy+hw AS cy
+                       FROM s)
+            SELECT c_custkey, s_suppkey
+            FROM c, t
+            WHERE (bx-ax)*(py-ay) - (by_-ay)*(px-ax) > 0
+              AND (cx-bx)*(py-by_) - (cy-by_)*(px-bx) > 0
+              AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
+        """,
+        "q_hilbert_lattice": """
+            WITH RECURSIVE h AS (
+                SELECT c_custkey,
+                       (c_custkey*2654435761) % 65536 AS x,
+                       (c_custkey*2246822519) % 65536 AS y,
+                       CAST(0 AS BIGINT) AS d,
+                       CAST(32768 AS BIGINT) AS s
+                FROM customer
+              UNION ALL
+                SELECT c_custkey,
+                       CASE WHEN (y & s) > 0 THEN x
+                            WHEN (x & s) > 0 THEN s-1-y ELSE y END AS x,
+                       CASE WHEN (y & s) > 0 THEN y
+                            WHEN (x & s) > 0 THEN s-1-x ELSE x END AS y,
+                       d + s*s*xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                   CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+                       s // 2 AS s
+                FROM h WHERE s > 0
+            )
+            SELECT c_custkey, d AS hilbert FROM h WHERE s = 0
+            ORDER BY hilbert, c_custkey LIMIT 512
+        """,
+        "q_geom_lattice": """
+            WITH g AS (SELECT s_suppkey,
+                              (s_suppkey*2654435761) % 65536 AS sx,
+                              (s_suppkey*2246822519) % 65536 AS sy,
+                              2*(8 + s_suppkey % 29) AS p,
+                              2*(8 + s_suppkey % 31) AS q
+                       FROM supplier)
+            SELECT 'd' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS poly_id,
+                   CAST(2*p*q AS DOUBLE) AS area,
+                   ROUND(4*sqrt(CAST(p*p + q*q AS DOUBLE)), 2) AS perimeter,
+                   CAST(sx AS DOUBLE) AS centroid_x,
+                   CAST(sy AS DOUBLE) AS centroid_y,
+                   CAST(2*p*q AS DOUBLE) AS hull_area,
+                   CAST(p*q AS DOUBLE) AS clipped_area
+            FROM g
+        """,
+        "q_rasterize_lattice": """
+            WITH g AS (SELECT s_suppkey,
+                              4*(1 + s_suppkey % 2) AS h,
+                              4*(1 + s_suppkey % 2) * (1 + s_suppkey % 5) AS w
+                       FROM supplier),
+                 ms AS (SELECT m FROM generate_series(0, 7) AS t(m))
+            SELECT 'r' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS poly_id,
+                   CAST(SUM(CAST(floor(0.75 + w - (CAST(w AS DOUBLE)/h)*(m + 0.25))
+                                 AS BIGINT)) AS BIGINT) AS burned
+            FROM g, ms WHERE m < h
+            GROUP BY s_suppkey
+        """,
+        "q_clip_pairs_lattice": """
+            WITH g AS (SELECT s_suppkey,
+                              (s_suppkey*2654435761) % 65536 AS sx,
+                              (s_suppkey*2246822519) % 65536 AS sy,
+                              64 + s_suppkey % 37 AS aw, 64 + s_suppkey % 41 AS ah,
+                              (s_suppkey*40503) % 97 - 48 AS dx,
+                              (s_suppkey*65521) % 89 - 44 AS dy,
+                              64 + s_suppkey % 43 AS bw, 64 + s_suppkey % 47 AS bh
+                       FROM supplier)
+            SELECT 'p' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS pair_id,
+                   CAST(GREATEST(0, LEAST(sx+aw, sx+dx+bw) - GREATEST(sx-aw, sx+dx-bw))
+                      * GREATEST(0, LEAST(sy+ah, sy+dy+bh) - GREATEST(sy-ah, sy+dy-bh))
+                      AS DOUBLE) AS inter_area
+            FROM g
         """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""

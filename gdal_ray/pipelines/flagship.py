@@ -253,14 +253,10 @@ def pip_join_query_points(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
     )
 
 
-def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
-    """query_points kNN against image centroids -> (query_id, rank, image_id, dist).
-
-    The reference-point index is metadata-only (id + centroid), so it is
-    built directly from the two parquet files on the driver (pandas merge +
-    the same centroid kernel) and broadcast — no distributed join needed to
-    construct a broadcast side.
-    """
+def _image_centroids(corpus_dir: str):
+    """(image_id array, cx, cy) image centroids in EPSG:3857 meters —
+    metadata-only (ids + geotransforms), built from the two parquet files
+    with the same centroid kernel used everywhere else."""
     import pyarrow.parquet as pq
 
     imgs = pq.read_table(
@@ -280,9 +276,18 @@ def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
         mx, my = M.latlon_to_meters(cy[deg], cx[deg])
         cx[deg] = mx
         cy[deg] = my
-    index_ref = ray.put(
-        build_centroid_cell_index(meta_df["image_id"].to_numpy(), cx, cy)
-    )
+    return meta_df["image_id"].to_numpy(), cx, cy
+
+
+def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
+    """query_points kNN against image centroids -> (query_id, rank, image_id, dist).
+
+    Broadcast fast path: the reference-point index is metadata-only (id +
+    centroid), built on the driver and broadcast once. For a point side too
+    large to broadcast use ``knn_images_shuffle`` (same semantics through
+    the co-partitioned plan)."""
+    ids, cx, cy = _image_centroids(corpus_dir)
+    index_ref = ray.put(build_centroid_cell_index(ids, cx, cy))
 
     def prep(batch: pa.Table) -> pa.Table:
         from gdal_ray.geo import mercator as M
@@ -306,6 +311,42 @@ def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=1024,
     )
+
+
+def knn_images_shuffle(corpus_dir: str) -> rd.Dataset:
+    """kNN through the co-partitioned shuffle path (``knn_shuffle``): no
+    driver-built index, no broadcast of the point side — the 10^12-image
+    plan. Output identical to ``knn_images``."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.stages.knn import knn_shuffle
+
+    points = placed_images(corpus_dir, decode=False).map_batches(
+        lambda b: b.select(["image_id", "cx", "cy"]), batch_format="pyarrow"
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from gdal_ray.geo import mercator as M
+
+        mx, my = M.latlon_to_meters(np.asarray(batch["lat"]), np.asarray(batch["lon"]))
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "cx": pa.array(mx),
+                "cy": pa.array(my),
+                "k": batch["k"],
+            }
+        )
+
+    queries = SRC.read_query_points(corpus_dir).map_batches(
+        prep, batch_format="pyarrow", batch_size=META_BATCH
+    )
+    kmax = int(
+        pq.read_table(f"{corpus_dir}/query_points.parquet", columns=["k"])["k"]
+        .to_pandas()
+        .max()
+    )
+    return knn_shuffle(points, queries, k=kmax)
 
 
 def flagship(corpus_dir: str, zooms=TILE_ZOOMS):

@@ -1,0 +1,373 @@
+"""DuckDB-checkable oracles for the geospatial kernels, via derived lattices.
+
+Second wave of the ``derived_geo`` pattern: the driver's correctness gate
+can only see the TPC-H-ish views, so each query here derives deterministic
+geometry from integer keys (Knuth multiplicative hash onto a power-of-two
+lattice) and routes it through the REAL engine kernels — the distributed
+kNN shuffle, the GDAL-rule ray-cast PIP join (``ogr/ogrlinearring.cpp:462``),
+the Hilbert xy->d kernel (``packedrtree.h:93``), the constructive-geometry
+ops (area/centroid/hull/clip) and the scanline rasterizer
+(``alg/llrasterize.cpp:58-225``) — with an ANSI-SQL twin whose floats are
+bit-identical by construction:
+
+- kNN lattice is 2^24 so squared distances stay < 2^49 (exact in float64 and
+  in BIGINT); dist = sqrt(exact int) is correctly rounded on both sides;
+- geometry/rasterize lattices are 2^16 so shoelace/centroid cross-sums stay
+  < 2^53 (fully exact);
+- PIP triangles exclude points collinear with any edge line on BOTH sides
+  (a zero integer cross-product), so GDAL's boundary ray rules and SQL's
+  strict half-plane tests agree on every remaining row;
+- rasterize triangles use power-of-two heights and width multiples of the
+  height so every scanline-intersection x is an exact dyadic rational.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from gdal_ray.pipelines.derived_geo import LATTICE_A, LATTICE_B
+
+__all__ = [
+    "q_knn_lattice",
+    "q_pip_lattice",
+    "q_hilbert_lattice",
+    "q_geom_lattice",
+    "q_rasterize_lattice",
+    "q_clip_pairs_lattice",
+]
+
+_TWO24 = 1 << 24
+_TWO16 = 1 << 16
+
+
+def _read(sf_dir: str, table: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# kNN (distributed shuffle path)
+# --------------------------------------------------------------------------
+
+def q_knn_lattice(sf_dir: str, k: int = 5):
+    """Exact kNN through the co-partitioned shuffle path (``knn_shuffle``):
+    supplier lattice points are the data side, customers c_custkey <= 16 the
+    query side. Oracle: cross join + ROW_NUMBER() OVER (ORDER BY d2, id)."""
+    import pyarrow.compute as pc
+
+    from gdal_ray.stages.knn import knn_shuffle
+
+    def sup_points(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array([f"s{int(x):06d}" for x in keys], pa.string()),
+                "cx": pa.array(((keys * LATTICE_A) % _TWO24).astype(np.float64)),
+                "cy": pa.array(((keys * LATTICE_B) % _TWO24).astype(np.float64)),
+            }
+        )
+
+    def cust_queries(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["c_custkey"], 16))
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array([f"q{int(x):06d}" for x in keys], pa.string()),
+                "cx": pa.array(((keys * LATTICE_A) % _TWO24).astype(np.float64)),
+                "cy": pa.array(((keys * LATTICE_B) % _TWO24).astype(np.float64)),
+            }
+        )
+
+    points = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        sup_points, batch_format="pyarrow"
+    )
+    queries = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_queries, batch_format="pyarrow"
+    )
+    return knn_shuffle(points, queries, k=k)
+
+
+# --------------------------------------------------------------------------
+# PIP join (broadcast ray-cast path) on derived triangles
+# --------------------------------------------------------------------------
+
+def _triangles(skeys: np.ndarray):
+    """CCW integer triangles on the 2^24 lattice: apex up, horizontal base."""
+    sx = (skeys * LATTICE_A) % _TWO24
+    sy = (skeys * LATTICE_B) % _TWO24
+    hw = (1 << 20) + (skeys % 7) * (1 << 18)
+    ax, ay = sx - hw, sy - hw
+    bx, by = sx + hw, sy - hw
+    cx, cy = sx, sy + hw
+    return ax, ay, bx, by, cx, cy
+
+
+def q_pip_lattice(sf_dir: str):
+    """Ray-cast PIP join (real broadcast cell-index machinery) of customer
+    lattice points against supplier-derived triangles; rows collinear with
+    any edge line are excluded identically on both sides, so the GDAL ray
+    rule and the SQL strict half-plane test agree exactly."""
+    from gdal_ray.config import CELL_LEVEL
+    from gdal_ray.geo import cells as CL
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.stages.pipjoin import build_polygon_cell_index, pip_join_batch
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    skeys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    ax, ay, bx, by, cx, cy = _triangles(skeys)
+    blobs = [
+        W.encode_polygon(
+            [np.array([[ax[i], ay[i]], [bx[i], by[i]], [cx[i], cy[i]], [ax[i], ay[i]]], dtype=np.float64)]
+        )
+        for i in range(len(skeys))
+    ]
+    polys = pa.table(
+        {
+            "poly_id": pa.array([f"t{int(x):06d}" for x in skeys], pa.string()),
+            "wkb": pa.array(blobs, pa.binary()),
+        }
+    )
+    index_ref = ray.put(build_polygon_cell_index(polys))
+
+    def cust_points(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        px = ((keys * LATTICE_A) % _TWO24).astype(np.float64)
+        py = ((keys * LATTICE_B) % _TWO24).astype(np.float64)
+        return pa.table(
+            {
+                "src_id": pa.array([f"c{int(x):09d}" for x in keys], pa.string()),
+                "cx": pa.array(px),
+                "cy": pa.array(py),
+                "cell": pa.array(CL.cell_of_meters(px, py, CELL_LEVEL)),
+            }
+        )
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_points, batch_format="pyarrow"
+    )
+    joined = pts.map_batches(
+        pip_join_batch, fn_kwargs={"index_ref": index_ref}, batch_format="pyarrow"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ck = np.asarray([int(s[1:]) for s in batch["src_id"].to_pylist()], dtype=np.int64)
+        sk = np.asarray([int(s[1:]) for s in batch["poly_id"].to_pylist()], dtype=np.int64)
+        px = (ck * LATTICE_A) % _TWO24
+        py = (ck * LATTICE_B) % _TWO24
+        ax, ay, bx, by, cx, cy = _triangles(sk)
+        c1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        c2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        c3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        keep = (c1 != 0) & (c2 != 0) & (c3 != 0)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "s_suppkey": pa.array(sk[keep], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Hilbert key ordering (xy2d recurrence vs recursive-CTE oracle)
+# --------------------------------------------------------------------------
+
+def q_hilbert_lattice(sf_dir: str, order: int = 16, limit: int = 512):
+    """Hilbert xy->d keys of customer lattice points, sorted ascending (the
+    FlatGeobuf packed-R-tree write order); oracle is the same recurrence as
+    a recursive CTE."""
+    from gdal_ray.geo.hilbert import hilbert_xy2d
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        ix = (keys * LATTICE_A) % _TWO16
+        iy = (keys * LATTICE_B) % _TWO16
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "hilbert": pa.array(hilbert_xy2d(order, ix, iy)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(add_key, batch_format="pyarrow")
+        .sort(["hilbert", "c_custkey"])
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# Constructive geometry ops on derived diamonds (closed-form oracle)
+# --------------------------------------------------------------------------
+
+def q_geom_lattice(sf_dir: str):
+    """Measurement + constructive ops through the real WKB/geomops kernels
+    on integer diamonds (half-diagonals p, q even): area = 2pq, centroid =
+    center, hull = the diamond itself, rect-clip by the half-size bbox = the
+    p x q rectangle — all exact in float64 at 2^16 scale."""
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = (keys * LATTICE_A) % _TWO16
+        sy = (keys * LATTICE_B) % _TWO16
+        p = 2 * (8 + keys % 29)
+        q = 2 * (8 + keys % 31)
+        rows = {
+            "poly_id": [], "area": [], "perimeter": [], "centroid_x": [],
+            "centroid_y": [], "hull_area": [], "clipped_area": [],
+        }
+        for i in range(len(keys)):
+            ring = np.array(
+                [
+                    [sx[i] + p[i], sy[i]],
+                    [sx[i], sy[i] + q[i]],
+                    [sx[i] - p[i], sy[i]],
+                    [sx[i], sy[i] - q[i]],
+                    [sx[i] + p[i], sy[i]],
+                ],
+                dtype=np.float64,
+            )
+            blob = W.encode_polygon([ring])
+            rings = W.decode_polygons(blob)[0]
+            area = GO.polygon_area(rings)
+            gx, gy = GO.polygon_centroid(rings)
+            hull = GO.convex_hull(rings[0][:-1])
+            clipped = GO.clip_ring_rect(
+                rings[0],
+                sx[i] - p[i] / 2, sy[i] - q[i] / 2, sx[i] + p[i] / 2, sy[i] + q[i] / 2,
+            )
+            rows["poly_id"].append(f"d{int(keys[i]):06d}")
+            rows["area"].append(area)
+            rows["perimeter"].append(round(GO.ring_length(rings[0]), 2))
+            rows["centroid_x"].append(gx)
+            rows["centroid_y"].append(gy)
+            rows["hull_area"].append(abs(GO.ring_area(hull)))
+            rows["clipped_area"].append(abs(GO.ring_area(clipped)) if clipped.size else 0.0)
+        return pa.table(
+            {
+                "poly_id": pa.array(rows["poly_id"], pa.string()),
+                "area": pa.array(rows["area"], pa.float64()),
+                "perimeter": pa.array(rows["perimeter"], pa.float64()),
+                "centroid_x": pa.array(rows["centroid_x"], pa.float64()),
+                "centroid_y": pa.array(rows["centroid_y"], pa.float64()),
+                "hull_area": pa.array(rows["hull_area"], pa.float64()),
+                "clipped_area": pa.array(rows["clipped_area"], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Scanline rasterize burn-count (dyadic-exact oracle)
+# --------------------------------------------------------------------------
+
+def q_rasterize_lattice(sf_dir: str):
+    """gdal_rasterize scanline semantics on right triangles with dyadic
+    coordinates: h in {4, 8}, w a multiple of h, corner at (+0.25, +0.25),
+    so every intersection x = x0 + w - (w/h)*(m+0.25) is exact and the
+    per-scanline fill width floor(0.75 + w - (w/h)*(m+0.25)) matches the
+    SQL generate_series sum bit-for-bit."""
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.raster.rasterize import rasterize_wkb
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        hs = 4 * (1 + keys % 2)           # 4 or 8
+        ws = hs * (1 + keys % 5)          # multiple of h, <= 48
+        rows = {"poly_id": [], "burned": []}
+        for i in range(len(keys)):
+            w = int(ws[i])
+            h = int(hs[i])
+            x0, y0 = 0.25, 0.25
+            ring = np.array(
+                [[x0, y0], [x0 + w, y0], [x0, y0 + h], [x0, y0]], dtype=np.float64
+            )
+            blob = W.encode_polygon([ring])
+            out = np.zeros((h + 2, w + 2), dtype=np.int32)
+            rasterize_wkb(out, blob, (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), 1)
+            rows["poly_id"].append(f"r{int(keys[i]):06d}")
+            rows["burned"].append(int(out.sum()))
+        return pa.table(
+            {
+                "poly_id": pa.array(rows["poly_id"], pa.string()),
+                "burned": pa.array(rows["burned"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Layer-algebra intersection (convex clip) on derived rectangle pairs
+# --------------------------------------------------------------------------
+
+def q_clip_pairs_lattice(sf_dir: str):
+    """Pairwise Intersection areas (ogrlayer.cpp:3345 layer algebra) through
+    the general Sutherland-Hodgman convex clip: rect A at the lattice point,
+    rect B offset by a key-derived shift — integer corners, so the clip
+    vertices and shoelace area are exact; SQL twin is the closed-form
+    axis-aligned overlap."""
+    from gdal_ray.geo import geomops as GO
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = (keys * LATTICE_A) % _TWO16
+        sy = (keys * LATTICE_B) % _TWO16
+        aw = 64 + (keys % 37)
+        ah = 64 + (keys % 41)
+        dx = (keys * 40503) % 97 - 48
+        dy = (keys * 65521) % 89 - 44
+        bw = 64 + (keys % 43)
+        bh = 64 + (keys % 47)
+        rows = {"pair_id": [], "inter_area": []}
+        for i in range(len(keys)):
+            a = np.array(
+                [
+                    [sx[i] - aw[i], sy[i] - ah[i]],
+                    [sx[i] + aw[i], sy[i] - ah[i]],
+                    [sx[i] + aw[i], sy[i] + ah[i]],
+                    [sx[i] - aw[i], sy[i] + ah[i]],
+                    [sx[i] - aw[i], sy[i] - ah[i]],
+                ],
+                dtype=np.float64,
+            )
+            bx, by = sx[i] + dx[i], sy[i] + dy[i]
+            b = np.array(
+                [
+                    [bx - bw[i], by - bh[i]],
+                    [bx + bw[i], by - bh[i]],
+                    [bx + bw[i], by + bh[i]],
+                    [bx - bw[i], by + bh[i]],
+                    [bx - bw[i], by - bh[i]],
+                ],
+                dtype=np.float64,
+            )
+            inter = GO.clip_ring_convex(a, b)
+            area = abs(GO.ring_area(inter)) if inter.size else 0.0
+            rows["pair_id"].append(f"p{int(keys[i]):06d}")
+            rows["inter_area"].append(area)
+        return pa.table(
+            {
+                "pair_id": pa.array(rows["pair_id"], pa.string()),
+                "inter_area": pa.array(rows["inter_area"], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )

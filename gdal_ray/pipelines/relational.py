@@ -272,7 +272,7 @@ def q_string_expr(sf_dir: str):
                 "p_partkey": batch["p_partkey"],
                 "name8": name8,
                 "label": label,
-                "name_len": pc.utf8_length(batch["p_name"]),
+                "name_len": pc.cast(pc.utf8_length(batch["p_name"]), pa.int64()),
             }
         )
 

@@ -29,7 +29,7 @@ from gdal_ray.config import CELL_LEVEL
 from gdal_ray.geo import cells as CL
 from gdal_ray.geo import mercator as M
 
-__all__ = ["build_centroid_cell_index", "KnnStage", "knn_batch"]
+__all__ = ["build_centroid_cell_index", "KnnStage", "knn_batch", "knn_shuffle"]
 
 
 def build_centroid_cell_index(ids, cx, cy, level: int = CELL_LEVEL):
@@ -131,6 +131,150 @@ class KnnStage:
                 "dist": pa.array(out_d, pa.float64()),
             }
         )
+
+
+def knn_shuffle(points_ds, queries_ds, k: int, level: int = CELL_LEVEL, num_buckets: int = 64):
+    """Co-partitioned exact kNN — the 10^12-scale path (no broadcast of the
+    point side, no driver-built index). Mirrors ``pip_join_shuffle``'s plan;
+    reference semantics ``alg/gdalgrid.cpp:896-923`` (expanding-radius
+    nearest search) expressed as shuffle stages:
+
+    1. per-cell point counts: a small ``groupby(cell).count()`` (bounded by
+       4^level entries, NOT by point count) broadcast via ``ray.put``;
+    2. each query picks ring ``r`` = smallest Chebyshev radius whose k-ring
+       holds >= k points, then is REPLICATED to every cell within the
+       guarantee radius ``R = ceil((r+1)*sqrt(2)) + 1``: any k points within
+       ring r sit at Euclidean distance <= (r+1)*sqrt(2)*cell_edge of the
+       query, and a ring-R' cell is at least (R'-1)*cell_edge away, so the
+       true k nearest all lie inside ring R;
+    3. points and replicated queries co-shuffle on cell (bucketed) and each
+       partition emits per-cell partial top-k under the total order
+       (d2, point_id);
+    4. a tiny ``groupby(query_id)`` merge yields the exact global top-k.
+
+    points_ds columns: (image_id, cx, cy); queries_ds: (query_id, cx, cy)
+    plus an optional per-row ``k`` column (values must be <= the stage-level
+    ``k``, which is the replication/partial-top-k cap).
+    Output: (query_id, rank, image_id, dist) — identical to ``KnnStage``.
+    """
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    def add_cell(batch: pa.Table, xcol="cx", ycol="cy") -> pa.Table:
+        cell = CL.cell_of_meters(
+            np.asarray(batch[xcol], dtype=np.float64),
+            np.asarray(batch[ycol], dtype=np.float64),
+            level,
+        )
+        if "cell" in batch.column_names:
+            batch = batch.drop_columns(["cell"])
+        return batch.append_column("cell", pa.array(cell))
+
+    pts = points_ds.map_batches(add_cell, batch_format="pyarrow")
+    # phase 1: per-cell histogram (small: <= 4^level rows)
+    cnt = pts.groupby("cell").count().to_pandas()
+    counts = dict(zip(cnt["cell"].astype(np.int64), cnt["count()"].astype(np.int64)))
+    total = int(sum(counts.values()))
+    counts_ref = ray.put(counts)
+    world = 1 << level
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(counts_ref)
+        qx = np.asarray(batch["cx"], dtype=np.float64)
+        qy = np.asarray(batch["cy"], dtype=np.float64)
+        qid = batch["query_id"].to_pylist()
+        qk = (
+            np.asarray(batch["k"], dtype=np.int64)
+            if "k" in batch.column_names
+            else np.full(len(qid), k, dtype=np.int64)
+        )
+        qcell = CL.cell_of_meters(qx, qy, level)
+        out = {"query_id": [], "cx": [], "cy": [], "cell": [], "kq": []}
+        for i in range(len(qid)):
+            kk = min(int(qk[i]), total)
+            r = 1
+            while r < world:
+                ring = CL.k_ring(int(qcell[i]), r)
+                if sum(cmap.get(int(c), 0) for c in ring) >= kk:
+                    break
+                r *= 2
+            R = min(world, int(np.ceil((r + 1) * np.sqrt(2.0))) + 1)
+            for c in CL.k_ring(int(qcell[i]), R):
+                out["query_id"].append(qid[i])
+                out["cx"].append(qx[i])
+                out["cy"].append(qy[i])
+                out["cell"].append(int(c))
+                out["kq"].append(int(qk[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.string()),
+                "cx": pa.array(out["cx"], pa.float64()),
+                "cy": pa.array(out["cy"], pa.float64()),
+                "cell": pa.array(out["cell"], pa.int64()),
+                "kq": pa.array(out["kq"], pa.int64()),
+            }
+        )
+
+    reps = queries_ds.map_batches(replicate, batch_format="pyarrow")
+
+    side_p = pts.map_batches(
+        lambda b: b.append_column("side", pa.array(["p"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    side_q = reps.map_batches(
+        lambda b: b.append_column("side", pa.array(["q"] * len(b), pa.string())),
+        batch_format="pyarrow",
+    )
+    both = side_p.union(side_q)
+
+    def partial_topk(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"query_id": [], "image_id": [], "d2": [], "kq": []}
+        for _, g in part.groupby("cell", sort=False):
+            p = g[g["side"] == "p"]
+            q = g[g["side"] == "q"]
+            if len(p) == 0 or len(q) == 0:
+                continue
+            px = p["cx"].to_numpy(dtype=np.float64)
+            py = p["cy"].to_numpy(dtype=np.float64)
+            pid = p["image_id"].to_numpy().astype("U")  # lexsort needs non-object dtype
+            qx = q["cx"].to_numpy(dtype=np.float64)
+            qy = q["cy"].to_numpy(dtype=np.float64)
+            qids = q["query_id"].to_numpy()
+            qks = q["kq"].to_numpy(dtype=np.int64)
+            d2 = (qx[:, None] - px[None, :]) ** 2 + (qy[:, None] - py[None, :]) ** 2
+            for j in range(len(qids)):
+                # per-cell partial top-k under the TOTAL order (d2, image_id):
+                # a per-cell head under the same total order as the final
+                # merge is sufficient for global exactness
+                order = np.lexsort((pid, d2[j]))[: min(int(qks[j]), len(px))]
+                rows["query_id"].extend([qids[j]] * len(order))
+                rows["image_id"].extend(pid[order])
+                rows["d2"].extend(d2[j][order])
+                rows["kq"].extend([int(qks[j])] * len(order))
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(rows["query_id"], dtype=str),
+                "image_id": pd.Series(rows["image_id"], dtype=str),
+                "d2": pd.Series(rows["d2"], dtype=np.float64),
+                "kq": pd.Series(rows["kq"], dtype=np.int64),
+            }
+        )
+
+    partials = bucketed_group_apply(both, ["cell"], partial_topk, num_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", "image_id"], kind="mergesort").head(int(g["kq"].iloc[0]))
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "rank": np.arange(len(g), dtype=np.int32),
+                "image_id": g["image_id"].to_numpy(),
+                "dist": np.sqrt(g["d2"].to_numpy()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 _STAGE_CACHE: dict = {}

@@ -51,6 +51,21 @@ def test_knn_exact(ray_session, corpus):
     np.testing.assert_allclose(g["dist"], w["dist"], rtol=1e-9)
 
 
+def test_knn_exact_shuffle_path(ray_session, corpus):
+    """The co-partitioned shuffle kNN (no broadcast index) matches the same
+    precomputed oracle as the broadcast path."""
+    from gdal_ray.pipelines import flagship as F
+
+    got = F.knn_images_shuffle(corpus).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_knn.parquet").to_pandas()
+    assert _setof(got, ["query_id", "rank", "image_id"]) == _setof(
+        want, ["query_id", "rank", "image_id"]
+    )
+    g = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_allclose(g["dist"], w["dist"], rtol=1e-9)
+
+
 def test_decode_invariants(ray_session, corpus, placed):
     df = placed.to_pandas()
     # phash recomputed from decoded pixels equals the stored column
