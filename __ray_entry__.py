@@ -206,6 +206,34 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(p_name) AS name_len
             FROM part
         """,
+        "q_sim_ivf": """
+            WITH cent AS (SELECT vec_id AS b, embedding AS ce
+                          FROM embeddings WHERE vec_id < 16),
+                 asg AS (SELECT e.vec_id, e.embedding, b,
+                                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_cosine_similarity(e.embedding, ce)
+                                             DESC, b) AS rn
+                         FROM embeddings e CROSS JOIN cent),
+                 vb AS (SELECT vec_id, embedding, b AS bucket
+                        FROM asg WHERE rn = 1),
+                 q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+                 qp AS (SELECT query_id, qe, b,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY list_cosine_similarity(qe, ce)
+                                            DESC, b) AS rn
+                        FROM q CROSS JOIN cent),
+                 s AS (SELECT p.query_id, v.vec_id,
+                              list_cosine_similarity(p.qe, v.embedding) AS score
+                       FROM (SELECT * FROM qp WHERE rn <= 4) p
+                       JOIN vb v ON v.bucket = p.b),
+                 r AS (SELECT query_id, vec_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) - 1 AS rank
+                       FROM s)
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+            FROM r WHERE rank < 5
+        """,
         "q_embed_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b

@@ -369,8 +369,10 @@ def q_vector_ops(sf_dir: str):
 
 
 def q_sim_ivf(sf_dir: str):
-    """IVF approximate cosine top-5 over embeddings (scale path of
-    q_sim_topk; recall vs exact asserted in tests)."""
+    """IVF approximate cosine top-5 over embeddings through the
+    bucket-routed plan (scale path of q_sim_topk). Centroids are the first
+    16 table vectors, so the assignment/probe/search chain is fully
+    deterministic and the DuckDB oracle replays the identical algorithm."""
     import os
 
     import pyarrow.parquet as pq
@@ -382,12 +384,21 @@ def q_sim_ivf(sf_dir: str):
     qt = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
+    cent_t = qt.filter(pc.less(qt["vec_id"], 16)).sort_by("vec_id")
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in cent_t["embedding"].to_pylist()])
     qt = qt.filter(pc.less(qt["vec_id"], 8)).sort_by("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"])
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return topk_cosine_ivf(ds, queries, k=5)
+    top = topk_cosine_ivf(ds, queries, k=5, n_clusters=16, n_probe=4, centroids=cents)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["query_id"] = qids[batch["query_idx"].to_numpy()]
+        return batch[["query_id", "rank", "vec_id"]]
+
+    return top.map_batches(finish, batch_format="pandas")
 
 
 def q_warp_4326_images(sf_dir: str):

@@ -15,7 +15,14 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-__all__ = ["BruteForceTopK", "topk_cosine", "ivf_assign", "kmeans_fit"]
+__all__ = [
+    "BruteForceTopK",
+    "topk_cosine",
+    "ivf_assign",
+    "ivf_probe_sets",
+    "topk_cosine_ivf",
+    "kmeans_fit",
+]
 
 
 def _matrix(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
@@ -111,54 +118,98 @@ def ivf_assign(batch: pa.Table, centroids_ref, vec_col: str = "embedding") -> pa
     return batch.append_column("bucket", pa.array(d.argmin(1).astype(np.int32)))
 
 
-def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
-                    n_probe: int = 4, sample_size: int = 2048, seed: int = 42):
-    """IVF approximate top-k: coarse k-means buckets as the partition key,
-    queries probe only the ``n_probe`` nearest centroids' buckets.
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
 
-    The scale path for 10^9+ vectors: the bucket column partitions the
-    table once (write-time clustering); per-query work drops by
-    ~n_clusters/n_probe while the per-batch kernel stays the brute-force
-    matmul. Returns (query_idx, rank, vec_id, score) like topk_cosine.
+
+def ivf_probe_sets(queries: np.ndarray, centroids: np.ndarray, n_probe: int):
+    """(probe (nq, n_probe) bucket ids, {bucket: query-idx array}) — cosine
+    nearest buckets, ties to the lower bucket id (stable argsort)."""
+    qn = _unit(np.asarray(queries, dtype=np.float64))
+    cn = _unit(np.asarray(centroids, dtype=np.float64))
+    sims = qn @ cn.T
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    by_bucket: dict[int, np.ndarray] = {}
+    for b in np.unique(probe):
+        by_bucket[int(b)] = np.nonzero((probe == b).any(axis=1))[0]
+    return probe, by_bucket
+
+
+def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+                    n_probe: int = 4, sample_size: int = 2048, seed: int = 42,
+                    centroids: np.ndarray | None = None, num_buckets: int = 32):
+    """IVF approximate top-k with REAL bucket routing: every vector shuffles
+    ONCE to its nearest-centroid bucket, and each bucket partition runs the
+    scoring matmul against ONLY the queries that probe that bucket — scored
+    pairs drop from N*nq to ~N*nq*n_probe/n_clusters (no
+    compute-then-filter). Unprobed buckets never reach a kernel; at storage
+    scale the bucket column is the write-time clustering key and their
+    blocks are never read at all.
+
+    ``centroids=None`` fits a tiny driver-side k-means on a sample; passing
+    explicit centroids (e.g. the first ``n_clusters`` table vectors) makes
+    the whole plan deterministic — the SQL-oracle form.
+    Returns (query_idx, rank, vec_id, score) like ``topk_cosine``.
     """
     import pandas as pd
 
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float32) for v in
-         ds.limit(sample_size).to_pandas()["embedding"].tolist()]
-    )
-    cent = kmeans_fit(sample, n_clusters, seed=seed)
-    cent_ref = ray.put(cent)
-    bucketed = ds.map_batches(
-        ivf_assign, fn_kwargs={"centroids_ref": cent_ref}, batch_format="pyarrow"
-    )
-    q = np.asarray(queries, dtype=np.float32)
-    qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-    probe = np.argsort(qd, axis=1)[:, :n_probe]  # (nq, n_probe)
-    probe_ref = ray.put(probe)
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    from gdal_ray.ops.shuffle import bucketed_group_apply
 
-    class ProbedTopK(BruteForceTopK):
-        def __init__(self):
-            super().__init__(qref, k=k)
-            self.probe = ray.get(probe_ref)
+    if centroids is None:
+        sample = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in
+             ds.limit(sample_size).to_pandas()["embedding"].tolist()]
+        )
+        centroids = kmeans_fit(sample, n_clusters, seed=seed)
+    cn = _unit(np.asarray(centroids, dtype=np.float64))
+    qn = _unit(np.asarray(queries, dtype=np.float64))
+    _, by_bucket = ivf_probe_sets(queries, centroids, n_probe)
+    state_ref = ray.put({"cn": cn, "qn": qn, "by_bucket": by_bucket})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = super().__call__(batch.drop_columns(["bucket"]))
-            # keep only candidates whose bucket is probed by that query
-            bucket_of = dict(
-                zip(batch["vec_id"].to_pylist(), batch["bucket"].to_pylist())
+    def assign(batch: pa.Table) -> pa.Table:
+        st = ray.get(state_ref)
+        m = _unit(_matrix(batch, "embedding", np.float64))
+        # argmax returns the FIRST maximum -> ties go to the lower bucket id
+        b = (m @ st["cn"].T).argmax(1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    def score_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(state_ref)
+        rows = []
+        for b, g in part.groupby("bucket", sort=False):
+            qidx = st["by_bucket"].get(int(b))
+            if qidx is None:
+                continue  # unprobed bucket: no kernel work at all
+            m = _unit(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
+            ids = g["vec_id"].to_numpy()
+            sims = m @ st["qn"][qidx].T  # (|bucket|, |probing queries|)
+            take = min(k, len(ids))
+            part_idx = np.argpartition(-sims, kth=take - 1, axis=0)[:take]
+            for jj, qi in enumerate(qidx):
+                sel = part_idx[:, jj]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_idx": np.full(take, qi, dtype=np.int32),
+                            "vec_id": ids[sel],
+                            "score": sims[sel, jj],
+                        }
+                    )
+                )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "query_idx": pd.Series([], dtype=np.int32),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype=np.float64),
+                }
             )
-            qi = np.asarray(out["query_idx"])
-            vid = out["vec_id"].to_pylist()
-            keep = [
-                bucket_of[v] in self.probe[qi[i]] for i, v in enumerate(vid)
-            ]
-            return out.filter(pa.array(keep, pa.bool_()))
+        return pd.concat(rows, ignore_index=True)
 
-    cand = bucketed.map_batches(
-        ProbedTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4), num_cpus=1
-    )
+    cand = bucketed_group_apply(bucketed, ["bucket"], score_bucket, num_buckets)
 
     def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)

@@ -115,6 +115,46 @@ def test_ivf_recall_vs_exact(ray_session):
     assert hits / total >= 0.5, f"recall too low: {hits}/{total}"
 
 
+def test_ivf_routes_only_probed_buckets(ray_session):
+    """The bucket-routed IVF matches exact top-k restricted to the probed
+    set, and the routing math prunes scored pairs by ~n_probe/n_clusters."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import _unit, ivf_probe_sets, topk_cosine_ivf
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (800, 16)).astype(np.float64)
+    cents = vecs[:8]
+    queries = vecs[:4]
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    got = topk_cosine_ivf(ds, queries, k=5, n_probe=2, centroids=cents).to_pandas()
+
+    # scalar oracle: same assignment/probe rules, exact top-k on probed set
+    vn = _unit(vecs)
+    cn = _unit(cents)
+    assign = (vn @ cn.T).argmax(1)
+    probe, by_bucket = ivf_probe_sets(queries, cents, 2)
+    for qi in range(4):
+        mask = np.isin(assign, probe[qi])
+        sims = vn[mask] @ _unit(queries[qi : qi + 1]).T
+        ids = np.nonzero(mask)[0]
+        order = np.lexsort((ids, -sims[:, 0]))[:5]
+        want = [int(ids[o]) for o in order]
+        g = got[got["query_idx"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == want
+
+    # pruning: scored pairs = sum over buckets of |bucket| * |probing queries|
+    scored = sum(
+        int((assign == b).sum()) * len(qs) for b, qs in by_bucket.items()
+    )
+    assert scored < 0.5 * len(vecs) * len(queries), (
+        f"routing scored {scored} pairs of {len(vecs) * len(queries)} brute-force"
+    )
+
+
 def test_multimodal_stub_stages(ray_session):
     """Audio/video stages: real Ray plumbing, deterministic stub decode,
     strict mode raises at the documented seam."""
