@@ -213,33 +213,62 @@ def minhash_bands(docs_ds, **kw):
 class SimHasher:
     """64-bit SimHash over word tokens (hyperplane-sign sketch): bit b is the
     sign of the sum of per-token random projections. Near-dup docs land at
-    small hamming distance; banded exactly like pHash."""
+    small hamming distance; banded exactly like pHash.
+
+    Vectorized: the whole batch's tokens are flattened once; blake2b runs
+    only per UNIQUE token (with an actor-lifetime vocabulary cache), the
+    bit expansion is one (tokens, 64) numpy broadcast, and the per-document
+    accumulation is a single reduceat over document boundaries."""
 
     def __init__(self, seed: int = 42):
         import re
 
         self.token = re.compile(r"\w+")
         self.seed = seed
+        self._vocab: dict[str, int] = {}  # token -> uint64 hash, lives per actor
 
     def _hash64(self, tok: str) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8, salt=b"simhash0").digest(), "little"
-        )
+        h = self._vocab.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8, salt=b"simhash0").digest(),
+                "little",
+            )
+            if len(self._vocab) > 1_000_000:
+                self._vocab.clear()
+            self._vocab[tok] = h
+        return h
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in self.token.findall((text or "").lower()):
-            h = self._hash64(tok)
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                out |= np.uint64(1) << np.uint64(b)
-        return int(out.astype(np.int64)) if out < (1 << 63) else int(out) - (1 << 64)
+        """Scalar reference form (kept for tests/oracles)."""
+        out = self._simhash_batch([(text or "")])[0]
+        return int(out)
+
+    def _simhash_batch(self, texts) -> np.ndarray:
+        tok_lists = [self.token.findall((t or "").lower()) for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+        flat = [tok for toks in tok_lists for tok in toks]
+        out = np.zeros(len(texts), dtype=np.int64)
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            uh = np.fromiter(
+                (self._hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            shifts = np.arange(64, dtype=np.uint64)
+            signed = (
+                ((uh[inv][:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+            ).astype(np.int32) * 2 - 1  # (n_tokens, 64) of +-1
+            nz = np.flatnonzero(lens)
+            starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+            acc = np.add.reduceat(signed, starts, axis=0)
+            packed = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = packed.view(np.int64)
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = batch["text"].map(self.simhash).astype("int64")
+        batch["simhash"] = self._simhash_batch(batch["text"].tolist())
         return batch[["doc_id", "simhash"]]
 
 
@@ -253,45 +282,75 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     return inter / union if union else 0.0
 
 
-def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8, **minhash_kw):
-    """MinHash-LSH candidates -> exact n-gram Jaccard verification.
-
-    Texts for verification are fetched via a broadcast {doc_id: text} dict
-    (documents side assumed to fit; at corpus scale the verify step becomes
-    a co-partitioned join on doc_id instead)."""
-    import ray as _ray
-
-    texts = {}
-    for b in docs_ds.iter_batches(batch_format="pandas"):
-        texts.update(dict(zip(b["doc_id"], b["text"])))
-    text_ref = _ray.put(texts)
+def text_near_dup_candidates(docs_ds, num_buckets: int = 32, **minhash_kw):
+    """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+    Metadata-only: no document text moves through these shuffles."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
 
     bands = minhash_bands(docs_ds, **minhash_kw)
-    from gdal_ray.ops.shuffle import bucketed_group_apply
 
     def pairs(part: pd.DataFrame) -> pd.DataFrame:
         part = part[part.duplicated(["band_id", "band_key"], keep=False)]
-        lut = _ray.get(text_ref)
-        out_a, out_b, out_j = [], [], []
-        seen = set()
+        out_a, out_b = [], []
         for _, g in part.groupby(["band_id", "band_key"], sort=False):
             ids = np.unique(g["doc_id"].to_numpy())
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    key = (int(ids[x]), int(ids[y]))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    j = ngram_jaccard(lut.get(key[0], ""), lut.get(key[1], ""))
-                    if j >= jaccard_threshold:
-                        out_a.append(key[0])
-                        out_b.append(key[1])
-                        out_j.append(round(j, 6))
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, num_buckets)
+    return bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]),
+        max(8, num_buckets // 4),
+    )
+
+
+def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8,
+                            num_partitions: int = 16, **minhash_kw):
+    """MinHash-LSH candidates -> exact n-gram Jaccard verification.
+
+    Scale-safe verify: candidate pairs are CO-PARTITIONED against the
+    documents table with two distributed hash joins on doc_id (id_a then
+    id_b) — no driver-side iteration over the corpus and no broadcast of
+    document text; only candidate-pair rows ever carry two texts at once.
+    """
+    import ray.data as rd
+
+    cand = text_near_dup_candidates(docs_ds, **minhash_kw)
+
+    docs_a = docs_ds.map_batches(
+        lambda b: pa.table({"_ida": b["doc_id"], "text_a": b["text"]}),
+        batch_format="pyarrow",
+    )
+    docs_b = docs_ds.map_batches(
+        lambda b: pa.table({"_idb": b["doc_id"], "text_b": b["text"]}),
+        batch_format="pyarrow",
+    )
+    j1 = cand.join(docs_a, join_type="inner", num_partitions=num_partitions,
+                   on=("id_a",), right_on=("_ida",))
+    j2 = j1.join(docs_b, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=("_idb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for ida, idb, ta, tb in zip(
+            batch["id_a"], batch["id_b"], batch["text_a"], batch["text_b"]
+        ):
+            j = ngram_jaccard(ta or "", tb or "")
+            if j >= jaccard_threshold:
+                out_a.append(int(ida))
+                out_b.append(int(idb))
+                out_j.append(round(j, 6))
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                              "id_b": pd.Series(out_b, dtype="int64"),
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
-    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, 32)
-    return bucketed_group_apply(
-        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8
-    )
+    return j2.map_batches(verify, batch_format="pandas")

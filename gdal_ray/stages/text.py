@@ -45,9 +45,14 @@ class TextStats:
         batch["n_tokens"] = text.str.count(self.word.pattern).astype("int64")
         batch["n_chars_check"] = text.str.len().astype("int64")
         batch["n_punct"] = text.str.count(self.punct.pattern).astype("int64")
+        # vectorized stopword ratio: explode token lists once, set-membership
+        # and per-row aggregation as pandas kernels (no per-row lambda)
         toks = text.str.lower().str.findall(self.token)
-        batch["stopword_ratio"] = toks.map(
-            lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws))
+        ex = toks.explode()
+        n_tok = ex.notna().groupby(level=0).sum()
+        n_stop = ex.isin(_STOPWORDS).groupby(level=0).sum()
+        batch["stopword_ratio"] = (
+            (n_stop / n_tok.clip(lower=1)).reindex(batch.index).fillna(0.0)
         )
         # simple composite quality score in [0, 1]
         length_score = np.clip(batch["n_chars_check"] / 500.0, 0, 1)
@@ -59,41 +64,73 @@ class TextStats:
 
 
 class LangId:
-    """Character-trigram language-ID heuristic -> lang_pred column."""
+    """Character-trigram language-ID heuristic -> lang_pred column.
+
+    Vectorized: per profile entry one compiled ``str.contains`` pass over the
+    whole batch (trigram = substring containment; word = token-boundary
+    containment via char-class lookarounds), then one argmax over the
+    (batch, n_langs) score matrix. Semantics identical to the per-row set
+    intersection: a length-3 profile entry scores 1 iff it appears anywhere,
+    any entry scores +2 iff it appears as a whole token; first-max language
+    in profile order wins, score 0 -> 'unk'."""
+
+    _CHCLS = "a-zäöüéèêáíóúñç"
 
     def __init__(self):
         self.token = re.compile(r"[a-zäöüéèêáíóúñç]{2,}", re.IGNORECASE)
+        self.langs = list(_LANG_PROFILES)
+        self.tri = {
+            lang: [re.compile(re.escape(p)) for p in prof if len(p) == 3]
+            for lang, prof in _LANG_PROFILES.items()
+        }
+        self.word = {
+            lang: [
+                re.compile(rf"(?<![{self._CHCLS}]){re.escape(p)}(?![{self._CHCLS}])")
+                for p in prof
+            ]
+            for lang, prof in _LANG_PROFILES.items()
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def score(text: str) -> str:
-            t = (text or "").lower()
-            grams = {t[i : i + 3] for i in range(len(t) - 2)}
-            words = set(self.token.findall(t))
-            best, best_s = "unk", 0
-            for lang, prof in _LANG_PROFILES.items():
-                s = len(grams & prof) + 2 * len(words & prof)
-                if s > best_s:
-                    best, best_s = lang, s
-            return best
-
-        batch["lang_pred"] = batch["text"].map(score)
+        t = batch["text"].fillna("").str.lower()
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            for pat in self.tri[lang]:
+                scores[:, j] += t.str.contains(pat, regex=True).to_numpy()
+            for pat in self.word[lang]:
+                scores[:, j] += 2 * t.str.contains(pat, regex=True).to_numpy()
+        best = np.argmax(scores, axis=1)  # first max -> profile order
+        pred = np.asarray(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "unk"
+        batch["lang_pred"] = pred
         return batch
 
 
 class Fingerprint:
-    """Rolling-hash document fingerprint (64-bit polynomial over bytes)."""
+    """Rolling-hash document fingerprint (FNV-1a 64-bit over utf-8 bytes).
+
+    Vectorized ACROSS the batch: texts are packed into one (n, maxlen)
+    uint8 matrix and the rolling recurrence iterates over byte COLUMNS
+    (maxlen steps of whole-batch numpy ops) instead of per-row Python
+    byte loops — same hash values, ~batch-size-fold fewer interpreter ops."""
 
     BASE = np.uint64(1099511628211)
+    SEED = np.uint64(14695981039346656037)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def fp(text: str) -> int:
-            h = np.uint64(14695981039346656037)
-            with np.errstate(over="ignore"):
-                for b in (text or "").encode("utf-8"):
-                    h = (h ^ np.uint64(b)) * self.BASE
-            return int(h.astype(np.int64))
-
-        batch["fingerprint"] = batch["text"].map(fp).astype("int64")
+        enc = [(t or "").encode("utf-8") for t in batch["text"]]
+        n = len(enc)
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+        maxlen = int(lens.max()) if n else 0
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        for i, e in enumerate(enc):
+            mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+        h = np.full(n, self.SEED, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = j < lens
+                h = np.where(active, (h ^ mat[:, j].astype(np.uint64)) * self.BASE, h)
+        batch["fingerprint"] = h.view(np.int64)
         return batch
 
 
