@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vector_ops": RQ.q_vector_ops,
         "q_sim_ivf": RQ.q_sim_ivf,
         "q_warp_4326_images": RQ.q_warp_4326_images,
+        "q_warp_utm": RQ.q_warp_utm,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         "q_simhash_docs": RQ.q_simhash_docs,
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,

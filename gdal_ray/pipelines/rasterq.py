@@ -25,6 +25,7 @@ __all__ = [
     "q_vector_ops",
     "q_sim_ivf",
     "q_warp_4326_images",
+    "q_warp_utm",
     "q_embed_near_dup",
     "q_simhash_docs",
     "q_jaccard_near_dup",
@@ -449,6 +450,59 @@ def q_warp_4326_images(sf_dir: str):
         )
 
     return placed.map_batches(per_image, batch_format="pyarrow", batch_size=None)
+
+
+def q_warp_utm(sf_dir: str):
+    """The gdalwarp benchmark pair (autotest/benchmark/test_gdalwarp.py:29):
+    EPSG:32631 -> EPSG:4326, nearest, dst grid from the suggested extent.
+    The corpus stores 4326/3857 placements, so a deterministic 10 m/px UTM
+    zone-31 placement is derived per image (near the central meridian,
+    offset keyed by stored phash) — the ellipsoidal Karney chain runs
+    without PROJ (gdal_ray/geo/tmerc.py)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import warp_image
+
+    d = corpus_for_sf(sf_dir)
+    src = rd.read_parquet(
+        os.path.join(d, "images.parquet"),
+        columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
+    )
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = np.asarray(batch["w"])
+        hs = np.asarray(batch["h"])
+        ph = np.asarray(batch["phash"], dtype=np.int64)
+        rows = {"image_id": [], "dst_w": [], "dst_h": [], "warp_cksum": []}
+        for i in range(len(ids)):
+            # deterministic UTM placement: 10 m pixels, centered near the
+            # zone-31 central meridian, jittered by the stored phash
+            e0 = 480000.0 + float(np.abs(ph[i]) % 40000)
+            n0 = 4400000.0 + float(np.abs(ph[i] >> 16) % 200000)
+            gt = (e0, 10.0, 0.0, n0, 0.0, -10.0)
+            img = C.decode_image(blobs[i], fmts[i])
+            out, _ = warp_image(img, gt, "EPSG:32631", "EPSG:4326")
+            rows["image_id"].append(ids[i])
+            rows["dst_w"].append(out.shape[1])
+            rows["dst_h"].append(out.shape[0])
+            rows["warp_cksum"].append(checksum_image(out[:, :, 0]))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "dst_w": pa.array(rows["dst_w"], pa.int32()),
+                "dst_h": pa.array(rows["dst_h"], pa.int32()),
+                "warp_cksum": pa.array(rows["warp_cksum"], pa.int32()),
+            }
+        )
+
+    return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)
 
 
 def q_embed_near_dup(sf_dir: str):

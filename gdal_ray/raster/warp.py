@@ -9,9 +9,12 @@ destination chunk: the output grid is computed from the source footprint
 maps back through the inverse chain to sample the source (nearest or
 bilinear kernels — GRIORA_NearestNeighbour/Bilinear).
 
-Supported SRS pair: EPSG:4326 <-> EPSG:3857 (spherical formulas,
-gdal2tiles.py:422-443); the transformer seam is a single function, so a
-PROJ-backed chain slots in without touching the sampling kernel.
+Supported SRS: EPSG:4326 <-> EPSG:3857 (spherical formulas,
+gdal2tiles.py:422-443) and EPSG:326xx/327xx UTM zones <-> 4326/3857
+(ellipsoidal Karney series, geo/tmerc.py — the gdalwarp benchmark pair
+32631->4326, autotest/benchmark/test_gdalwarp.py:29). The transformer seam
+is a single function; any pair composes through 4326 as the pivot, exactly
+GDAL's transformer-chain shape (ogr/ogrct.cpp:665).
 """
 
 from __future__ import annotations
@@ -20,19 +23,41 @@ import numpy as np
 
 from gdal_ray.geo import affine as A
 from gdal_ray.geo import mercator as M
+from gdal_ray.geo import tmerc as TM
 
 __all__ = ["suggest_output_grid", "warp_image"]
+
+
+def _to_4326(gx, gy, srs):
+    """any supported srs -> (lon, lat)."""
+    if srs == "EPSG:4326":
+        return gx, gy
+    if srs == "EPSG:3857":
+        lat, lon = M.meters_to_latlon(gx, gy)
+        return lon, lat
+    utm = TM.parse_utm_epsg(srs)
+    if utm is not None:
+        lat, lon = TM.utm_to_latlon(gx, gy, utm[0], utm[1])
+        return lon, lat
+    raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
+
+
+def _from_4326(lon, lat, srs):
+    if srs == "EPSG:4326":
+        return lon, lat
+    if srs == "EPSG:3857":
+        return M.latlon_to_meters(lat, lon)
+    utm = TM.parse_utm_epsg(srs)
+    if utm is not None:
+        return TM.latlon_to_utm(lat, lon, utm[0], utm[1])
+    raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
 
 
 def _fwd(gx, gy, src_srs, dst_srs):
     if src_srs == dst_srs:
         return gx, gy
-    if src_srs == "EPSG:4326" and dst_srs == "EPSG:3857":
-        return M.latlon_to_meters(gy, gx)
-    if src_srs == "EPSG:3857" and dst_srs == "EPSG:4326":
-        lat, lon = M.meters_to_latlon(gx, gy)
-        return lon, lat
-    raise NotImplementedError(f"SRS pair {src_srs}->{dst_srs} needs a PROJ backend")
+    lon, lat = _to_4326(gx, gy, src_srs)
+    return _from_4326(lon, lat, dst_srs)
 
 
 def suggest_output_grid(src_gt, w, h, src_srs, dst_srs, dst_size=None):

