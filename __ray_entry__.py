@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_geom_lattice": LO.q_geom_lattice,
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
+        "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_docs": RQ.q_simhash_docs,
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_poly_intersect_pairs": RQ.q_poly_intersect_pairs,
+        "q_poly_intersection_area": RQ.q_poly_intersection_area,
     }
 
 
@@ -345,6 +347,36 @@ def oracle_sql() -> dict[str, str]:
                       * GREATEST(0, LEAST(sy+ah, sy+dy+bh) - GREATEST(sy-ah, sy+dy-bh))
                       AS DOUBLE) AS inter_area
             FROM g
+        """,
+        "q_lshape_clip_lattice": """
+            WITH g AS (SELECT s_suppkey,
+                  (s_suppkey*2654435761) % 65536 AS sx,
+                  (s_suppkey*2246822519) % 65536 AS sy,
+                  24 + s_suppkey % 17 AS w1, 40 + s_suppkey % 19 AS h1,
+                  40 + s_suppkey % 23 AS w2, 24 + s_suppkey % 13 AS h2,
+                  (s_suppkey*40503) % 81 - 40 AS dx,
+                  (s_suppkey*65521) % 73 - 36 AS dy
+               FROM supplier),
+             r AS (SELECT s_suppkey,
+                  sx AS a1x0, sx+w1 AS a1x1, sy AS a1y0, sy+h1+h2 AS a1y1,
+                  sx+w1 AS a2x0, sx+w1+w2 AS a2x1, sy AS a2y0, sy+h2 AS a2y1,
+                  sx+dx AS b1x0, sx+dx+w2 AS b1x1,
+                  sy+dy AS b1y0, sy+dy+h2+h1 AS b1y1,
+                  sx+dx+w2 AS b2x0, sx+dx+w2+w1 AS b2x1,
+                  sy+dy AS b2y0, sy+dy+h1 AS b2y1
+               FROM g)
+            SELECT 'l' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS pair_id,
+                   ROUND(CAST(
+                     GREATEST(0, LEAST(a1x1,b1x1)-GREATEST(a1x0,b1x0))
+                       * GREATEST(0, LEAST(a1y1,b1y1)-GREATEST(a1y0,b1y0))
+                   + GREATEST(0, LEAST(a1x1,b2x1)-GREATEST(a1x0,b2x0))
+                       * GREATEST(0, LEAST(a1y1,b2y1)-GREATEST(a1y0,b2y0))
+                   + GREATEST(0, LEAST(a2x1,b1x1)-GREATEST(a2x0,b1x0))
+                       * GREATEST(0, LEAST(a2y1,b1y1)-GREATEST(a2y0,b1y0))
+                   + GREATEST(0, LEAST(a2x1,b2x1)-GREATEST(a2x0,b2x0))
+                       * GREATEST(0, LEAST(a2y1,b2y1)-GREATEST(a2y0,b2y0))
+                   AS DOUBLE), 4) AS inter_area
+            FROM r
         """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""

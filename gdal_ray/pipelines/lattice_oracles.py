@@ -41,6 +41,7 @@ __all__ = [
     "q_geom_lattice",
     "q_rasterize_lattice",
     "q_clip_pairs_lattice",
+    "q_lshape_clip_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -304,6 +305,64 @@ def q_rasterize_lattice(sf_dir: str):
             {
                 "poly_id": pa.array(rows["poly_id"], pa.string()),
                 "burned": pa.array(rows["burned"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# General (CONCAVE) boolean-op oracle: L-shape pairs
+# --------------------------------------------------------------------------
+
+def _lshape(sx, sy, w1, h1, w2, h2):
+    """Concave L ring: vertical bar [sx, sx+w1] x [sy, sy+h1+h2] plus foot
+    [sx+w1, sx+w1+w2] x [sy, sy+h2] — interior-disjoint rect decomposition
+    (R1 | R2) used verbatim by the SQL twin."""
+    return np.array(
+        [
+            [sx, sy],
+            [sx + w1 + w2, sy],
+            [sx + w1 + w2, sy + h2],
+            [sx + w1, sy + h2],
+            [sx + w1, sy + h1 + h2],
+            [sx, sy + h1 + h2],
+            [sx, sy],
+        ],
+        dtype=np.float64,
+    )
+
+
+def q_lshape_clip_lattice(sf_dir: str):
+    """General polygon Intersection (booleanops: ear-clip triangulation +
+    convex clipping) on CONCAVE L-shape pairs; the SQL twin sums the four
+    closed-form overlaps of the interior-disjoint rect decompositions.
+    Engine areas round to 4 decimals to absorb triangulation float dust."""
+    from gdal_ray.geo.booleanops import pieces_area, polygon_intersection
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = (keys * LATTICE_A) % _TWO16
+        sy = (keys * LATTICE_B) % _TWO16
+        w1 = 24 + keys % 17
+        h1 = 40 + keys % 19
+        w2 = 40 + keys % 23
+        h2 = 24 + keys % 13
+        dx = (keys * 40503) % 81 - 40
+        dy = (keys * 65521) % 73 - 36
+        rows = {"pair_id": [], "inter_area": []}
+        for i in range(len(keys)):
+            a = _lshape(sx[i], sy[i], w1[i], h1[i], w2[i], h2[i])
+            b = _lshape(sx[i] + dx[i], sy[i] + dy[i], w2[i], h2[i], w1[i], h1[i])
+            area = pieces_area(polygon_intersection(a, b))
+            rows["pair_id"].append(f"l{int(keys[i]):06d}")
+            rows["inter_area"].append(round(area, 4))
+        return pa.table(
+            {
+                "pair_id": pa.array(rows["pair_id"], pa.string()),
+                "inter_area": pa.array(rows["inter_area"], pa.float64()),
             }
         )
 

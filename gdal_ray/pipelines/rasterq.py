@@ -30,6 +30,7 @@ __all__ = [
     "q_simhash_docs",
     "q_jaccard_near_dup",
     "q_poly_intersect_pairs",
+    "q_poly_intersection_area",
 ]
 
 
@@ -547,56 +548,101 @@ def q_jaccard_near_dup(sf_dir: str):
     return verified_text_near_dups(ds, jaccard_threshold=0.8)
 
 
+def _poly_candidate_pairs(d: str):
+    """Distributed layer-algebra candidate generation (ogrlayer.cpp:3345
+    plan, cell-partitioned): polygons explode to their cell covers, each
+    cell partition emits its envelope-overlapping pairs WITH both WKBs, a
+    second keyed pass dedups pairs that co-occur in multiple cells. No
+    driver-side pair loop; scales with cells, not polygon-count^2."""
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.stages.pipjoin import explode_polygon_covers
+
+    covers = SRC.read_polygons(d).map_batches(
+        explode_polygon_covers, batch_format="pyarrow"
+    )
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"poly_a": [], "poly_b": [], "wkb_a": [], "wkb_b": []}
+        for _, g in part.groupby("cell", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["poly_id"].to_numpy()
+            wkbs = g["wkb"].to_numpy()
+            env = g[["minx", "miny", "maxx", "maxy"]].to_numpy()
+            order = np.argsort(ids)
+            ids, wkbs, env = ids[order], wkbs[order], env[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            overlap = (
+                (env[ia, 0] <= env[ib, 2]) & (env[ib, 0] <= env[ia, 2])
+                & (env[ia, 1] <= env[ib, 3]) & (env[ib, 1] <= env[ia, 3])
+            )
+            for x, y in zip(ia[overlap], ib[overlap]):
+                rows["poly_a"].append(ids[x])
+                rows["poly_b"].append(ids[y])
+                rows["wkb_a"].append(wkbs[x])
+                rows["wkb_b"].append(wkbs[y])
+        return pd.DataFrame(rows)
+
+    cand = bucketed_group_apply(covers, ["cell"], pairs, 32)
+    return bucketed_group_apply(
+        cand, ["poly_a", "poly_b"],
+        lambda p: p.drop_duplicates(["poly_a", "poly_b"]), 8,
+    )
+
+
 def q_poly_intersect_pairs(sf_dir: str):
-    """Layer-algebra Intersection skeleton (ogrlayer.cpp:3345): polygon x
-    polygon Intersects pairs via cell-cover candidate generation + exact
-    boundary/containment test; per-pair convex clip area where both outers
-    are convex."""
-    import pyarrow.parquet as pq
+    """Layer-algebra Intersects pairs: distributed cell-cover candidates ->
+    exact boundary/containment test per pair (polygons_intersect)."""
+    import pandas as pd
 
     from gdal_ray.geo import geomops as GO
     from gdal_ray.geo import wkb as W
-    from gdal_ray.geo import cells as CL
-    from gdal_ray.config import CELL_LEVEL
 
-    d = corpus_for_sf(sf_dir)
-    t = pq.read_table(f"{d}/polygons.parquet", columns=["poly_id", "wkb"])
-    ids = t["poly_id"].to_pylist()
-    blobs = t["wkb"].to_pylist()
-    polys = [W.decode_polygons(b) for b in blobs]
-    envs = np.array([W.wkb_envelope(b) for b in blobs])
-    row, cell = CL.bbox_cover(envs[:, 0], envs[:, 1], envs[:, 2], envs[:, 3], CELL_LEVEL)
+    cand = _poly_candidate_pairs(corpus_for_sf(sf_dir))
 
-    # candidate pairs share a cover cell (the distributed plan runs this as
-    # groupby(cell) over the exploded covers; polygon count here is tiny so
-    # the pair set is computed driver-side and verified in parallel)
-    import ray as _ray
-    import ray.data as rd
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            GO.polygons_intersect(W.decode_polygons(wa), W.decode_polygons(wb))
+            for wa, wb in zip(batch["wkb_a"], batch["wkb_b"])
+        ]
+        out = batch.loc[keep, ["poly_a", "poly_b"]].reset_index(drop=True)
+        return out.astype(str)
 
-    by_cell = {}
-    for r, c in zip(row, cell):
-        by_cell.setdefault(int(c), []).append(int(r))
-    cand = set()
-    for members in by_cell.values():
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b = sorted((members[i], members[j]))
-                cand.add((a, b))
-    polys_ref = _ray.put({"ids": ids, "polys": polys})
+    return cand.map_batches(verify, batch_format="pandas", batch_size=256)
 
-    pairs_ds = rd.from_items([{"a": a, "b": b} for a, b in sorted(cand)])
 
-    def verify(batch):
-        import pandas as pd
+def q_poly_intersection_area(sf_dir: str):
+    """Layer-algebra Intersection WITH output geometry (ogrlayer.cpp:3345):
+    per intersecting pair, the intersection polygon's area via the general
+    boolean-op kernel (ear-clip triangulation + convex clipping,
+    geo/booleanops.py) on the outer rings."""
+    import pandas as pd
 
-        data = _ray.get(polys_ref)
-        rows = {"poly_a": [], "poly_b": []}
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if GO.polygons_intersect(data["polys"][a], data["polys"][b]):
-                rows["poly_a"].append(data["ids"][a])
-                rows["poly_b"].append(data["ids"][b])
-        return pd.DataFrame(rows, dtype=str)
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.geo.booleanops import pieces_area, polygon_intersection
 
-    import pyarrow as pa2
+    cand = _poly_candidate_pairs(corpus_for_sf(sf_dir))
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=256)
+    def areas(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"poly_a": [], "poly_b": [], "inter_area": []}
+        for pa_, pb_, wa, wb in zip(
+            batch["poly_a"], batch["poly_b"], batch["wkb_a"], batch["wkb_b"]
+        ):
+            a = W.decode_polygons(wa)[0][0]
+            b = W.decode_polygons(wb)[0][0]
+            area = pieces_area(polygon_intersection(a, b))
+            if area > 1e-9:
+                rows["poly_a"].append(str(pa_))
+                rows["poly_b"].append(str(pb_))
+                rows["inter_area"].append(round(area, 4))
+        return pd.DataFrame(
+            {
+                "poly_a": pd.Series(rows["poly_a"], dtype=str),
+                "poly_b": pd.Series(rows["poly_b"], dtype=str),
+                "inter_area": pd.Series(rows["inter_area"], dtype=np.float64),
+            }
+        )
+
+    return cand.map_batches(areas, batch_format="pandas", batch_size=256)

@@ -1,0 +1,79 @@
+"""Polygon boolean ops (Intersection/Union/Difference with output
+geometries): area invariants + Monte-Carlo membership oracle on random
+simple (star-shaped, mostly concave) polygons — no GEOS anywhere."""
+
+import numpy as np
+
+from gdal_ray.geo.booleanops import (
+    pieces_area,
+    polygon_difference,
+    polygon_intersection,
+    polygon_union,
+    triangulate_ring,
+)
+from gdal_ray.geo.geomops import ring_area
+from gdal_ray.geo.pip import points_in_ring
+
+
+def _star(rng, cx, cy, n=9, rmin=1.0, rmax=4.0):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(rmin, rmax, n)
+    pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+    return np.vstack([pts, pts[:1]])
+
+
+def test_triangulation_area_exact():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        ring = _star(rng, 0, 0)
+        tris = triangulate_ring(ring)
+        total = sum(abs(ring_area(np.vstack([t, t[:1]]))) for t in tris)
+        assert abs(total - abs(ring_area(ring))) < 1e-9
+
+
+def test_boolean_ops_area_invariants_and_membership():
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        a = _star(rng, 0, 0)
+        b = _star(rng, rng.uniform(-2, 2), rng.uniform(-2, 2))
+        aa = abs(ring_area(a))
+        ab = abs(ring_area(b))
+        inter = polygon_intersection(a, b)
+        diff = polygon_difference(a, b)
+        union = polygon_union(a, b)
+        ai = pieces_area(inter)
+        # A = (A ∩ B) + (A \ B)
+        assert abs(ai + pieces_area(diff) - aa) < 1e-8, trial
+        # |A ∪ B| = |A| + |B| - |A ∩ B|
+        assert abs(pieces_area(union) - (aa + ab - ai)) < 1e-8, trial
+        # commutativity of intersection area
+        assert abs(pieces_area(polygon_intersection(b, a)) - ai) < 1e-8, trial
+
+        # Monte-Carlo membership: piece membership == PIP(A) & PIP(B)
+        px = rng.uniform(-5, 5, 400)
+        py = rng.uniform(-5, 5, 400)
+        in_a = points_in_ring(px, py, a)
+        in_b = points_in_ring(px, py, b)
+        in_i = np.zeros(400, dtype=bool)
+        for p in inter:
+            in_i |= points_in_ring(px, py, p)
+        assert (in_i == (in_a & in_b)).all(), trial
+        in_d = np.zeros(400, dtype=bool)
+        for p in diff:
+            in_d |= points_in_ring(px, py, p)
+        assert (in_d == (in_a & ~in_b)).all(), trial
+        in_u = np.zeros(400, dtype=bool)
+        for p in union:
+            in_u |= points_in_ring(px, py, p)
+        assert (in_u == (in_a | in_b)).all(), trial
+
+
+def test_boolean_ops_disjoint_and_contained():
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    far = sq + 100.0
+    assert polygon_intersection(sq, far) == []
+    assert abs(pieces_area(polygon_union(sq, far)) - 32.0) < 1e-9
+    inner = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    assert abs(pieces_area(polygon_intersection(sq, inner)) - 1.0) < 1e-12
+    assert abs(pieces_area(polygon_difference(sq, inner)) - 15.0) < 1e-9
+    assert abs(pieces_area(polygon_difference(inner, sq))) < 1e-12
