@@ -255,53 +255,67 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
         pid = [f"z{z[i]}_gx{gx[i]}_gy{gy[i]}" for i in range(len(z))]
         return batch.append_column("pid", pa.array(pid, pa.string()))
 
-    def write_partition(part: pd.DataFrame) -> pd.DataFrame:
-        # bucketed on pid -> every pid is wholly inside ONE call (no write race)
-        summary = {"pid": [], "n_rows": []}
-        if len(part) == 0:
+    def make_writer(done_set):
+        def write_partition(part: pd.DataFrame) -> pd.DataFrame:
+            # bucketed on pid -> every pid wholly inside ONE call (no race)
+            summary = {"pid": [], "n_rows": []}
+            if len(part) == 0:
+                return pd.DataFrame(summary)
+            for pid, g in part.groupby("pid", sort=False):
+                if pid in done_set:
+                    continue  # straggler overlap: group already complete
+                pdir = out / pid
+                tmp = out / (pid + ".tmp")
+                if tmp.exists():
+                    shutil.rmtree(tmp)
+                tmp.mkdir(parents=True)
+                t = pa.Table.from_pandas(
+                    g.drop(columns=["pid"]).sort_values(["z", "x", "y"]), preserve_index=False
+                )
+                pq.write_table(t, tmp / "tiles.parquet")
+                if pdir.exists():
+                    shutil.rmtree(pdir)
+                tmp.rename(pdir)
+                summary["pid"].append(pid)
+                summary["n_rows"].append(len(g))
             return pd.DataFrame(summary)
-        for pid, g in part.groupby("pid", sort=False):
-            if pid in done:
-                continue  # straggler overlap: group already complete
-            pdir = out / pid
-            tmp = out / (pid + ".tmp")
-            if tmp.exists():
-                shutil.rmtree(tmp)
-            tmp.mkdir(parents=True)
-            t = pa.Table.from_pandas(
-                g.drop(columns=["pid"]).sort_values(["z", "x", "y"]), preserve_index=False
-            )
-            pq.write_table(t, tmp / "tiles.parquet")
-            if pdir.exists():
-                shutil.rmtree(pdir)
-            tmp.rename(pdir)
-            summary["pid"].append(pid)
-            summary["n_rows"].append(len(g))
-        return pd.DataFrame(summary)
+
+        return write_partition
+
+    def write_level(tiles_ds, done_set) -> int:
+        """Bucketed, manifest-tracked, atomic group writes for ONE zoom
+        level — identical machinery for the base zoom and every overview
+        zoom (no driver-side materialization of any level)."""
+        withpid = tiles_ds.map_batches(add_pid, batch_format="pyarrow")
+        summ = bucketed_group_apply(withpid, ["pid"], make_writer(done_set), 32).to_pandas()
+        wrote = 0
+        for _, row in summ.iterrows():
+            manifest.mark(row["pid"], lineage, int(row["n_rows"]))
+            wrote += int(row["n_rows"])
+        return wrote
 
     n_written = 0
-    summaries = pd.DataFrame({"pid": [], "n_rows": []})
     if composed is not None:
-        composed = composed.map_batches(add_pid, batch_format="pyarrow")
-        summaries = bucketed_group_apply(composed, ["pid"], write_partition, 32).to_pandas()
-    if len(summaries):
-        for _, row in summaries.iterrows():
-            manifest.mark(row["pid"], lineage, int(row["n_rows"]))
-            n_written += int(row["n_rows"])
+        n_written += write_level(composed, done)
 
-    # overview zooms recomputed from the written base tiles (cheap vs render)
-    base_files = sorted(str(p) for p in out.glob(f"z{z_base}_*/tiles.parquet"))
-    n_tiles = {z_base: sum(r["n_rows"] for r in manifest.records() if r.get("lineage") == lineage)}
-    level = rd.read_parquet(base_files) if base_files else None
+    # overview zooms: recomputed from the written child tiles (cheap vs the
+    # base render) through the SAME partitioned writer; already-done parent
+    # groups are skipped, so a run killed mid-overview resumes exactly
     for z in range(z_base, z_min, -1):
-        level = build_overview(level).materialize()
-        n_tiles[z - 1] = level.count()
-        parts = [b for b in level.iter_batches(batch_format="pyarrow")]
-        if parts:
-            t = pa.concat_tables(parts, promote_options="default")
-            tmpf = str(out / f"overview_z{z - 1}.parquet") + ".tmp"
-            pq.write_table(t.sort_by([("z", "ascending"), ("x", "ascending"), ("y", "ascending")]), tmpf)
-            os.replace(tmpf, out / f"overview_z{z - 1}.parquet")
+        child_files = sorted(str(p) for p in out.glob(f"z{z}_*/tiles.parquet"))
+        if not child_files:
+            break
+        done_now = {
+            r["partition_id"] for r in manifest.records() if r.get("lineage") == lineage
+        }
+        n_written += write_level(build_overview(rd.read_parquet(child_files)), done_now)
+
+    n_tiles = {}
+    for r in manifest.records():
+        if r.get("lineage") != lineage:
+            continue
+        zz = int(r["partition_id"].split("_")[0][1:])
+        n_tiles[zz] = n_tiles.get(zz, 0) + int(r["n_rows"])
     return {
         "n_tiles": n_tiles,
         "n_written": n_written,

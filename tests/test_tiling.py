@@ -47,7 +47,7 @@ def test_base_tiles_cover_every_oracle_tile(pyramid, small_corpus):
 
 def test_overview_parents_match_children(pyramid):
     base = _read_level(pyramid[0], 5)
-    ov = pq.read_parquet = pq.read_table(f"{pyramid[0]}/overview_z4.parquet").to_pandas()
+    ov = _read_level(pyramid[0], 4)
     want_parents = set(zip(base["x"] // 2, base["y"] // 2))
     assert set(zip(ov["x"], ov["y"])) == want_parents
     assert (ov["z"] == 4).all()
@@ -58,7 +58,7 @@ def test_overview_downsample_average(pyramid):
     from gdal_ray.io import codec as C
 
     base = _read_level(pyramid[0], 5)
-    ov = pq.read_table(f"{pyramid[0]}/overview_z4.parquet").to_pandas()
+    ov = _read_level(pyramid[0], 4)
     row = ov.iloc[0]
     px, py = int(row["x"]), int(row["y"])
     canvas = np.zeros((512, 512, 3), dtype=np.uint8)
@@ -94,6 +94,27 @@ def test_resume_skips_and_recomputes_exactly(ray_session, small_corpus, pyramid)
     b = before.sort_values(["z", "x", "y"]).reset_index(drop=True)
     a = after.sort_values(["z", "x", "y"]).reset_index(drop=True)
     assert (a["png"] == b["png"]).all()
+
+
+def test_resume_after_overview_level_kill(ray_session, small_corpus, pyramid):
+    """A run killed mid-OVERVIEW (one z4 parent group + its manifest record
+    gone) resumes by recomputing exactly that group — base zoom untouched."""
+    from gdal_ray.pipelines.tiling import tile_pyramid
+
+    out, _ = pyramid
+    tile_pyramid(small_corpus, out, z_base=5, z_min=3)  # ensure complete
+    recs = sorted(pathlib.Path(out, "_manifest").glob("z4_*.json"))
+    assert recs, "overview partitions must be manifest-tracked"
+    rec = json.loads(recs[0].read_text())
+    before = _read_level(out, 4)
+    recs[0].unlink()
+    shutil.rmtree(pathlib.Path(out) / rec["partition_id"])
+    s = tile_pyramid(small_corpus, out, z_base=5, z_min=3)
+    assert s["n_written"] == rec["n_rows"]
+    after = _read_level(out, 4)
+    b = before.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    a = after.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    assert len(a) == len(b) and (a["png"] == b["png"]).all()
 
 
 def test_flagship_checkpointed_resume(ray_session, corpus, tmp_path):
