@@ -45,20 +45,32 @@ def _hash_cols(batch: pa.Table, keys, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def bucketed_group_apply(ds, keys, fn, num_buckets: int = 64):
+def bucketed_group_apply(ds, keys, fn, num_buckets: int = 64, schema: pa.Schema | None = None):
     """Apply ``fn(partition_df) -> df`` to hash-bucketed partitions.
 
     ``fn`` receives ALL rows whose key-hash lands in one bucket (possibly
     many distinct key-groups) WITHOUT the helper column; it must do its own
     within-partition grouping. Equivalent result to groupby(keys).map_groups
     for group-local computations, at partition-call granularity.
+
+    ``schema``: optional explicit Arrow schema for ``fn``'s output. Pass it
+    whenever ``fn`` can return EMPTY frames — an empty pandas object column
+    otherwise degrades to a null-typed (or schema-less) block and the
+    streaming executor logs schema-mismatch warnings on every such block.
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("__bucket", pa.array(_hash_cols(batch, keys, num_buckets)))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns="__bucket"))
+    def run(g: pd.DataFrame):
+        out = fn(g.drop(columns="__bucket"))
+        if schema is not None:
+            if isinstance(out, pd.DataFrame):
+                out = pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+            else:
+                out = out.cast(schema)
+            return out.replace_schema_metadata(None)
+        return out
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -284,7 +284,12 @@ def q_grid_invdist(sf_dir: str):
             rows["grid_cksum"].append(checksum_image(grid))
         return pd.DataFrame(rows)
 
-    return bucketed_group_apply(pts, ["cell"], per_cell, 32)
+    return bucketed_group_apply(
+        pts, ["cell"], per_cell, 32,
+        schema=pa.schema(
+            [("cell", pa.int64()), ("n_points", pa.int64()), ("grid_cksum", pa.int64())]
+        ),
+    )
 
 
 def q_footprint(sf_dir: str):
@@ -585,10 +590,14 @@ def _poly_candidate_pairs(d: str):
                 rows["wkb_b"].append(wkbs[y])
         return pd.DataFrame(rows)
 
-    cand = bucketed_group_apply(covers, ["cell"], pairs, 32)
+    pair_schema = pa.schema(
+        [("poly_a", pa.string()), ("poly_b", pa.string()),
+         ("wkb_a", pa.binary()), ("wkb_b", pa.binary())]
+    )
+    cand = bucketed_group_apply(covers, ["cell"], pairs, 32, schema=pair_schema)
     return bucketed_group_apply(
         cand, ["poly_a", "poly_b"],
-        lambda p: p.drop_duplicates(["poly_a", "poly_b"]), 8,
+        lambda p: p.drop_duplicates(["poly_a", "poly_b"]), 8, schema=pair_schema,
     )
 
 

@@ -255,7 +255,10 @@ def q_sessionize_events(sf_dir: str):
         return pd.DataFrame(rows)
 
     return bucketed_group_apply(
-        ds.map_batches(to_us, batch_format="pyarrow"), ["user_id"], sessions, 16
+        ds.map_batches(to_us, batch_format="pyarrow"), ["user_id"], sessions, 16,
+        schema=pa.schema(
+            [("user_id", pa.int64()), ("n_sessions", pa.int64()), ("n_events", pa.int64())]
+        ),
     )
 
 

@@ -44,6 +44,12 @@ __all__ = ["render_partial_tiles", "compose_tiles", "build_overview", "tile_pyra
 
 GROUP = 16  # tile-group edge (in tiles) = resume partition granularity
 
+# composed-tile row schema (also the typed-empty form for idle partitions)
+TILE_SCHEMA = pa.schema(
+    [("z", pa.int64()), ("x", pa.int64()), ("y", pa.int64()),
+     ("png", pa.binary()), ("n_sources", pa.int64())]
+)
+
 
 def _render_one(img: np.ndarray, gt, srs: str, z: int, tx: int, ty_tms: int):
     """Nearest-neighbor sample of one image into one 256x256 tile.
@@ -148,7 +154,7 @@ def _compose_group(part: pd.DataFrame) -> pd.DataFrame:
 def compose_tiles(partials_ds):
     from gdal_ray.ops.shuffle import bucketed_group_apply
 
-    return bucketed_group_apply(partials_ds, ["z", "x", "y"], _compose_group, 64)
+    return bucketed_group_apply(partials_ds, ["z", "x", "y"], _compose_group, 64, schema=TILE_SCHEMA)
 
 
 def _downsample_group(part: pd.DataFrame) -> pd.DataFrame:
@@ -186,7 +192,7 @@ def build_overview(tiles_ds):
         )
 
     withp = tiles_ds.map_batches(parent_cols, batch_format="pyarrow")
-    return bucketed_group_apply(withp, ["pz", "px", "py"], _downsample_group, 32)
+    return bucketed_group_apply(withp, ["pz", "px", "py"], _downsample_group, 32, schema=TILE_SCHEMA)
 
 
 def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4):
@@ -287,7 +293,10 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
         level — identical machinery for the base zoom and every overview
         zoom (no driver-side materialization of any level)."""
         withpid = tiles_ds.map_batches(add_pid, batch_format="pyarrow")
-        summ = bucketed_group_apply(withpid, ["pid"], make_writer(done_set), 32).to_pandas()
+        summ = bucketed_group_apply(
+            withpid, ["pid"], make_writer(done_set), 32,
+            schema=pa.schema([("pid", pa.string()), ("n_rows", pa.int64())]),
+        ).to_pandas()
         wrote = 0
         for _, row in summ.iterrows():
             manifest.mark(row["pid"], lineage, int(row["n_rows"]))

@@ -137,11 +137,16 @@ def near_dup_image_pairs(images_ds, max_hamming: int = 2, num_buckets: int = 64)
     from gdal_ray.ops.shuffle import bucketed_group_apply
 
     bands = images_ds.map_batches(phash_bands, batch_format="pyarrow")
+    import pyarrow as _pa
+
+    pair_schema = _pa.schema([("id_a", _pa.string()), ("id_b", _pa.string())])
     pairs = bucketed_group_apply(
-        bands, ["band_id", "band_key"], lambda p: _verify_partition(p, max_hamming), num_buckets
+        bands, ["band_id", "band_key"], lambda p: _verify_partition(p, max_hamming), num_buckets,
+        schema=pair_schema,
     )
     return bucketed_group_apply(
-        pairs, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), max(8, num_buckets // 4)
+        pairs, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), max(8, num_buckets // 4),
+        schema=pair_schema,
     )
 
 
@@ -306,10 +311,13 @@ def text_near_dup_candidates(docs_ds, num_buckets: int = 32, **minhash_kw):
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, num_buckets)
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cand = bucketed_group_apply(
+        bands, ["band_id", "band_key"], pairs, num_buckets, schema=pair_schema
+    )
     return bucketed_group_apply(
         cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]),
-        max(8, num_buckets // 4),
+        max(8, num_buckets // 4), schema=pair_schema,
     )
 
 

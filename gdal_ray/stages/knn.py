@@ -261,16 +261,22 @@ def knn_shuffle(points_ds, queries_ds, k: int, level: int = CELL_LEVEL, num_buck
             }
         )
 
-    partials = bucketed_group_apply(both, ["cell"], partial_topk, num_buckets)
+    partials = bucketed_group_apply(
+        both, ["cell"], partial_topk, num_buckets,
+        schema=pa.schema(
+            [("query_id", pa.string()), ("image_id", pa.string()),
+             ("d2", pa.float64()), ("kq", pa.int64())]
+        ),
+    )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["d2", "image_id"], kind="mergesort").head(int(g["kq"].iloc[0]))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "query_id": g["query_id"].to_numpy(),
-                "rank": np.arange(len(g), dtype=np.int32),
-                "image_id": g["image_id"].to_numpy(),
-                "dist": np.sqrt(g["d2"].to_numpy()),
+                "query_id": pa.array(g["query_id"].to_numpy(), pa.string()),
+                "rank": pa.array(np.arange(len(g), dtype=np.int32)),
+                "image_id": pa.array(g["image_id"].to_numpy(), pa.string()),
+                "dist": pa.array(np.sqrt(g["d2"].to_numpy()), pa.float64()),
             }
         )
 

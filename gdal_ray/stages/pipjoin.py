@@ -259,4 +259,7 @@ def pip_join_shuffle(points_ds, polygons_ds, level: int = CELL_LEVEL, num_bucket
         return pd.DataFrame({"src_id": pd.Series(out_src, dtype=str),
                              "poly_id": pd.Series(out_poly, dtype=str)})
 
-    return bucketed_group_apply(both, ["skey"], join_partition, num_buckets)
+    return bucketed_group_apply(
+        both, ["skey"], join_partition, num_buckets,
+        schema=pa.schema([("src_id", pa.string()), ("poly_id", pa.string())]),
+    )

@@ -86,11 +86,13 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, **stage_kw):
         num_cpus=1,
     )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = g.index.astype("int32")
-        return g[["query_idx", "rank", "vec_id", "score"]]
+        return pa.Table.from_pandas(
+            g[["query_idx", "rank", "vec_id", "score"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return cand.groupby("query_idx").map_groups(reduce_group, batch_format="pandas")
 
@@ -209,13 +211,20 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             )
         return pd.concat(rows, ignore_index=True)
 
-    cand = bucketed_group_apply(bucketed, ["bucket"], score_bucket, num_buckets)
+    cand = bucketed_group_apply(
+        bucketed, ["bucket"], score_bucket, num_buckets,
+        schema=pa.schema(
+            [("query_idx", pa.int32()), ("vec_id", pa.int64()), ("score", pa.float64())]
+        ),
+    )
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = g.index.astype("int32")
-        return g[["query_idx", "rank", "vec_id", "score"]]
+        return pa.Table.from_pandas(
+            g[["query_idx", "rank", "vec_id", "score"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return cand.groupby("query_idx").map_groups(reduce_group, batch_format="pandas")
 
