@@ -29,6 +29,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from gdal_ray.pipelines import corpus_queries as CQ
     from gdal_ray.pipelines import derived_geo as DG
+    from gdal_ray.pipelines import ext_queries as EQ
     from gdal_ray.pipelines import lattice_oracles as LO
     from gdal_ray.pipelines import rasterq as RQ
     from gdal_ray.pipelines import relational as R
@@ -58,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
+        "q_sample_lattice": EQ.q_sample_lattice,
+        "q_pipeline_chain": EQ.q_pipeline_chain,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -87,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_poly_intersect_pairs": RQ.q_poly_intersect_pairs,
         "q_poly_intersection_area": RQ.q_poly_intersection_area,
+        "q_nearblack": RQ.q_nearblack,
+        "q_pansharpen": RQ.q_pansharpen,
     }
 
 
@@ -377,6 +382,18 @@ def oracle_sql() -> dict[str, str]:
                        * GREATEST(0, LEAST(a2y1,b2y1)-GREATEST(a2y0,b2y0))
                    AS DOUBLE), 4) AS inter_area
             FROM r
+        """,
+        "q_sample_lattice": """
+            SELECT c_mktsegment, COUNT(*) AS n_sampled,
+                   CAST(MIN(c_custkey) AS BIGINT) AS min_key
+            FROM customer
+            WHERE (c_custkey*2654435761) % 100 < 10
+            GROUP BY c_mktsegment
+        """,
+        "q_pipeline_chain": """
+            SELECT p_partkey, p_size, p_size * p_partkey AS vol
+            FROM part WHERE p_size > 20
+            ORDER BY vol DESC, p_partkey LIMIT 50
         """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""

@@ -31,6 +31,8 @@ __all__ = [
     "q_jaccard_near_dup",
     "q_poly_intersect_pairs",
     "q_poly_intersection_area",
+    "q_nearblack",
+    "q_pansharpen",
 ]
 
 
@@ -655,3 +657,85 @@ def q_poly_intersection_area(sf_dir: str):
         )
 
     return cand.map_batches(areas, batch_format="pandas", batch_size=256)
+
+
+def q_nearblack(sf_dir: str):
+    """nearblack as a pipeline (apps/nearblack_lib.cpp:76): per-image
+    collar-pixel count + post-clean checksum (rows-only gate; kernel
+    exactness in tests/test_raster_kernels.py)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import nearblack
+
+    d = corpus_for_sf(sf_dir)
+    src = rd.read_parquet(
+        os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        rows = {"image_id": [], "n_collar": [], "cksum": []}
+        for i in range(len(ids)):
+            img = C.decode_image(blobs[i], fmts[i])
+            out, changed = nearblack(img, threshold=15)
+            rows["image_id"].append(ids[i])
+            rows["n_collar"].append(changed)
+            rows["cksum"].append(checksum_image(out[:, :, 0]))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "n_collar": pa.array(rows["n_collar"], pa.int64()),
+                "cksum": pa.array(rows["cksum"], pa.int32()),
+            }
+        )
+
+    return src.map_batches(per_image, batch_format="pyarrow", batch_size=128)
+
+
+def q_pansharpen(sf_dir: str):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp:1166): each image
+    is its own multispectral side; the pan band is a synthetic 2x-resolution
+    luminance. Reports output grid + band-0 checksum (rows-only gate)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import pansharpen_brovey, resample_bilinear
+
+    d = corpus_for_sf(sf_dir)
+    src = rd.read_parquet(
+        os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
+    )
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        rows = {"image_id": [], "out_w": [], "out_h": [], "cksum": []}
+        for i in range(len(ids)):
+            img = C.decode_image(blobs[i], fmts[i])
+            h, w = img.shape[:2]
+            pan = resample_bilinear(img, 2 * h, 2 * w).astype(np.float64).mean(axis=2)
+            out = pansharpen_brovey(img, pan)
+            rows["image_id"].append(ids[i])
+            rows["out_w"].append(out.shape[1])
+            rows["out_h"].append(out.shape[0])
+            rows["cksum"].append(checksum_image(out[:, :, 0]))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "out_w": pa.array(rows["out_w"], pa.int32()),
+                "out_h": pa.array(rows["out_h"], pa.int32()),
+                "cksum": pa.array(rows["cksum"], pa.int32()),
+            }
+        )
+
+    return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)

@@ -326,3 +326,55 @@ PIXEL_FUNCTIONS = {
     "interpolate_linear": lambda bands, t=0.5: bands[0].astype(np.float64) * (1 - t)
     + bands[1].astype(np.float64) * t,
 }
+
+
+def nearblack(img, threshold=15, set_value=0, white=False):
+    """Collar removal (apps/nearblack_lib.cpp:76 semantics): per row, scan
+    from the LEFT and RIGHT edges inward while every band stays within
+    ``threshold`` of black (or white with ``white=True``); those collar
+    pixels are set to ``set_value``. Interior near-black pixels are NOT
+    touched (the scan stops at the first non-near pixel).
+    Returns (out_img, n_changed)."""
+    import numpy as np
+
+    out = img.copy()
+    ref = 255 if white else 0
+    near = (np.abs(img.astype(np.int32) - ref) <= threshold).all(axis=2)
+    h, w = near.shape
+    changed = 0
+    for y in range(h):
+        row = near[y]
+        x = 0
+        while x < w and row[x]:
+            x += 1
+        if x:
+            out[y, :x] = set_value
+            changed += x
+        r = w - 1
+        stop = max(x, 0)
+        while r >= stop and row[r]:
+            r -= 1
+        if r < w - 1:
+            out[y, r + 1 :] = set_value
+            changed += w - 1 - r
+    return out, changed
+
+
+def pansharpen_brovey(ms, pan, weights=None, bit_depth=8):
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:1166 weighted
+    algorithm): pseudo-pan = sum(w_i * ms_i) on the upsampled multispectral
+    bands; each output band = ms_i * (pan / pseudo_pan), clipped to the
+    bit depth. ``ms`` is (h, w, b) at lower resolution, ``pan`` (H, W)."""
+    import numpy as np
+
+    H, W = pan.shape[:2]
+    b = ms.shape[2]
+    if weights is None:
+        weights = np.full(b, 1.0 / b)
+    weights = np.asarray(weights, dtype=np.float64)
+    up = resample_bilinear(ms, H, W).astype(np.float64)
+    pseudo = (up * weights[None, None, :]).sum(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(pseudo > 0, pan.astype(np.float64) / pseudo, 0.0)
+    out = up * ratio[:, :, None]
+    return np.clip(out + 0.5, 0, (1 << bit_depth) - 1).astype(ms.dtype)

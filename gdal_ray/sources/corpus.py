@@ -27,6 +27,20 @@ def _path(corpus_dir: str, name: str) -> str:
 
 
 def read_table(corpus_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
+    """Read one corpus table. BASELINE.json names Lance tables: if a
+    ``<name>.lance`` dataset exists (and the lance package is importable —
+    it is NOT baked into this container), it is preferred via
+    ``ray.data.read_lance``; the parquet layout with the identical schema
+    is the fallback and the tested path here."""
+    lance_path = os.path.join(corpus_dir, f"{name}.lance")
+    if os.path.exists(lance_path):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                f"{lance_path} exists but the lance package is unavailable"
+            ) from e
+        return rd.read_lance(lance_path, columns=columns, **kw)
     return rd.read_parquet(_path(corpus_dir, name), columns=columns, **kw)
 
 

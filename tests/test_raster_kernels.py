@@ -206,3 +206,42 @@ def test_warp_bilinear_smooth_field():
     out, ogt = warp_image(img, gt, "EPSG:3857", "EPSG:3857", resampling="bilinear")
     # linear field is reproduced exactly by bilinear sampling on same grid
     assert np.allclose(out[1:-1, 1:-1], img[1:-1, 1:-1])
+
+
+def test_nearblack_collar_only():
+    from gdal_ray.raster.kernels import nearblack
+
+    img = np.full((6, 10, 3), 128, dtype=np.uint8)
+    img[:, :2] = 3          # left collar (near black)
+    img[2, 7:] = 10         # right collar on one row
+    img[3, 5] = 0           # interior black pixel: must be untouched
+    out, changed = nearblack(img, threshold=15)
+    assert (out[:, :2] == 0).all()
+    assert (out[2, 7:] == 0).all()
+    assert out[3, 5, 0] == 0 or img[3, 5, 0] == 0  # unchanged (already 0 in input? no: stays 0 value but untouched)
+    # interior pixel not zeroed by the scan: neighbors at (3,4) still 128
+    assert out[3, 4, 0] == 128 and out[3, 6, 0] == 128
+    assert changed == 6 * 2 + 3
+
+    # white collar variant
+    img2 = np.full((4, 6, 3), 100, dtype=np.uint8)
+    img2[:, -1] = 250
+    out2, ch2 = nearblack(img2, threshold=10, white=True, set_value=255)
+    assert (out2[:, -1] == 255).all() and ch2 == 4
+
+
+def test_pansharpen_brovey_identity_and_ratio():
+    from gdal_ray.raster.kernels import pansharpen_brovey, resample_bilinear
+
+    rng = np.random.default_rng(9)
+    ms = rng.integers(40, 200, (8, 8, 3)).astype(np.uint8)
+    up = resample_bilinear(ms, 16, 16).astype(np.float64)
+    # pan equal to the pseudo-pan -> output equals the upsampled ms exactly
+    pan = up.mean(axis=2)
+    out = pansharpen_brovey(ms, pan)
+    assert np.abs(out.astype(int) - np.clip(up + 0.5, 0, 255).astype(int)).max() <= 1
+    # doubling pan doubles every band (up to clipping)
+    out2 = pansharpen_brovey(ms, np.minimum(pan * 2, 255))
+    mask = (up.max(axis=2) * 2 < 250)
+    ratio = out2[mask].astype(float) / np.maximum(out[mask].astype(float), 1)
+    assert (np.abs(ratio - 2.0) < 0.15).mean() > 0.9
