@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_warp_4326_images": RQ.q_warp_4326_images,
         "q_warp_utm": RQ.q_warp_utm,
         "q_embed_near_dup": RQ.q_embed_near_dup,
+        "q_embed_near_dup_lsh": RQ.q_embed_near_dup_lsh,
         "q_simhash_docs": RQ.q_simhash_docs,
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_poly_intersect_pairs": RQ.q_poly_intersect_pairs,

@@ -104,3 +104,17 @@ def salt_hot_keys(ds, key: str, cap: int, num_salts: int = 16, counts: dict | No
         return batch.append_column("__salted", pa.array(out, pa.string()))
 
     return ds.map_batches(add, batch_format="pyarrow"), hot
+
+
+def adaptive_partitions(cap: int = 16, divisor: int = 4) -> int:
+    """Hash-join/shuffle partition count sized to the cluster: Ray's hash
+    aggregators are CPU-holding actors, so requesting more of them than
+    available cores deadlocks small sessions (and starves upstream task
+    pools on big ones — see flagship._default_partitions measurements)."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // divisor))

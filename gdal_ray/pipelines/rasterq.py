@@ -27,6 +27,7 @@ __all__ = [
     "q_warp_4326_images",
     "q_warp_utm",
     "q_embed_near_dup",
+    "q_embed_near_dup_lsh",
     "q_simhash_docs",
     "q_jaccard_near_dup",
     "q_poly_intersect_pairs",
@@ -739,3 +740,19 @@ def q_pansharpen(sf_dir: str):
         )
 
     return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)
+
+
+def q_embed_near_dup_lsh(sf_dir: str):
+    """Scale path of q_embed_near_dup: hyperplane-LSH candidates + exact
+    cosine verify via co-partitioned joins (no all-pairs, no driver-side
+    block collection). Rows-only gate; precision/recall asserted in tests."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import embedding_near_dup_lsh
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_lsh(ds, threshold=0.45)

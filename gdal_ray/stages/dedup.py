@@ -322,7 +322,7 @@ def text_near_dup_candidates(docs_ds, num_buckets: int = 32, **minhash_kw):
 
 
 def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8,
-                            num_partitions: int = 16, **minhash_kw):
+                            num_partitions: int | None = None, **minhash_kw):
     """MinHash-LSH candidates -> exact n-gram Jaccard verification.
 
     Scale-safe verify: candidate pairs are CO-PARTITIONED against the
@@ -332,6 +332,10 @@ def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8,
     """
     import ray.data as rd
 
+    from gdal_ray.ops.shuffle import adaptive_partitions
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
     cand = text_near_dup_candidates(docs_ds, **minhash_kw)
 
     docs_a = docs_ds.map_batches(

@@ -22,6 +22,8 @@ __all__ = [
     "ivf_probe_sets",
     "topk_cosine_ivf",
     "kmeans_fit",
+    "hyperplane_bands",
+    "embedding_near_dup_lsh",
 ]
 
 
@@ -288,3 +290,125 @@ def embedding_near_dup(ds, threshold: float, block_size: int = 4096):
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def hyperplane_bands(ds, n_bits: int = 64, band_bits: int = 4, seed: int = 7,
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Random-hyperplane (SimHash) LSH banding for cosine near-dup: each
+    vector's n_bits sign sketch explodes into n_bits/band_bits band rows
+    (band_id, band_key, vec_id). Two vectors at cosine >= t collide in some
+    band with prob 1-(1-p^b)^r, p = 1 - arccos(t)/pi — the classic
+    hyperplane-LSH bound; the verify stage makes the result exact-on-
+    candidates."""
+    rng = np.random.default_rng(seed)
+    planes_ref = None
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
+        m = _matrix(batch, vec_col, np.float64)
+        if planes_ref is None or planes_ref.shape[1] != m.shape[1]:
+            # deterministic per dimension: re-derive from the seed
+            planes_ref_local = np.random.default_rng(seed).normal(
+                size=(n_bits, m.shape[1])
+            )
+        else:
+            planes_ref_local = planes_ref
+        bits = (m @ planes_ref_local.T) > 0  # (n, n_bits)
+        n_bands = n_bits // band_bits
+        ids = np.asarray(batch[id_col])
+        out_band, out_key, out_id = [], [], []
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        for b in range(n_bands):
+            chunk = bits[:, b * band_bits : (b + 1) * band_bits].astype(np.int64)
+            key = chunk @ weights
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(key)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band)),
+                "band_key": pa.array(np.concatenate(out_key)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+            }
+        )
+
+    return ds.map_batches(sketch, batch_format="pyarrow")
+
+
+def embedding_near_dup_lsh(ds, threshold: float, n_bits: int = 64, band_bits: int = 4,
+                           seed: int = 7, num_partitions: int | None = None):
+    """Scale path of the embedding near-dup join: hyperplane-LSH candidate
+    generation (banded, bucketed — no all-pairs) followed by an EXACT
+    cosine verify through co-partitioned joins on vec_id (no driver-side
+    iteration, no broadcast of the embedding table). Approximate only in
+    RECALL (LSH may miss a pair); every emitted pair is exactly verified.
+    Returns a Dataset of (id_a, id_b) with id_a < id_b.
+    """
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import adaptive_partitions, bucketed_group_apply
+
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
+    bands = hyperplane_bands(ds, n_bits, band_bits, seed)
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated(["band_id", "band_key"], keep=False)]
+        out_a, out_b = [], []
+        for _, g in part.groupby(["band_id", "band_key"], sort=False):
+            ids = np.unique(g["vec_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, 32,
+                                schema=pair_schema)
+    cand = bucketed_group_apply(
+        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8,
+        schema=pair_schema,
+    )
+
+    # Acero hash join rejects list<> payload columns -> ship embeddings as
+    # fixed-width binary through the join, decode in the verify kernel
+    def pack(b: pa.Table, idc: str, embc: str) -> pa.Table:
+        m = _matrix(b, "embedding", np.float64)
+        return pa.table(
+            {
+                idc: b["vec_id"],
+                embc: pa.array([m[i].tobytes() for i in range(len(m))], pa.binary()),
+            }
+        )
+
+    emb_a = ds.map_batches(
+        lambda b: pack(b, "_ida", "emb_a"), batch_format="pyarrow"
+    )
+    emb_b = ds.map_batches(
+        lambda b: pack(b, "_idb", "emb_b"), batch_format="pyarrow"
+    )
+    j1 = cand.join(emb_a, join_type="inner", num_partitions=num_partitions,
+                   on=("id_a",), right_on=("_ida",))
+    j2 = j1.join(emb_b, join_type="inner", num_partitions=num_partitions,
+                 on=("id_b",), right_on=("_idb",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        va = _unit(np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["emb_a"]]))
+        vb = _unit(np.stack([np.frombuffer(v, dtype=np.float64) for v in batch["emb_b"]]))
+        sim = (va * vb).sum(axis=1)
+        keep = sim > threshold
+        lo = np.minimum(batch["id_a"].to_numpy()[keep], batch["id_b"].to_numpy()[keep])
+        hi = np.maximum(batch["id_a"].to_numpy()[keep], batch["id_b"].to_numpy()[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return j2.map_batches(verify, batch_format="pandas")

@@ -249,3 +249,31 @@ def test_clip_ring_convex_triangle_window():
     # clip by itself -> unchanged area
     out2 = GO.clip_ring_convex(subject, subject)
     assert abs(abs(GO.ring_area(out2)) - 64.0) < 1e-9
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(ray_session):
+    """LSH-routed near-dup: every emitted pair is exactly above threshold
+    (precision 1.0 by construction) and recall vs the exact all-pairs join
+    is high on planted near-duplicates."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.simsearch import embedding_near_dup, embedding_near_dup_lsh
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(0, 1, (300, 32))
+    # plant 30 near-duplicate pairs (small perturbations)
+    vecs = list(base)
+    for i in range(30):
+        vecs.append(base[i] + rng.normal(0, 0.05, 32))
+    vecs = np.asarray(vecs)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    )
+    exact = embedding_near_dup(ds, threshold=0.8)
+    want = set(map(tuple, exact[["id_a", "id_b"]].itertuples(index=False)))
+    got_df = embedding_near_dup_lsh(ds, threshold=0.8).to_pandas()
+    got = set(map(tuple, got_df[["id_a", "id_b"]].itertuples(index=False)))
+    assert got <= want  # exact verify: no false positives
+    assert len(want) >= 30
+    assert len(got & want) / len(want) >= 0.8, (len(got), len(want))
