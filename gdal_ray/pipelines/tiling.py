@@ -308,8 +308,36 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
         n_written += write_level(composed, done)
 
     # overview zooms: recomputed from the written child tiles (cheap vs the
-    # base render) through the SAME partitioned writer; already-done parent
-    # groups are skipped, so a run killed mid-overview resumes exactly
+    # base render). Downsample + atomic group write FUSE into ONE bucketed
+    # pass keyed by the PARENT tile group (children of a parent group come
+    # from exactly two child groups, so the key is computable per child
+    # row); already-done parent groups are skipped before any decode, so a
+    # run killed mid-overview resumes exactly.
+    def overview_writer(done_set):
+        def fn(part: pd.DataFrame) -> pd.DataFrame:
+            summary = {"pid": [], "n_rows": []}
+            for pid, g in part.groupby("ppid", sort=False):
+                if pid in done_set:
+                    continue
+                parents = _downsample_group(g)
+                pdir = out / pid
+                tmp = out / (pid + ".tmp")
+                if tmp.exists():
+                    shutil.rmtree(tmp)
+                tmp.mkdir(parents=True)
+                t = pa.Table.from_pandas(
+                    parents.sort_values(["z", "x", "y"]), preserve_index=False
+                )
+                pq.write_table(t, tmp / "tiles.parquet")
+                if pdir.exists():
+                    shutil.rmtree(pdir)
+                tmp.rename(pdir)
+                summary["pid"].append(pid)
+                summary["n_rows"].append(len(parents))
+            return pd.DataFrame(summary)
+
+        return fn
+
     for z in range(z_base, z_min, -1):
         child_files = sorted(str(p) for p in out.glob(f"z{z}_*/tiles.parquet"))
         if not child_files:
@@ -317,7 +345,31 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
         done_now = {
             r["partition_id"] for r in manifest.records() if r.get("lineage") == lineage
         }
-        n_written += write_level(build_overview(rd.read_parquet(child_files)), done_now)
+
+        def add_parent_keys(batch: pa.Table, zz=z) -> pa.Table:
+            px = np.asarray(batch["x"]) // 2
+            py = np.asarray(batch["y"]) // 2
+            ppid = [
+                f"z{zz - 1}_gx{px[i] // GROUP}_gy{py[i] // GROUP}"
+                for i in range(len(px))
+            ]
+            return (
+                batch.append_column("pz", pa.array(np.full(len(px), zz - 1, dtype=np.int64)))
+                .append_column("px", pa.array(px))
+                .append_column("py", pa.array(py))
+                .append_column("ppid", pa.array(ppid, pa.string()))
+            )
+
+        withp = rd.read_parquet(child_files).map_batches(
+            add_parent_keys, batch_format="pyarrow"
+        )
+        summ = bucketed_group_apply(
+            withp, ["ppid"], overview_writer(done_now), 8,
+            schema=pa.schema([("pid", pa.string()), ("n_rows", pa.int64())]),
+        ).to_pandas()
+        for _, row in summ.iterrows():
+            manifest.mark(row["pid"], lineage, int(row["n_rows"]))
+            n_written += int(row["n_rows"])
 
     n_tiles = {}
     for r in manifest.records():
