@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
+        "q_grid_lattice": LO.q_grid_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
@@ -383,6 +384,37 @@ def oracle_sql() -> dict[str, str]:
                        * GREATEST(0, LEAST(a2y1,b2y1)-GREATEST(a2y0,b2y0))
                    AS DOUBLE), 4) AS inter_area
             FROM r
+        """,
+        "q_grid_lattice": """
+            WITH pts AS (SELECT s_suppkey,
+                                (s_suppkey*2654435761) % 65536 AS px,
+                                (s_suppkey*2246822519) % 65536 AS py
+                         FROM supplier),
+                 nodes AS (SELECT r AS row_, c AS col_,
+                                  (c + 0.5) * 4096.0 AS gx,
+                                  65536.0 - (r + 0.5) * 4096.0 AS gy
+                           FROM generate_series(0, 15) t1(r),
+                                generate_series(0, 15) t2(c)),
+                 d AS (SELECT row_, col_, s_suppkey,
+                              (px - gx)*(px - gx) + (py - gy)*(py - gy) AS d2
+                       FROM nodes, pts),
+                 agg AS (SELECT row_, col_,
+                              COUNT(*) FILTER (WHERE d2 <= 67108864) AS n_points,
+                              COALESCE(SUM(s_suppkey)
+                                  FILTER (WHERE d2 <= 67108864), 0) AS sumv
+                         FROM d GROUP BY row_, col_),
+                 nr AS (SELECT row_, col_, s_suppkey,
+                               ROW_NUMBER() OVER (PARTITION BY row_, col_
+                                   ORDER BY d2, s_suppkey) AS rn
+                        FROM d WHERE d2 <= 67108864)
+            SELECT a.row_, a.col_,
+                   CAST(a.n_points AS BIGINT) AS n_points,
+                   CASE WHEN a.n_points > 0
+                        THEN CAST(a.sumv AS DOUBLE) / a.n_points
+                        ELSE 0.0 END AS avg_val,
+                   CAST(COALESCE(n.s_suppkey, 0) AS BIGINT) AS nearest_key
+            FROM agg a LEFT JOIN (SELECT * FROM nr WHERE rn = 1) n
+              ON a.row_ = n.row_ AND a.col_ = n.col_
         """,
         "q_sample_lattice": """
             SELECT c_mktsegment, COUNT(*) AS n_sampled,

@@ -42,6 +42,7 @@ __all__ = [
     "q_rasterize_lattice",
     "q_clip_pairs_lattice",
     "q_lshape_clip_lattice",
+    "q_grid_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -311,6 +312,61 @@ def q_rasterize_lattice(sf_dir: str):
     return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# gdal_grid kernels (count / average / nearest) on lattice points
+# --------------------------------------------------------------------------
+
+def q_grid_lattice(sf_dir: str, gsize: int = 16, radius: float = 8192.0):
+    """gdal_grid metrics through the REAL ``grid_points`` kernels
+    (alg/gdalgrid.cpp moving-window count/average + nearest with a radius):
+    supplier lattice points (value = key) gridded onto a 16x16 node grid
+    over the 2^16 extent, one task per grid ROW (points broadcast once).
+    Exact in float64: node centers and d2 are exact dyadics, value sums are
+    integers < 2^53 (order-independent), nearest ties break to the lowest
+    key (points pre-sorted by key; argmin picks the first)."""
+    from gdal_ray.raster.grid import grid_points
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    skeys = np.sort(np.asarray(sup["s_suppkey"], dtype=np.int64))
+    px = ((skeys * LATTICE_A) % _TWO16).astype(np.float64)
+    py = ((skeys * LATTICE_B) % _TWO16).astype(np.float64)
+    pts_ref = ray.put({"px": px, "py": py, "pv": skeys.astype(np.float64)})
+    cell = float(_TWO16) / gsize
+    gt_full = (0.0, cell, 0.0, float(_TWO16), 0.0, -cell)
+
+    rows_ds = rd.from_items([{"row": r} for r in range(gsize)], override_num_blocks=gsize)
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        pts = ray.get(pts_ref)
+        out = {"row_": [], "col_": [], "n_points": [], "avg_val": [], "nearest_key": []}
+        for r in batch["row"].to_pylist():
+            # this row's 1 x gsize slice of the full grid
+            gt = (0.0, cell, 0.0, float(_TWO16) - r * cell, 0.0, -cell)
+            cnt = grid_points(pts["px"], pts["py"], pts["pv"], gsize, 1, gt,
+                              algorithm="count", radius=radius, nodata=0.0)[0]
+            avg = grid_points(pts["px"], pts["py"], pts["pv"], gsize, 1, gt,
+                              algorithm="average", radius=radius, nodata=0.0)[0]
+            near = grid_points(pts["px"], pts["py"], pts["pv"], gsize, 1, gt,
+                               algorithm="nearest", radius=radius, nodata=0.0)[0]
+            for c in range(gsize):
+                out["row_"].append(r)
+                out["col_"].append(c)
+                out["n_points"].append(int(cnt[c]))
+                out["avg_val"].append(float(avg[c]))
+                out["nearest_key"].append(int(near[c]))
+        return pa.table(
+            {
+                "row_": pa.array(out["row_"], pa.int64()),
+                "col_": pa.array(out["col_"], pa.int64()),
+                "n_points": pa.array(out["n_points"], pa.int64()),
+                "avg_val": pa.array(out["avg_val"], pa.float64()),
+                "nearest_key": pa.array(out["nearest_key"], pa.int64()),
+            }
+        )
+
+    return rows_ds.map_batches(per_row, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -378,3 +378,97 @@ def pansharpen_brovey(ms, pan, weights=None, bit_depth=8):
         ratio = np.where(pseudo > 0, pan.astype(np.float64) / pseudo, 0.0)
     out = up * ratio[:, :, None]
     return np.clip(out + 0.5, 0, (1 << bit_depth) - 1).astype(ms.dtype)
+
+
+def _cubic_weight(t, a=-0.5):
+    """Keys cubic-convolution kernel (GDAL GRIORA_Cubic, a = -0.5;
+    alg/gdalwarpkernel.cpp CubicKernel)."""
+    t = np.abs(t)
+    w = np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0),
+    )
+    return w
+
+
+def _lanczos_weight(t, a=3):
+    """Lanczos windowed sinc (GRIORA_Lanczos, a = 3)."""
+    t = np.asarray(t, dtype=np.float64)
+    out = np.zeros_like(t)
+    nz = (np.abs(t) < a) & (t != 0)
+    x = np.pi * t[nz]
+    out[nz] = a * np.sin(x) * np.sin(x / a) / (x * x)
+    out[t == 0] = 1.0
+    return out
+
+
+def _separable_resample(img, h_out, w_out, weight_fn, support):
+    """Separable kernel resample on pixel centers with edge clamping and
+    per-pixel weight normalization (the clamped-window treatment GDAL uses
+    at raster edges)."""
+    h_in, w_in = img.shape[:2]
+    ys, xs = _sample_grid(h_out, w_out, h_in, w_in)
+    fy = ys - 0.5
+    fx = xs - 0.5
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    f = img.astype(np.float64)
+    acc = np.zeros((h_out, w_out) + img.shape[2:], dtype=np.float64)
+    wsum = np.zeros((h_out, w_out), dtype=np.float64)
+    for dy in range(-support + 1, support + 1):
+        wy = weight_fn(fy - (y0 + dy))  # (h_out,)
+        iy = np.clip(y0 + dy, 0, h_in - 1)
+        for dx in range(-support + 1, support + 1):
+            wx = weight_fn(fx - (x0 + dx))
+            ix = np.clip(x0 + dx, 0, w_in - 1)
+            w2 = wy[:, None] * wx[None, :]
+            vals = f[np.ix_(iy, ix)]
+            if img.ndim == 3:
+                acc += vals * w2[..., None]
+            else:
+                acc += vals * w2
+            wsum += w2
+    wsum = np.where(wsum == 0, 1.0, wsum)
+    out = acc / (wsum[..., None] if img.ndim == 3 else wsum)
+    return cast_clip(out, img.dtype) if np.issubdtype(img.dtype, np.integer) else out
+
+
+def resample_cubic(img, h_out, w_out):
+    """GRIORA_Cubic (Keys a=-0.5, 4x4 support)."""
+    return _separable_resample(img, h_out, w_out, _cubic_weight, 2)
+
+
+def resample_lanczos(img, h_out, w_out):
+    """GRIORA_Lanczos (a=3, 6x6 support)."""
+    return _separable_resample(img, h_out, w_out, _lanczos_weight, 3)
+
+
+def resample_mode(img, factor):
+    """Integer-factor MODE decimation (overview MODE kernel,
+    gcore/overview.cpp GDALResampleChunk_Mode): most frequent value per
+    factor x factor block; ties resolve to the SMALLEST value
+    (deterministic under any traversal order)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    img2 = img[: h2 * factor, : w2 * factor]
+    if img.ndim == 3:
+        out = np.empty((h2, w2, img.shape[2]), dtype=img.dtype)
+        for c in range(img.shape[2]):
+            out[:, :, c] = resample_mode(img2[:, :, c], factor)
+        return out
+    blocks = img2.reshape(h2, factor, w2, factor).transpose(0, 2, 1, 3).reshape(h2, w2, -1)
+    blocks = np.sort(blocks, axis=2)  # sorted -> first argmax of counts = smallest mode
+    n = blocks.shape[2]
+    best_val = blocks[:, :, 0].copy()
+    best_cnt = np.ones((h2, w2), dtype=np.int64)
+    run_val = blocks[:, :, 0].copy()
+    run_cnt = np.ones((h2, w2), dtype=np.int64)
+    for k in range(1, n):
+        same = blocks[:, :, k] == run_val
+        run_cnt = np.where(same, run_cnt + 1, 1)
+        run_val = blocks[:, :, k]
+        better = run_cnt > best_cnt
+        best_cnt = np.where(better, run_cnt, best_cnt)
+        best_val = np.where(better, run_val, best_val)
+    return best_val

@@ -137,6 +137,36 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
         ixe = np.floor(px[edge]).astype(np.int64)
         iye = np.floor(py[edge]).astype(np.int64)
         out[edge] = img[iye, ixe]
+    elif resampling in ("cubic", "lanczos"):
+        from gdal_ray.raster.kernels import _cubic_weight, _lanczos_weight
+
+        wfn, support = (
+            (_cubic_weight, 2) if resampling == "cubic" else (_lanczos_weight, 3)
+        )
+        fx = px - 0.5
+        fy = py - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        f = img.astype(np.float64)
+        acc = np.zeros(shape, dtype=np.float64)
+        wsum = np.zeros((dst_h, dst_w), dtype=np.float64)
+        for dy in range(-support + 1, support + 1):
+            wy = wfn(fy - (y0 + dy))
+            iy = np.clip(y0 + dy, 0, h - 1)
+            for dx_ in range(-support + 1, support + 1):
+                wx = wfn(fx - (x0 + dx_))
+                ix = np.clip(x0 + dx_, 0, w - 1)
+                w2 = wy * wx
+                vals = f[iy, ix]
+                acc += vals * (w2[..., None] if img.ndim == 3 else w2)
+                wsum += w2
+        wsum = np.where(wsum == 0, 1.0, wsum)
+        vals = acc / (wsum[..., None] if img.ndim == 3 else wsum)
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            vals = np.clip(np.floor(vals + 0.5), info.min, info.max)
+        out[inside] = vals.astype(img.dtype)[inside]
     else:
         raise ValueError(resampling)
     return out, dst_gt

@@ -192,3 +192,14 @@ def test_warp_utm_to_4326_roundtrip():
     # nearest-neighbour round trip: almost all pixels identical, none far off
     assert (diff == 0).mean() > 0.6
     assert np.abs(diff).max() <= 5
+
+
+def test_warp_cubic_lanczos_constant_invariance():
+    from gdal_ray.raster.warp import warp_image
+
+    img = np.full((40, 40, 3), 123, dtype=np.uint8)
+    gt = (500000.0 - 200, 10.0, 0.0, 4427757.0 + 200, 0.0, -10.0)
+    for rs in ("cubic", "lanczos"):
+        out, _ = warp_image(img, gt, "EPSG:32631", "EPSG:4326", resampling=rs)
+        core = out[out[:, :, 0] > 0]
+        assert core.size and (core == 123).all(), rs

@@ -245,3 +245,46 @@ def test_pansharpen_brovey_identity_and_ratio():
     mask = (up.max(axis=2) * 2 < 250)
     ratio = out2[mask].astype(float) / np.maximum(out[mask].astype(float), 1)
     assert (np.abs(ratio - 2.0) < 0.15).mean() > 0.9
+
+
+def test_resample_cubic_lanczos_properties():
+    from gdal_ray.raster.kernels import resample_cubic, resample_lanczos
+
+    # constant image invariance
+    const = np.full((16, 16), 77.0)
+    for fn in (resample_cubic, resample_lanczos):
+        out = fn(const, 32, 32)
+        np.testing.assert_allclose(out, 77.0, atol=1e-9)
+        out = fn(const, 8, 8)
+        np.testing.assert_allclose(out, 77.0, atol=1e-9)
+
+    # cubic convolution reproduces linear ramps exactly in the interior
+    ramp = np.add.outer(np.arange(32, dtype=np.float64), 2 * np.arange(32, dtype=np.float64))
+    up = resample_cubic(ramp, 64, 64)
+    ys = (np.arange(64) + 0.5) * 0.5 - 0.5
+    want = np.add.outer(ys, 2 * ys)
+    inner = slice(4, -4)
+    np.testing.assert_allclose(up[inner, inner], want[inner, inner], atol=1e-9)
+
+    # lanczos approximates the ramp closely in the interior
+    upl = resample_lanczos(ramp, 64, 64)
+    assert np.abs(upl[inner, inner] - want[inner, inner]).max() < 0.15
+
+
+def test_resample_mode_majority_and_ties():
+    from gdal_ray.raster.kernels import resample_mode
+
+    img = np.array(
+        [
+            [1, 1, 2, 3],
+            [1, 9, 2, 2],
+            [5, 5, 7, 7],
+            [5, 6, 8, 8],
+        ],
+        dtype=np.uint8,
+    )
+    out = resample_mode(img, 2)
+    assert out[0, 0] == 1      # clear majority 3x '1'
+    assert out[0, 1] == 2      # majority 3x '2'
+    assert out[1, 0] == 5      # majority 3x '5'
+    assert out[1, 1] == 7      # tie 2x7 / 2x8 -> smallest value wins
