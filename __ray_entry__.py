@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
         "q_grid_lattice": LO.q_grid_lattice,
+        "q_relate_lattice": LO.q_relate_lattice,
+        "q_buffer_lattice": LO.q_buffer_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
@@ -384,6 +386,38 @@ def oracle_sql() -> dict[str, str]:
                        * GREATEST(0, LEAST(a2y1,b2y1)-GREATEST(a2y0,b2y0))
                    AS DOUBLE), 4) AS inter_area
             FROM r
+        """,
+        "q_relate_lattice": """
+            WITH g AS (SELECT s_suppkey,
+                    64 + s_suppkey % 37 AS aw, 64 + s_suppkey % 41 AS ah,
+                    16 + s_suppkey % 11 AS bw, 16 + s_suppkey % 13 AS bh,
+                    s_suppkey % 4 AS mode
+                 FROM supplier),
+                 go AS (SELECT s_suppkey, aw, ah, bw, bh,
+                        CASE WHEN mode = 0 THEN 0
+                             WHEN mode = 1 THEN aw
+                             WHEN mode = 2 THEN aw + bw
+                             ELSE aw + bw + 32 END AS dx
+                   FROM g),
+                 rel AS (SELECT s_suppkey,
+                        LEAST(aw, dx + bw) - GREATEST(-aw, dx - bw) AS ox,
+                        2 * bh AS oy, 4 * bw * bh AS area_b
+                   FROM go)
+            SELECT 'rel' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS pair_id,
+                   CASE WHEN ox > 0 AND oy > 0 AND ox * oy = area_b THEN 'contains'
+                        WHEN ox > 0 AND oy > 0 THEN 'overlaps'
+                        WHEN ox >= 0 AND oy >= 0 THEN 'touches'
+                        ELSE 'disjoint' END AS relation
+            FROM rel
+        """,
+        "q_buffer_lattice": """
+            SELECT 'b' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS poly_id,
+                   ROUND(4.0*hw*hh + 4.0*(hw+hh)*16.0
+                         + 4*8*0.5*16.0*16.0*sin(pi()/16), 3) AS buf_area
+            FROM (SELECT s_suppkey,
+                         48 + s_suppkey % 17 AS hw,
+                         48 + s_suppkey % 19 AS hh
+                  FROM supplier)
         """,
         "q_grid_lattice": """
             WITH pts AS (SELECT s_suppkey,

@@ -26,6 +26,7 @@ __all__ = [
     "segments_intersect_any",
     "polygons_intersect",
     "clip_ring_convex",
+    "buffer_convex",
 ]
 
 
@@ -270,4 +271,32 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
     if not poly:
         return np.empty((0, 2))
     arr = np.asarray(poly)
+    return np.vstack([arr, arr[:1]])
+
+
+def buffer_convex(ring: np.ndarray, dist: float, quadsegs: int = 8) -> np.ndarray:
+    """Positive buffer of a CONVEX ring (OGRGeometry::Buffer semantics for
+    the convex case, ogr_geometry.h:570): Minkowski sum with a disk —
+    offset edges joined by vertex arcs discretized at ``quadsegs`` segments
+    per quarter circle (GEOS' quadrantSegments parameter). Returns a closed
+    CCW ring; exact up to arc discretization (area deficit ->
+    pi*r^2 - area(2*quadsegs*4-gon))."""
+    pts = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+    if ring_area(np.vstack([pts, pts[:1]])) < 0:
+        pts = pts[::-1]
+    n = len(pts)
+    step = (np.pi / 2.0) / quadsegs
+    out = []
+    for i in range(n):
+        p = pts[i]
+        din = p - pts[i - 1]
+        dout = pts[(i + 1) % n] - p
+        # outward normal of edge dir (dx, dy) on a CCW ring is (dy, -dx)
+        a0 = np.arctan2(-din[0], din[1])
+        a1 = np.arctan2(-dout[0], dout[1])
+        sweep = (a1 - a0) % (2 * np.pi)
+        k = max(1, int(np.ceil(sweep / step)))
+        for t in np.linspace(a0, a0 + sweep, k + 1):
+            out.append([p[0] + dist * np.cos(t), p[1] + dist * np.sin(t)])
+    arr = np.asarray(out)
     return np.vstack([arr, arr[:1]])

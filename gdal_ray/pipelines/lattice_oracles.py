@@ -43,6 +43,8 @@ __all__ = [
     "q_clip_pairs_lattice",
     "q_lshape_clip_lattice",
     "q_grid_lattice",
+    "q_relate_lattice",
+    "q_buffer_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -306,6 +308,95 @@ def q_rasterize_lattice(sf_dir: str):
             {
                 "poly_id": pa.array(rows["poly_id"], pa.string()),
                 "burned": pa.array(rows["burned"], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# OGC predicates (relate family) on engineered rect pairs
+# --------------------------------------------------------------------------
+
+def _rect_ring(cx, cy, hw, hh):
+    return np.array(
+        [
+            [cx - hw, cy - hh],
+            [cx + hw, cy - hh],
+            [cx + hw, cy + hh],
+            [cx - hw, cy + hh],
+            [cx - hw, cy - hh],
+        ],
+        dtype=np.float64,
+    )
+
+
+def q_relate_lattice(sf_dir: str):
+    """OGC predicate classification (contains/overlaps/touches/disjoint)
+    through the real predicate stack (boolean-op areas + exact boundary
+    contact, geo/predicates.py): rect pairs ENGINEERED per supplier key to
+    hit each relation class, incl. exact edge contact. The SQL twin is
+    interval arithmetic on the same rects."""
+    from gdal_ray.geo.predicates import relate_areal
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = (keys * LATTICE_A) % _TWO16
+        sy = (keys * LATTICE_B) % _TWO16
+        aw = 64 + keys % 37
+        ah = 64 + keys % 41
+        bw = 16 + keys % 11
+        bh = 16 + keys % 13
+        mode = keys % 4
+        dx = np.select(
+            [mode == 0, mode == 1, mode == 2],
+            [0, aw, aw + bw],
+            default=aw + bw + 32,
+        )
+        rows = {"pair_id": [], "relation": []}
+        for i in range(len(keys)):
+            a = _rect_ring(sx[i], sy[i], aw[i], ah[i])
+            b = _rect_ring(sx[i] + dx[i], sy[i], bw[i], bh[i])
+            rows["pair_id"].append(f"rel{int(keys[i]):06d}")
+            rows["relation"].append(relate_areal(a, b))
+        return pa.table(
+            {
+                "pair_id": pa.array(rows["pair_id"], pa.string()),
+                "relation": pa.array(rows["relation"], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+def q_buffer_lattice(sf_dir: str, r: float = 16.0, quadsegs: int = 8):
+    """Convex buffer (Minkowski disk sum, geomops.buffer_convex) of derived
+    rects: buffered area has the closed form
+    4*hw*hh + 4*(hw+hh)*r + 4*quadsegs*0.5*r^2*sin(pi/(2*quadsegs))
+    (arc fans are equally-spaced chord sectors); centers on a 2^12 lattice
+    keep shoelace float noise ~1e-8, absorbed by ROUND(..., 3)."""
+    from gdal_ray.geo.geomops import buffer_convex, ring_area
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = (keys * LATTICE_A) % 4096
+        sy = (keys * LATTICE_B) % 4096
+        hw = 48 + keys % 17
+        hh = 48 + keys % 19
+        rows = {"poly_id": [], "buf_area": []}
+        for i in range(len(keys)):
+            ring = _rect_ring(sx[i], sy[i], hw[i], hh[i])
+            buf = buffer_convex(ring, r, quadsegs=quadsegs)
+            rows["poly_id"].append(f"b{int(keys[i]):06d}")
+            rows["buf_area"].append(round(abs(ring_area(buf)), 3))
+        return pa.table(
+            {
+                "poly_id": pa.array(rows["poly_id"], pa.string()),
+                "buf_area": pa.array(rows["buf_area"], pa.float64()),
             }
         )
 
