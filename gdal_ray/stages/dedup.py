@@ -118,8 +118,21 @@ def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
         ia, ib = np.triu_indices(n, k=1)
         keep = hamming64(gph[ia], gph[ib]) <= max_hamming
         if keep.any():
-            out_a.append(gids[ia[keep]])
-            out_b.append(gids[ib[keep]])
+            pa_ = gph[ia[keep]].astype(np.int64).view(np.uint64)
+            pb_ = gph[ib[keep]].astype(np.int64).view(np.uint64)
+            # GLOBAL dedup without a second shuffle: both phashes are in
+            # hand, so emit the pair only from its FIRST matching band —
+            # other bands' partitions will see an earlier match and skip
+            cur = int(band_id[s0])
+            first = np.full(len(pa_), cur)
+            for b in range(cur - 1, -1, -1):
+                sh = np.uint64(16 * b)
+                same = ((pa_ >> sh) & np.uint64(0xFFFF)) == ((pb_ >> sh) & np.uint64(0xFFFF))
+                first[same] = b
+            mine = first == cur
+            if mine.any():
+                out_a.append(gids[ia[keep]][mine])
+                out_b.append(gids[ib[keep]][mine])
     if not out_a:
         return pd.DataFrame({"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)})
     return pd.DataFrame(
@@ -140,12 +153,10 @@ def near_dup_image_pairs(images_ds, max_hamming: int = 2, num_buckets: int = 64)
     import pyarrow as _pa
 
     pair_schema = _pa.schema([("id_a", _pa.string()), ("id_b", _pa.string())])
-    pairs = bucketed_group_apply(
-        bands, ["band_id", "band_key"], lambda p: _verify_partition(p, max_hamming), num_buckets,
-        schema=pair_schema,
-    )
+    # ONE shuffle total: the verify partition emits each pair only from its
+    # first matching band (it holds both phashes), so no dedup pass needed
     return bucketed_group_apply(
-        pairs, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), max(8, num_buckets // 4),
+        bands, ["band_id", "band_key"], lambda p: _verify_partition(p, max_hamming), num_buckets,
         schema=pair_schema,
     )
 
