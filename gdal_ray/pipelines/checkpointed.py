@@ -33,7 +33,7 @@ from gdal_ray.config import CELL_LEVEL
 from gdal_ray.geo import cells as CL
 from gdal_ray.state.manifest import Manifest, fragment_lineage
 
-__all__ = ["flagship_checkpointed", "COARSE_LEVEL"]
+__all__ = ["flagship_checkpointed", "pip_join_salted_from_manifest", "COARSE_LEVEL"]
 
 COARSE_LEVEL = 3
 
@@ -184,3 +184,23 @@ def _hot_cap(manifest: Manifest) -> int:
         total += sum(rec.get("cell_hist", {}).values())
         ncells += len(rec.get("cell_hist", {}))
     return int(8 * total / ncells) if ncells else 1 << 30
+
+
+def pip_join_salted_from_manifest(corpus_dir: str, out_dir: str):
+    """Run-N+1 shape of the shuffle PIP join: hot cells learned from run N's
+    manifest histograms (``Manifest.hot_cells``) drive the salting, so the
+    skew treatment needs NO extra counting pass over the data. Falls back
+    to unsalted when no manifest exists yet."""
+    from gdal_ray.pipelines import flagship as F
+    from gdal_ray.sources import corpus as SRC
+    from gdal_ray.stages.pipjoin import pip_join_shuffle
+
+    manifest = Manifest(out_dir)
+    hot = manifest.hot_cells(cap=max(1, _hot_cap(manifest)))
+    pts = (
+        F.placed_images(corpus_dir, decode=False)
+        .select_columns(["image_id", "cx", "cy", "cell"])
+        .rename_columns({"image_id": "src_id"})
+    )
+    polys = SRC.read_polygons(corpus_dir, columns=["poly_id", "wkb"])
+    return pip_join_shuffle(pts, polys, hot_cells=hot)

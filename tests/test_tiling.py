@@ -155,3 +155,25 @@ def test_flagship_checkpointed_resume(ray_session, corpus, tmp_path):
         for p in sorted(pathlib.Path(out).glob("cellpart=*/rows.parquet"))
     )
     assert rows_after == rows
+
+
+def test_manifest_driven_salting(ray_session, corpus, tmp_path):
+    """Run N writes histograms; run N+1's shuffle PIP join salts from them
+    and still produces exactly the oracle rows."""
+    from gdal_ray.pipelines.checkpointed import (
+        flagship_checkpointed,
+        pip_join_salted_from_manifest,
+    )
+    from gdal_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "ckpt2")
+    flagship_checkpointed(corpus, out)
+    m = Manifest(out)
+    assert m.hot_cells(cap=1), "fixture histograms must expose hot cells"
+
+    got = pip_join_salted_from_manifest(corpus, out).to_pandas()
+    want = pq.read_table(f"{corpus}/oracle_pip.parquet").to_pandas()
+    want_img = want[want["src_id"].str.startswith("img")]
+    g = set(map(tuple, got[["src_id", "poly_id"]].itertuples(index=False)))
+    w = set(map(tuple, want_img[["src_id", "poly_id"]].itertuples(index=False)))
+    assert g == w
