@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
         "q_grid_lattice": LO.q_grid_lattice,
         "q_relate_lattice": LO.q_relate_lattice,
+        "q_tin_lattice": LO.q_tin_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
@@ -386,6 +387,12 @@ def oracle_sql() -> dict[str, str]:
                        * GREATEST(0, LEAST(a2y1,b2y1)-GREATEST(a2y0,b2y0))
                    AS DOUBLE), 4) AS inter_area
             FROM r
+        """,
+        "q_tin_lattice": """
+            SELECT r AS row_, c AS col_,
+                   ROUND(2.0*((c + 0.5)*4096.0)
+                         + 3.0*(65536.0 - (r + 0.5)*4096.0), 4) AS val
+            FROM generate_series(0, 15) t1(r), generate_series(0, 15) t2(c)
         """,
         "q_relate_lattice": """
             WITH g AS (SELECT s_suppkey,

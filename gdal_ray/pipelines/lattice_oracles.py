@@ -45,6 +45,7 @@ __all__ = [
     "q_grid_lattice",
     "q_relate_lattice",
     "q_buffer_lattice",
+    "q_tin_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -314,6 +315,57 @@ def q_rasterize_lattice(sf_dir: str):
     return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# TIN / linear gridding (Delaunay + barycentric) with an affine-field oracle
+# --------------------------------------------------------------------------
+
+def q_tin_lattice(sf_dir: str, gsize: int = 16):
+    """GDALGridLinear through the real Delaunay+barycentric kernel
+    (raster/grid.grid_linear): supplier lattice points plus the four extent
+    corners carry the affine field v = 2x + 3y, so EVERY valid
+    triangulation must reproduce v = 2*gx + 3*gy at every node — kernel
+    bugs (wrong barycentric weights, hull gaps) break equality. The SQL
+    twin is the plain affine formula. (Delaunay-ness itself is enforced by
+    the empty-circumcircle pytest.)"""
+    from gdal_ray.raster.grid import grid_linear
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    keys = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    px = ((keys * LATTICE_A) % _TWO16).astype(np.float64)
+    py = ((keys * LATTICE_B) % _TWO16).astype(np.float64)
+    corners = np.array(
+        [[0.0, 0.0], [65535.0, 0.0], [0.0, 65535.0], [65535.0, 65535.0]]
+    )
+    px = np.concatenate([px, corners[:, 0]])
+    py = np.concatenate([py, corners[:, 1]])
+    pv = 2.0 * px + 3.0 * py
+    pts_ref = ray.put({"px": px, "py": py, "pv": pv})
+    cell = float(_TWO16) / gsize
+
+    rows_ds = rd.from_items([{"row": r} for r in range(gsize)], override_num_blocks=gsize)
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        pts = ray.get(pts_ref)
+        out = {"row_": [], "col_": [], "val": []}
+        for r in batch["row"].to_pylist():
+            gt = (0.0, cell, 0.0, float(_TWO16) - r * cell, 0.0, -cell)
+            vals = grid_linear(pts["px"], pts["py"], pts["pv"], gsize, 1, gt,
+                               nodata=np.nan)[0]
+            for c in range(gsize):
+                out["row_"].append(r)
+                out["col_"].append(c)
+                out["val"].append(round(float(vals[c]), 4))
+        return pa.table(
+            {
+                "row_": pa.array(out["row_"], pa.int64()),
+                "col_": pa.array(out["col_"], pa.int64()),
+                "val": pa.array(out["val"], pa.float64()),
+            }
+        )
+
+    return rows_ds.map_batches(per_row, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["grid_points"]
+__all__ = ["grid_points", "delaunay_triangulate", "grid_linear"]
 
 
 def grid_points(
@@ -99,4 +99,85 @@ def grid_points(
                     raise ValueError(algorithm)
             vals = np.where(cnt > 0, vals, nodata)
             out[s : s + chunk] = vals
+    return out.reshape(h, w)
+
+
+def delaunay_triangulate(pts: np.ndarray):
+    """Bowyer-Watson Delaunay triangulation -> list of (i, j, k) index
+    triples. Pure numpy/python O(n^2) — the per-cell point sets this engine
+    grids are small (the reference links qhull for the same role,
+    ``alg/delaunay.c:107``). Collinear/duplicate inputs yield fewer
+    triangles; ties are perturbation-free (exact circumcircle determinant).
+    """
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle enclosing everything
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = 4.0 * max(np.ptp(pts[:, 0]), np.ptp(pts[:, 1]), 1.0)
+    sp = np.array(
+        [[cx - 20 * span, cy - span], [cx + 20 * span, cy - span], [cx, cy + 20 * span]]
+    )
+    allp = np.vstack([pts, sp])
+    S0, S1, S2 = n, n + 1, n + 2
+    tris = [(S0, S1, S2)]
+
+    def circum_contains(tri, p):
+        a, b, c = (allp[tri[0]], allp[tri[1]], allp[tri[2]])
+        # in-circumcircle determinant (orientation-normalized)
+        m = np.array(
+            [
+                [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
+                [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
+                [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
+            ]
+        )
+        det = np.linalg.det(m)
+        orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return det * np.sign(orient) > 0
+
+    for ip in range(n):
+        p = allp[ip]
+        bad = [t for t in tris if circum_contains(t, p)]
+        if not bad:
+            continue
+        # polygonal hole boundary = edges appearing in exactly one bad tri
+        edge_count: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (u, v), cnt in edge_count.items():
+            if cnt == 1:
+                tris.append((u, v, ip))
+    return [t for t in tris if S0 not in t and S1 not in t and S2 not in t]
+
+
+def grid_linear(px, py, pv, w, h, gt, nodata=0.0):
+    """GDALGridLinear (alg/gdalgrid.cpp GDALGridLinear): Delaunay TIN +
+    barycentric interpolation at each node; nodes outside the hull get
+    ``nodata``. Exact for affine fields by construction."""
+    from gdal_ray.geo.affine import apply_geotransform
+
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    pv = np.asarray(pv, dtype=np.float64)
+    cols, rows = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    gx, gy = apply_geotransform(gt, cols.ravel(), rows.ravel())
+    out = np.full(w * h, np.float64(nodata))
+    pts = np.stack([px, py], axis=1)
+    for i0, i1, i2 in delaunay_triangulate(pts):
+        ax, ay = px[i0], py[i0]
+        bx, by = px[i1], py[i1]
+        cx, cy = px[i2], py[i2]
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if den == 0:
+            continue
+        l1 = ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / den
+        l2 = ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / den
+        l3 = 1.0 - l1 - l2
+        inside = (l1 >= -1e-12) & (l2 >= -1e-12) & (l3 >= -1e-12)
+        out[inside] = l1[inside] * pv[i0] + l2[inside] * pv[i1] + l3[inside] * pv[i2]
     return out.reshape(h, w)

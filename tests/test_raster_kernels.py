@@ -288,3 +288,41 @@ def test_resample_mode_majority_and_ties():
     assert out[0, 1] == 2      # majority 3x '2'
     assert out[1, 0] == 5      # majority 3x '5'
     assert out[1, 1] == 7      # tie 2x7 / 2x8 -> smallest value wins
+
+
+def test_delaunay_empty_circumcircle_property():
+    from gdal_ray.raster.grid import delaunay_triangulate
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 100, (40, 2))
+    tris = delaunay_triangulate(pts)
+    assert len(tris) >= 40  # ~2n triangles for random points
+    # every triangle's circumcircle must be empty of other points
+    for (i, j, k) in tris:
+        a, b, c = pts[i], pts[j], pts[k]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+        ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+        uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        dist2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        others = np.ones(len(pts), dtype=bool)
+        others[[i, j, k]] = False
+        assert (dist2[others] > r2 * (1 - 1e-9)).all()
+
+
+def test_grid_linear_reproduces_affine_field():
+    from gdal_ray.raster.grid import grid_linear
+
+    rng = np.random.default_rng(41)
+    px = rng.uniform(0, 64, 60)
+    py = rng.uniform(0, 64, 60)
+    pv = 3.0 + 0.5 * px - 0.25 * py  # affine field
+    gt = (0.0, 4.0, 0.0, 64.0, 0.0, -4.0)
+    out = grid_linear(px, py, pv, 16, 16, gt, nodata=np.nan)
+    cols, rows = np.meshgrid(np.arange(16) + 0.5, np.arange(16) + 0.5)
+    gx = cols * 4.0
+    gy = 64.0 - rows * 4.0
+    want = 3.0 + 0.5 * gx - 0.25 * gy
+    m = ~np.isnan(out)
+    assert m.mean() > 0.5  # most nodes inside the hull
+    np.testing.assert_allclose(out[m], want[m], atol=1e-8)
