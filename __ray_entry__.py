@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_poly_intersection_area": RQ.q_poly_intersection_area,
         "q_nearblack": RQ.q_nearblack,
         "q_pansharpen": RQ.q_pansharpen,
+        "q_viewshed": RQ.q_viewshed,
     }
 
 

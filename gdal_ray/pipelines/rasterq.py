@@ -34,6 +34,7 @@ __all__ = [
     "q_poly_intersection_area",
     "q_nearblack",
     "q_pansharpen",
+    "q_viewshed",
 ]
 
 
@@ -756,3 +757,34 @@ def q_embed_near_dup_lsh(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return embedding_near_dup_lsh(ds, threshold=0.45)
+
+
+def q_viewshed(sf_dir: str):
+    """Viewshed per raster (alg/viewshed/viewshed.cpp semantics) from the
+    center cell, radius-limited: emits visible-cell count + mask checksum
+    (rows-only gate; occlusion semantics scalar-tested)."""
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.viewshed import viewshed
+
+    d = corpus_for_sf(sf_dir)
+
+    def per_raster(batch: pa.Table) -> pa.Table:
+        rows = {"raster_id": [], "n_visible": [], "mask_cksum": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            arr = np.asarray(pix[i], dtype=np.float64).reshape(hs[i], ws[i])
+            v = viewshed(arr, hs[i] // 2, ws[i] // 2, observer_height=2.0, max_dist=16.0)
+            rows["raster_id"].append(batch["raster_id"][i].as_py())
+            rows["n_visible"].append(int(v.sum()))
+            rows["mask_cksum"].append(checksum_image(v.astype(np.int32)))
+        return pa.table(
+            {
+                "raster_id": pa.array(rows["raster_id"], pa.string()),
+                "n_visible": pa.array(rows["n_visible"], pa.int64()),
+                "mask_cksum": pa.array(rows["mask_cksum"], pa.int32()),
+            }
+        )
+
+    return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow", batch_size=8)

@@ -326,3 +326,39 @@ def test_grid_linear_reproduces_affine_field():
     m = ~np.isnan(out)
     assert m.mean() > 0.5  # most nodes inside the hull
     np.testing.assert_allclose(out[m], want[m], atol=1e-8)
+
+
+def test_viewshed_flat_and_wall():
+    from gdal_ray.raster.viewshed import viewshed
+
+    # flat terrain: everything visible
+    flat = np.zeros((15, 15))
+    v = viewshed(flat, 7, 7, observer_height=2.0)
+    assert v.all()
+
+    # a wall east of the observer shadows the cells behind it
+    wall = np.zeros((9, 17))
+    wall[:, 10] = 50.0
+    v = viewshed(wall, 4, 2, observer_height=2.0)
+    assert v[4, 10]          # the wall itself is visible
+    assert not v[4, 12] and not v[4, 16]   # strictly behind the wall
+    assert v[4, 8]           # in front of the wall
+
+    # a single peak occludes only along its ray
+    peak = np.zeros((21, 21))
+    peak[10, 15] = 100.0
+    v = viewshed(peak, 10, 10, observer_height=2.0)
+    assert v[10, 15] and not v[10, 18]
+    assert v[5, 15] and v[15, 15]  # off-ray cells stay visible
+
+    # observer at z=200: the ray through the wall top (50 @ col 10) hits
+    # the ground at x = 2 + 200*8/150 = 12.67 -> cols 11-12 shadowed,
+    # col 13+ visible again on the axis row
+    v2 = viewshed(wall, 4, 2, observer_height=200.0)
+    assert not v2[4, 11] and not v2[4, 12]
+    assert v2[4, 13:].all()
+
+    # max_dist limits the radius
+    v3 = viewshed(flat, 7, 7, max_dist=3.0)
+    ys, xs = np.mgrid[0:15, 0:15]
+    assert (v3 == ((ys - 7) ** 2 + (xs - 7) ** 2 <= 9.0)).all()
