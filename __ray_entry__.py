@@ -135,11 +135,18 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "q1_pricing_summary": """
+            -- money columns quantized per row to integer 1e-4 units
+            -- (floor(x*1e4+0.5)) before summing: the int64 SUM is
+            -- order-independent, so no float rounding is needed at all
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   SUM(CAST(floor(l_quantity*10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_qty,
+                   SUM(CAST(floor(l_extendedprice*10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_base_price,
+                   SUM(CAST(floor(l_extendedprice*(1 - l_discount)*10000 + 0.5)
+                            AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   SUM(CAST(floor(l_quantity*10000 + 0.5) AS BIGINT))
+                       / (COUNT(*) * 10000.0) AS avg_qty,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -154,7 +161,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_segment_revenue": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS revenue
+                   SUM(CAST(floor(o_totalprice*10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -167,7 +175,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_window_events_hourly": """
             SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+                   COUNT(*) AS n,
+                   SUM(CAST(floor(value*10000 + 0.5) AS BIGINT)) / 10000.0
+                       AS sum_value
             FROM events GROUP BY event_type, hour
         """,
         "q_dedup_docs": """

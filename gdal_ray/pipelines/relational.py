@@ -36,10 +36,20 @@ def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _q4(x):
+    """Quantize to integer ten-thousandths with floor(x*1e4 + 0.5): the
+    per-row doubles are identical in the engine and in DuckDB, so the
+    quantized int64s agree exactly and their SUM is order-independent —
+    float aggregates become bit-deterministic with NO final rounding
+    (a round-after-sum lands on .xx5 boundaries at some scales)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000.0 + 0.5).astype(np.int64)
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-style grouped aggregate with per-batch partial pre-aggregation
     (combiner before the shuffle — SURVEY.md §2.5 mapping of OGR SQL
-    aggregates, ogr_gensql.cpp:642)."""
+    aggregates, ogr_gensql.cpp:642). Money columns sum as quantized int64
+    (see _q4) so the result is identical under ANY summation order."""
     ds = _t(
         sf_dir,
         "lineitem",
@@ -49,28 +59,36 @@ def q1_pricing_summary(sf_dir: str):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["l_shipdate"] <= cutoff]
-        batch = batch.assign(disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"]))
+        batch = batch.assign(
+            qty4=_q4(batch["l_quantity"]),
+            base4=_q4(batch["l_extendedprice"]),
+            disc4=_q4(batch["l_extendedprice"] * (1 - batch["l_discount"])),
+        )
         g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
+            qty4=("qty4", "sum"),
+            base4=("base4", "sum"),
+            disc4=("disc4", "sum"),
+            count_order=("qty4", "size"),
         )
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("qty4", alias_name="qty4"),
+        Sum("base4", alias_name="base4"),
+        Sum("disc4", alias_name="disc4"),
         Sum("count_order", alias_name="count_order"),
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["avg_qty"] = (batch["sum_qty"] / batch["count_order"]).round(4)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            batch[c] = batch[c].round(2)
-        return batch
+        batch["sum_qty"] = batch["qty4"] / 10000.0
+        batch["sum_base_price"] = batch["base4"] / 10000.0
+        batch["sum_disc_price"] = batch["disc4"] / 10000.0
+        batch["avg_qty"] = batch["qty4"] / (batch["count_order"] * 10000.0)
+        return batch[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_qty", "count_order"]
+        ]
 
     return final.map_batches(finish, batch_format="pandas")
 
@@ -100,13 +118,18 @@ def q_join_segment_revenue(sf_dir: str):
     joined = orders.join(
         customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+
+    def quant(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["rev4"] = _q4(batch["o_totalprice"])
+        return batch[["c_mktsegment", "rev4"]]
+
+    agg = joined.map_batches(quant, batch_format="pandas").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("rev4", alias_name="rev4")
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["revenue"].round(2)
-        return batch
+        batch["revenue"] = batch["rev4"] / 10000.0
+        return batch[["c_mktsegment", "n_orders", "revenue"]]
 
     return agg.map_batches(finish, batch_format="pandas")
 
@@ -136,18 +159,22 @@ def q_window_events_hourly(sf_dir: str):
         us = np.asarray(batch["ts"].cast(pa.int64()))
         hour = us // 3_600_000_000
         return pa.table(
-            {"event_type": batch["event_type"], "hour": pa.array(hour), "value": batch["value"]}
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "val4": pa.array(_q4(np.asarray(batch["value"]))),
+            }
         )
 
     agg = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n"), Sum("val4", alias_name="val4"))
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["sum_value"].round(4)
-        return batch
+        batch["sum_value"] = batch["val4"] / 10000.0
+        return batch[["event_type", "hour", "n", "sum_value"]]
 
     return agg.map_batches(finish, batch_format="pandas")
 
