@@ -53,39 +53,58 @@ def q_resample_roundtrip(sf_dir: str):
 
 
 def q_global_band_stats(sf_dir: str):
-    """Two-phase exact global pixel statistics over ALL decoded images."""
+    """Two-phase exact global pixel statistics over ALL decoded images:
+    per-batch partials reduce through Ray's distributed aggregate (tree
+    combine), so the driver sees ONE row regardless of corpus size."""
+    from ray.data.aggregate import Max, Min, Sum
+
     from gdal_ray.stages.rasterops import global_stats_partials
 
     d = corpus_for_sf(sf_dir)
     partials = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
         global_stats_partials, batch_format="pyarrow", batch_size=256
     )
-    pdf = partials.to_pandas()
-    n = int(pdf["n"].sum())
-    s = float(pdf["sum"].sum())
-    ss = float(pdf["sumsq"].sum())
-    mean = s / n
+    agg = partials.aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum", alias_name="sum"),
+        Sum("sumsq", alias_name="sumsq"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+    n = int(agg["n"])
+    mean = float(agg["sum"]) / n
     return pd.DataFrame(
         {
             "n_pixels": [n],
             "mean": [round(mean, 6)],
-            "std": [round(float(np.sqrt(ss / n - mean * mean)), 6)],
-            "min": [pdf["min"].min()],
-            "max": [pdf["max"].max()],
+            "std": [round(float(np.sqrt(float(agg["sumsq"]) / n - mean * mean)), 6)],
+            "min": [agg["min"]],
+            "max": [agg["max"]],
         }
     )
 
 
 def q_global_histogram(sf_dir: str):
-    """Exact global 256-bin pixel histogram (vector-sum of partials)."""
+    """Exact global 256-bin pixel histogram: per-batch partial histograms,
+    then a distributed block-level vector combine — the driver sums only
+    one row per block, not one per batch."""
     from gdal_ray.stages.rasterops import histogram_partials
 
     d = corpus_for_sf(sf_dir)
     parts = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
         histogram_partials, batch_format="pyarrow", batch_size=256
     )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(256, dtype=np.int64)
+        for row in batch["hist"].to_pylist():
+            acc += np.asarray(row, dtype=np.int64)
+        return pa.table({"hist": pa.array([acc.tolist()], pa.list_(pa.int64()))})
+
     acc = np.zeros(256, dtype=np.int64)
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.map_batches(combine, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
         for row in b["hist"].to_pylist():
             acc += np.asarray(row, dtype=np.int64)
     return pd.DataFrame({"bin": np.arange(256, dtype=np.int32), "count": acc})
