@@ -237,17 +237,25 @@ def pip_join_shuffle(points_ds, polygons_ds, level: int = CELL_LEVEL, num_bucket
             px = p["cx"].to_numpy(dtype=np.float64)
             py = p["cy"].to_numpy(dtype=np.float64)
             sid = p["src_id"].to_numpy()
-            for _, poly in q.iterrows():
+            # pull plain arrays out of the frame ONCE (no iterrows over a
+            # frame of binary blobs in the hot loop)
+            q_minx = q["minx"].to_numpy(dtype=np.float64)
+            q_miny = q["miny"].to_numpy(dtype=np.float64)
+            q_maxx = q["maxx"].to_numpy(dtype=np.float64)
+            q_maxy = q["maxy"].to_numpy(dtype=np.float64)
+            q_wkb = q["wkb"].to_numpy()
+            q_pid = q["poly_id"].to_numpy()
+            for j in range(len(q_pid)):
                 m = (
-                    (px >= poly["minx"]) & (px <= poly["maxx"])
-                    & (py >= poly["miny"]) & (py <= poly["maxy"])
+                    (px >= q_minx[j]) & (px <= q_maxx[j])
+                    & (py >= q_miny[j]) & (py <= q_maxy[j])
                 )
                 if not m.any():
                     continue
                 hit = np.zeros(int(m.sum()), dtype=bool)
                 sx = px[m]
                 sy = py[m]
-                for rings in W.decode_polygons(poly["wkb"]):
+                for rings in W.decode_polygons(q_wkb[j]):
                     inside = P.points_in_ring(sx, sy, rings[0])
                     for hole in rings[1:]:
                         if inside.any():
@@ -255,7 +263,7 @@ def pip_join_shuffle(points_ds, polygons_ds, level: int = CELL_LEVEL, num_bucket
                     hit |= inside
                 if hit.any():
                     out_src.extend(sid[m][hit])
-                    out_poly.extend([poly["poly_id"]] * int(hit.sum()))
+                    out_poly.extend([q_pid[j]] * int(hit.sum()))
         return pd.DataFrame({"src_id": pd.Series(out_src, dtype=str),
                              "poly_id": pd.Series(out_poly, dtype=str)})
 
