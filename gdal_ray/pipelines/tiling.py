@@ -137,10 +137,12 @@ def _compose_group(part: pd.DataFrame) -> pd.DataFrame:
     rows = {"z": [], "x": [], "y": [], "png": [], "n_sources": []}
     for (z, x, y), g in part.groupby(["z", "x", "y"], sort=False):
         g = g.sort_values("image_id")  # deterministic paint order
+        partials = g["partial"].to_numpy()
+        masks = g["mask"].to_numpy()
         tile = np.zeros((TILE_SIZE, TILE_SIZE, 3), dtype=np.uint8)
-        for _, r in g.iterrows():
-            partial = np.frombuffer(r["partial"], dtype=np.uint8).reshape(TILE_SIZE, TILE_SIZE, 3)
-            ok = np.unpackbits(np.frombuffer(r["mask"], dtype=np.uint8))[: TILE_SIZE * TILE_SIZE]
+        for i in range(len(partials)):
+            partial = np.frombuffer(partials[i], dtype=np.uint8).reshape(TILE_SIZE, TILE_SIZE, 3)
+            ok = np.unpackbits(np.frombuffer(masks[i], dtype=np.uint8))[: TILE_SIZE * TILE_SIZE]
             ok = ok.reshape(TILE_SIZE, TILE_SIZE).astype(bool)
             tile[ok] = partial[ok]
         rows["z"].append(int(z))
@@ -163,10 +165,13 @@ def _downsample_group(part: pd.DataFrame) -> pd.DataFrame:
     rows = {"z": [], "x": [], "y": [], "png": [], "n_sources": []}
     for (pz, px_, py_), g in part.groupby(["pz", "px", "py"], sort=False):
         canvas = np.zeros((2 * TILE_SIZE, 2 * TILE_SIZE, 3), dtype=np.uint8)
-        for _, r in g.iterrows():
-            child = C.decode_png(r["png"])[:, :, :3]
-            dx = (int(r["x"]) - 2 * int(px_)) * TILE_SIZE
-            dy = (int(r["y"]) - 2 * int(py_)) * TILE_SIZE
+        pngs = g["png"].to_numpy()
+        xs = g["x"].to_numpy()
+        ys = g["y"].to_numpy()
+        for i in range(len(pngs)):
+            child = C.decode_png(pngs[i])[:, :, :3]
+            dx = (int(xs[i]) - 2 * int(px_)) * TILE_SIZE
+            dy = (int(ys[i]) - 2 * int(py_)) * TILE_SIZE
             canvas[dy : dy + TILE_SIZE, dx : dx + TILE_SIZE] = child
         small = (
             canvas.reshape(TILE_SIZE, 2, TILE_SIZE, 2, 3).astype(np.uint32).sum(axis=(1, 3)) // 4
