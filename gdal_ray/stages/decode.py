@@ -49,13 +49,22 @@ class DecodeStats:
         cksum = np.empty(n, np.int32)
         ph = np.empty(n, np.int64)
         pixels = [] if self.keep_pixels else None
+        vals = np.arange(256, dtype=np.int64)
+        vals2 = vals * vals
         for i in range(n):
             img = C.decode_image(blobs[i], fmts[i])
-            f = img.astype(np.float64)
-            mean[i] = f.mean()
-            std[i] = f.std()
-            minv[i] = int(img.min())
-            maxv[i] = int(img.max())
+            # one-pass exact stats from the value histogram (no float64
+            # copy of the pixel array): integer sums are exact, so
+            # mean/min/max are identical to the two-pass form
+            counts = np.bincount(img.ravel(), minlength=256)
+            npix = img.size
+            s = int(counts @ vals)
+            ss = int(counts @ vals2)
+            mean[i] = s / npix
+            std[i] = np.sqrt(max(0.0, ss / npix - (s / npix) ** 2))
+            nz = np.flatnonzero(counts)
+            minv[i] = int(nz[0])
+            maxv[i] = int(nz[-1])
             cksum[i] = checksum_image(img[:, :, 0])
             if self.compute_phash:
                 ph[i] = PH.phash64(img)
