@@ -1,7 +1,9 @@
 """Multimodal payload stages: audio / video as opaque binary + typed metadata.
 
-The container ships no media libraries, so the DECODE step is stubbed two
-ways per the build contract:
+Audio: fmt="wav" payloads decode FOR REAL (RIFF PCM codec, io/audio.py —
+needs no library) and the feature DSP (band energies / RMS / zero-crossing
+rate / spectral centroid) runs on actual samples. Compressed audio and all
+video decode remain stubbed per the build contract:
 - ``strict=True``: raises NotImplementedError naming the seam where a real
   decoder (libsndfile / pyav) plugs in;
 - default: a deterministic fake decoder (seeded from the payload hash) so
@@ -22,7 +24,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["AudioFeatures", "VideoFrameSampler", "make_fake_audio_table", "make_fake_video_table"]
+__all__ = [
+    "AudioFeatures",
+    "VideoFrameSampler",
+    "make_wav_audio_table",
+    "make_fake_audio_table",
+    "make_fake_video_table",
+]
 
 
 def _seed_from(blob: bytes) -> int:
@@ -32,10 +40,10 @@ def _seed_from(blob: bytes) -> int:
 class AudioFeatures:
     """Actor-pool stage: audio bytes -> fixed-size feature vector.
 
-    Real pipeline: decode PCM -> frame -> mel-ish band energies. Stub path
-    synthesizes deterministic PCM from the payload hash so downstream
-    consumers (similarity search over the feature column, dedup) exercise
-    identical plumbing.
+    fmt="wav" payloads decode for real (RIFF PCM); other formats use the
+    deterministic stub (or raise with strict=True). Features are real DSP
+    either way: N_BANDS log band energies + RMS + zero-crossing rate +
+    spectral centroid (Hz, normalized by Nyquist).
     """
 
     N_BANDS = 16
@@ -43,11 +51,17 @@ class AudioFeatures:
     def __init__(self, strict: bool = False):
         self.strict = strict
 
-    def _decode(self, blob: bytes, sr: int, n: int) -> np.ndarray:
+    def _decode(self, blob: bytes, sr: int, n: int, fmt: str = "pcm-stub") -> np.ndarray:
+        if fmt == "wav":
+            from gdal_ray.io.audio import decode_wav
+
+            pcm, _ = decode_wav(blob)
+            return pcm[:, 0].astype(np.float64) / 32768.0
         if self.strict:
             raise NotImplementedError(
-                "audio decode needs an audio library (libsndfile/ffmpeg) not present "
-                "in this environment; plug it into AudioFeatures._decode"
+                f"audio decode for fmt={fmt!r} needs an audio library "
+                "(libsndfile/ffmpeg) not present in this environment; plug it "
+                "into AudioFeatures._decode"
             )
         rng = np.random.Generator(np.random.Philox(key=np.array([_seed_from(blob) & ((1 << 64) - 1), 0], dtype=np.uint64)))
         t = np.arange(n) / max(sr, 1)
@@ -58,14 +72,32 @@ class AudioFeatures:
         blobs = batch["bytes"].to_pylist()
         srs = batch["sr"].to_pylist()
         ns = batch["n_samples"].to_pylist()
+        fmts = (
+            batch["fmt"].to_pylist()
+            if "fmt" in batch.column_names
+            else ["pcm-stub"] * len(blobs)
+        )
         feats = []
+        rms_out = np.empty(len(blobs))
+        zcr_out = np.empty(len(blobs))
+        cent_out = np.empty(len(blobs))
         for i in range(len(blobs)):
-            pcm = self._decode(blobs[i], srs[i], min(int(ns[i]), 65536))
+            pcm = self._decode(blobs[i], srs[i], min(int(ns[i]), 65536), fmts[i])
             spec = np.abs(np.fft.rfft(pcm))
             bands = np.array_split(spec, self.N_BANDS)
             feats.append([float(np.log1p(b.mean())) for b in bands])
-        return batch.drop_columns(["bytes"]).append_column(
-            "features", pa.array(feats, pa.list_(pa.float64(), self.N_BANDS))
+            rms_out[i] = float(np.sqrt(np.mean(pcm * pcm)))
+            zcr_out[i] = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+            power = spec * spec
+            tot = power.sum()
+            freqs = np.linspace(0.0, 1.0, len(spec))  # fraction of Nyquist
+            cent_out[i] = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+        return (
+            batch.drop_columns(["bytes"])
+            .append_column("features", pa.array(feats, pa.list_(pa.float64(), self.N_BANDS)))
+            .append_column("rms", pa.array(rms_out))
+            .append_column("zcr", pa.array(zcr_out))
+            .append_column("spectral_centroid", pa.array(cent_out))
         )
 
 
@@ -119,6 +151,36 @@ class VideoFrameSampler:
                 "frame_phash": pa.array(out["frame_phash"], pa.int64()),
             }
         )
+
+
+def make_wav_audio_table(n: int, seed: int = 42, sr: int = 16000) -> pa.Table:
+    """REAL RIFF-PCM payloads: per clip a pure tone (known frequency) plus
+    mild noise, 16-bit mono — exercises the genuine wav decode path."""
+    from gdal_ray.io.audio import encode_wav
+
+    rng = np.random.default_rng(seed)
+    blobs, n_samples, tones = [], [], []
+    for i in range(n):
+        ns = int(rng.integers(8000, 32000))
+        f = float(rng.uniform(100, 4000))
+        t = np.arange(ns) / sr
+        pcm = (
+            0.5 * np.sin(2 * np.pi * f * t) + 0.01 * rng.normal(0, 1, ns)
+        )
+        blobs.append(encode_wav((np.clip(pcm, -1, 1) * 32767).astype(np.int16), sr))
+        n_samples.append(ns)
+        tones.append(f)
+    return pa.table(
+        {
+            "clip_id": pa.array([f"clip{i:06d}" for i in range(n)]),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sr": pa.array([sr] * n, pa.int32()),
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "fmt": pa.array(["wav"] * n),
+            "caption": pa.array([f"tone {tones[i]:.0f} Hz" for i in range(n)]),
+            "tone_hz": pa.array(tones, pa.float64()),
+        }
+    )
 
 
 def make_fake_audio_table(n: int, seed: int = 42) -> pa.Table:
