@@ -252,9 +252,33 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
     n_pending_images = pending_placed.count() if done else None
     composed = None
     if n_pending_images != 0:
-        imgs = SRC.read_images(corpus_dir, columns=["image_id", "bytes", "fmt"])
-        with_bytes = pending_placed.join(imgs, join_type="inner", num_partitions=8, on=("image_id",))
-        partials = with_bytes.map_batches(
+        # bytes come through the storage-co-partitioned merge (same fused
+        # shape as the flagship source) — no hash join, the payload never
+        # shuffles; the pending filter drops done-group images BEFORE the
+        # expensive render
+        from gdal_ray.pipelines.flagship import _copart_shards, _merge_placements
+        from gdal_ray.stages import geo as G
+
+        pairs = _copart_shards(corpus_dir)
+        if pairs:
+            src = rd.read_parquet(
+                os.path.join(corpus_dir, "images.parquet"), include_paths=True
+            )
+            placed_b = src.map_batches(
+                _merge_placements,
+                fn_kwargs={"plc_dir": os.path.join(corpus_dir, "placements.parquet")},
+                batch_format="pyarrow",
+                batch_size=IMAGE_BATCH,
+            )
+            placed_b = placed_b.map_batches(
+                G.add_bbox_meters, batch_format="pyarrow", batch_size=None
+            )
+        else:  # non-co-sharded fallback: the general hash join
+            imgs = SRC.read_images(corpus_dir, columns=["image_id", "bytes", "fmt"])
+            placed_b = placed.join(imgs, join_type="inner", num_partitions=8, on=("image_id",))
+        if done:
+            placed_b = placed_b.map_batches(groups_of_bbox, batch_format="pyarrow")
+        partials = placed_b.map_batches(
             render_partial_tiles, fn_kwargs={"z": z_base}, batch_format="pyarrow", batch_size=IMAGE_BATCH
         )
         composed = compose_tiles(partials)
