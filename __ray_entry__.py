@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nearblack": RQ.q_nearblack,
         "q_pansharpen": RQ.q_pansharpen,
         "q_viewshed": RQ.q_viewshed,
+        "q_audio_features": EQ.q_audio_features,
     }
 
 

@@ -8,7 +8,7 @@ import os
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-__all__ = ["q_sample_lattice", "q_pipeline_chain"]
+__all__ = ["q_sample_lattice", "q_pipeline_chain", "q_audio_features"]
 
 
 def q_sample_lattice(sf_dir: str):
@@ -44,3 +44,39 @@ def q_pipeline_chain(sf_dir: str):
         ]
     )
     return pipe.run(ds)
+
+
+def q_audio_features(sf_dir: str):
+    """Audio modality end-to-end on REAL WAV payloads: a deterministic
+    tone corpus (seeded per scale from the documents row count) is encoded
+    as RIFF PCM, decoded by the real codec and featurized by the actor-pool
+    DSP stage. Emits (clip_id, hot_band, centroid_err) — centroid_err is
+    |spectral_centroid - tone/nyquist|, a self-checking residual that
+    should stay small for every clip (rows-only gate; exactness tests in
+    tests/test_audio.py)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from gdal_ray.stages.multimodal import AudioFeatures, make_wav_audio_table
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = max(32, min(512, n_docs // 4))
+    t = make_wav_audio_table(n, seed=42, sr=16000)
+    ds = rd.from_arrow(t)
+    feats = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        bands = np.stack(batch["features"].to_numpy())
+        batch["hot_band"] = bands.argmax(axis=1).astype("int32")
+        batch["centroid_err"] = (
+            batch["spectral_centroid"] - batch["tone_hz"] / 8000.0
+        ).abs().round(4)
+        return batch[["clip_id", "hot_band", "centroid_err"]]
+
+    return feats.map_batches(finish, batch_format="pandas")
