@@ -94,7 +94,17 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
         p0 = pts[idx[0]]
         for k in range(1, len(idx) - 1):
             tris.append(np.array([p0, pts[idx[k]], pts[idx[k + 1]]]))
-    return [t for t in tris if abs(ring_area(np.vstack([t, t[:1]]))) > 0]
+    tris = [t for t in tris if abs(ring_area(np.vstack([t, t[:1]]))) > 0]
+    # simplicity check: for a simple ring the ear areas sum EXACTLY to the
+    # ring area; a self-intersecting input silently violates that, so fail
+    # loudly instead of returning overlapping pieces
+    total = sum(abs(ring_area(np.vstack([t, t[:1]]))) for t in tris)
+    want = abs(ring_area(np.vstack([pts, pts[:1]])))
+    if abs(total - want) > 1e-6 * max(1.0, want, total):
+        raise ValueError(
+            f"ring is not a simple polygon (ear area {total:.6g} != ring area {want:.6g})"
+        )
+    return tris
 
 
 def _close(p: np.ndarray) -> np.ndarray:

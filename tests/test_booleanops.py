@@ -16,7 +16,8 @@ from gdal_ray.geo.pip import points_in_ring
 
 
 def _star(rng, cx, cy, n=9, rmin=1.0, rmax=4.0):
-    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    # jittered equal-angle spacing keeps every angular gap < pi -> simple
+    ang = (np.arange(n) + rng.uniform(0.1, 0.9, n)) * (2 * np.pi / n)
     rad = rng.uniform(rmin, rmax, n)
     pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
     return np.vstack([pts, pts[:1]])
@@ -77,3 +78,11 @@ def test_boolean_ops_disjoint_and_contained():
     assert abs(pieces_area(polygon_intersection(sq, inner)) - 1.0) < 1e-12
     assert abs(pieces_area(polygon_difference(sq, inner)) - 15.0) < 1e-9
     assert abs(pieces_area(polygon_difference(inner, sq))) < 1e-12
+
+
+def test_non_simple_ring_raises():
+    import pytest
+
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
+    with pytest.raises(ValueError, match="not a simple polygon"):
+        triangulate_ring(bowtie)

@@ -118,8 +118,10 @@ def test_boolean_ops_invariant_property(seed):
     rng = np.random.default_rng(seed)
 
     def star(cx, cy):
+        # jittered equal-angle construction: max angular gap < pi, so the
+        # star polygon is always SIMPLE (booleanops' input contract)
         n = int(rng.integers(5, 10))
-        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        ang = (np.arange(n) + rng.uniform(0.1, 0.9, n)) * (2 * np.pi / n)
         rad = rng.uniform(1, 4, n)
         p = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
         return np.vstack([p, p[:1]])
