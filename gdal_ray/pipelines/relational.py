@@ -115,15 +115,17 @@ def q_join_segment_revenue(sf_dir: str):
     """Hash equi-join (OGR SQL JOIN, ogr_gensql.cpp:1497) + aggregate."""
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = orders.join(
+    def quant(batch: pa.Table) -> pa.Table:
+        # quantize BEFORE the join (fuses with the read; the join ships the
+        # int64 column instead of the float)
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "rev4": pa.array(_q4(batch["o_totalprice"]))}
+        )
+
+    joined = orders.map_batches(quant, batch_format="pyarrow").join(
         customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
-
-    def quant(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["rev4"] = _q4(batch["o_totalprice"])
-        return batch[["c_mktsegment", "rev4"]]
-
-    agg = joined.map_batches(quant, batch_format="pandas").groupby("c_mktsegment").aggregate(
+    agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("rev4", alias_name="rev4")
     )
 
