@@ -481,6 +481,27 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_size > 20
             ORDER BY vol DESC, p_partkey LIMIT 50
         """,
+        "q_simhash_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS tok
+                FROM documents),
+                 th AS (SELECT doc_id,
+                               CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                        FROM toks),
+                 bits AS (SELECT doc_id, b,
+                                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                          FROM th CROSS JOIN generate_series(0, 63) t(b)
+                          GROUP BY doc_id, b),
+                 packed AS (SELECT doc_id,
+                        CAST(SUM(CASE WHEN acc > 0 THEN
+                                 CASE WHEN b = 63 THEN -9223372036854775808
+                                      ELSE (CAST(1 AS BIGINT) << b) END
+                             ELSE 0 END) AS BIGINT) AS simhash
+                        FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+        """,
         "q_tile_assign": f"{tile_rows(4)} UNION ALL {tile_rows(8)}",
         "q_cell_hist": f"""
             WITH t AS (

@@ -231,25 +231,26 @@ class SimHasher:
     sign of the sum of per-token random projections. Near-dup docs land at
     small hamming distance; banded exactly like pHash.
 
-    Vectorized: the whole batch's tokens are flattened once; blake2b runs
-    only per UNIQUE token (with an actor-lifetime vocabulary cache), the
-    bit expansion is one (tokens, 64) numpy broadcast, and the per-document
+    The per-token projection is the top 64 bits of md5 (hex-prefix read) and
+    the tokenizer is ASCII ``\\w+`` over lowercased text — BOTH expressible
+    in ANSI SQL, so the whole sketch has a DuckDB oracle (q_simhash_docs).
+
+    Vectorized: the whole batch's tokens are flattened once; md5 runs only
+    per UNIQUE token (with an actor-lifetime vocabulary cache), the bit
+    expansion is one (tokens, 64) numpy broadcast, and the per-document
     accumulation is a single reduceat over document boundaries."""
 
     def __init__(self, seed: int = 42):
         import re
 
-        self.token = re.compile(r"\w+")
+        self.token = re.compile(r"\w+", re.ASCII)
         self.seed = seed
         self._vocab: dict[str, int] = {}  # token -> uint64 hash, lives per actor
 
     def _hash64(self, tok: str) -> int:
         h = self._vocab.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8, salt=b"simhash0").digest(),
-                "little",
-            )
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
             if len(self._vocab) > 1_000_000:
                 self._vocab.clear()
             self._vocab[tok] = h
