@@ -134,7 +134,66 @@ def oracle_sql() -> dict[str, str]:
     cell_tx = tile_expr(ix, 7)
     cell_ty = tile_expr(iy, 7)
 
+    # q_text_analysis twin, generated from the same language profiles the
+    # engine uses (gdal_ray/stages/text.py _LANG_PROFILES)
+    _profiles = {
+        "en": ["the", "and", "ing", "ion", "is", "of"],
+        "de": ["der", "und", "sch", "ein", "ich", "die"],
+        "fr": ["les", "des", "ent", "que", "une", "est"],
+        "es": ["los", "las", "que", "ión", "una", "del"],
+    }
+    _chcls = "a-zäöüéèêáíóúñç"
+
+    def _lang_score(lang: str) -> str:
+        terms = []
+        for p in _profiles[lang]:
+            if len(p) == 3:
+                terms.append(f"(CASE WHEN position('{p}' IN t) > 0 THEN 1 ELSE 0 END)")
+            terms.append(
+                f"(CASE WHEN list_contains(regexp_extract_all(t, '[{_chcls}]{{2,}}'), '{p}') "
+                f"THEN 2 ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    text_analysis_sql = f"""
+        WITH base AS (
+          SELECT doc_id, lang, lower(text) AS t,
+                 length(text) AS n_chars_check,
+                 array_length(list_filter(
+                     regexp_split_to_array(text, '[ \t\n\r]+'),
+                     x -> len(x) > 0)) AS n_tokens,
+                 length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 regexp_extract_all(lower(text), '\\w+') AS toks
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang, n_tokens, n_chars_check, n_punct,
+                 CAST(len(list_filter(toks,
+                     x -> x IN ('the','and','of','a','to','in','is','it','that',
+                                'for','on','as','with','was','at','by','an','be',
+                                'this','are','or','from'))) AS DOUBLE)
+                   / GREATEST(len(toks), 1) AS stopword_ratio,
+                 ({_lang_score("en")}) AS s_en,
+                 ({_lang_score("de")}) AS s_de,
+                 ({_lang_score("fr")}) AS s_fr,
+                 ({_lang_score("es")}) AS s_es
+          FROM base)
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               (LEAST(GREATEST(n_chars_check / 500.0, 0), 1)
+                + (1.0 - LEAST(GREATEST((CAST(n_punct AS DOUBLE)
+                        / GREATEST(n_chars_check, 1)) / 0.3, 0), 1))
+                + LEAST(GREATEST(stopword_ratio, 0), 1)) / 3.0 AS quality,
+               stopword_ratio
+        FROM scored
+    """
+
     return {
+        "q_text_analysis": text_analysis_sql,
         "q1_pricing_summary": """
             -- money columns quantized per row to integer 1e-4 units
             -- (floor(x*1e4+0.5)) before summing: the int64 SUM is

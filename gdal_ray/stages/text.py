@@ -36,9 +36,11 @@ class TextStats:
     """
 
     def __init__(self):
-        self.word = re.compile(r"[^\s]+")
-        self.punct = re.compile(r"[^\w\s]")
-        self.token = re.compile(r"\w+", re.UNICODE)
+        # ASCII character classes throughout: matches RE2 (\w = [0-9A-Za-z_])
+        # so every column has an exact DuckDB twin (q_text_analysis oracle)
+        self.word = re.compile(r"[^ \t\n\r]+")
+        self.punct = re.compile(r"[^\w\s]", re.ASCII)
+        self.token = re.compile(r"\w+", re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
