@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pansharpen": RQ.q_pansharpen,
         "q_viewshed": RQ.q_viewshed,
         "q_audio_features": EQ.q_audio_features,
+        "q_rat": RQ.q_rat,
+        "q_stack_median": RQ.q_stack_median,
     }
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "q_nearblack",
     "q_pansharpen",
     "q_viewshed",
+    "q_rat",
+    "q_stack_median",
 ]
 
 
@@ -807,3 +809,95 @@ def q_viewshed(sf_dir: str):
         )
 
     return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow", batch_size=8)
+
+
+def q_rat(sf_dir: str):
+    """Raster attribute table (gcore/gdal_rat.cpp semantics): one row per
+    (raster, pixel value) with count + share — the categorical-raster
+    attribute table as a distributed aggregate (rows-only gate)."""
+    d = corpus_for_sf(sf_dir)
+
+    def per_raster(batch: pa.Table) -> pa.Table:
+        rows = {"raster_id": [], "value": [], "n_pixels": [], "share": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            arr = np.asarray(pix[i], dtype=np.int64)
+            vals, counts = np.unique(arr, return_counts=True)
+            n = arr.size
+            for v, c in zip(vals, counts):
+                rows["raster_id"].append(batch["raster_id"][i].as_py())
+                rows["value"].append(int(v))
+                rows["n_pixels"].append(int(c))
+                rows["share"].append(round(float(c) / n, 6))
+        return pa.table(
+            {
+                "raster_id": pa.array(rows["raster_id"], pa.string()),
+                "value": pa.array(rows["value"], pa.int64()),
+                "n_pixels": pa.array(rows["n_pixels"], pa.int64()),
+                "share": pa.array(rows["share"], pa.float64()),
+            }
+        )
+
+    return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow")
+
+
+def q_stack_median(sf_dir: str):
+    """Minimal multidim/datacube op (gcore/gdal_priv.h MDArray shape):
+    rasters resample to a common 32x32 grid, stack in groups of 4 (sorted
+    raster_id order) and reduce per-pixel MEDIAN across the stack — the
+    temporal-composite pattern; emits per-group checksum (rows-only)."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import resample_nearest
+
+    d = corpus_for_sf(sf_dir)
+
+    def hashlib_stable(s: str) -> int:
+        import zlib
+
+        return zlib.crc32(s.encode()) % 64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = {"stack_id": [], "raster_id": [], "grid": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            rid = batch["raster_id"][i].as_py()
+            arr = np.asarray(pix[i], dtype=np.int32).reshape(hs[i], ws[i])
+            g = resample_nearest(arr, 32, 32)
+            out["stack_id"].append(
+                int(rid[3:]) // 4 if rid[3:].isdigit() else int(hashlib_stable(rid))
+            )
+            out["raster_id"].append(rid)
+            out["grid"].append(g.astype(np.int32).tobytes())
+        return pa.table(
+            {
+                "stack_id": pa.array(out["stack_id"], pa.int64()),
+                "raster_id": pa.array(out["raster_id"], pa.string()),
+                "grid": pa.array(out["grid"], pa.binary()),
+            }
+        )
+
+    prepped = SRC.read_rasters(d).map_batches(prep, batch_format="pyarrow")
+
+    def reduce_stack(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"stack_id": [], "n_layers": [], "median_cksum": []}
+        for sid, g in part.groupby("stack_id", sort=False):
+            g = g.sort_values("raster_id")
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.int32).reshape(32, 32) for b in g["grid"]]
+            )
+            med = np.median(stack, axis=0)
+            rows["stack_id"].append(int(sid))
+            rows["n_layers"].append(len(g))
+            rows["median_cksum"].append(checksum_image(med))
+        return pd.DataFrame(rows)
+
+    return bucketed_group_apply(
+        prepped, ["stack_id"], reduce_stack, 8,
+        schema=pa.schema([("stack_id", pa.int64()), ("n_layers", pa.int64()),
+                          ("median_cksum", pa.int64())]),
+    )
