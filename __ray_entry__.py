@@ -164,7 +164,7 @@ def oracle_sql() -> dict[str, str]:
                  array_length(list_filter(
                      regexp_split_to_array(text, '[ \t\n\r]+'),
                      x -> len(x) > 0)) AS n_tokens,
-                 length(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 length(regexp_extract_all(text, '[^\\w \t\n\f\r]')) AS n_punct,
                  regexp_extract_all(lower(text), '\\w+') AS toks
           FROM documents),
         scored AS (

@@ -157,8 +157,17 @@ def _shard_units(corpus_dir: str):
 
 # lazy-plan cache: the fused source's driver-side setup (shard metadata scan
 # + 1-row-per-unit block creation) is identical across executions of the same
-# corpus; a Dataset is a reusable lazy plan, so build it once per process
+# corpus; a Dataset is a reusable lazy plan, so build it once per process.
+# Keys include the Ray session (job id) — a ray.shutdown()/init() cycle in
+# the same process must NOT resurrect refs owned by the dead session.
 _FUSED_CACHE: dict = {}
+
+
+def _session_key() -> str:
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return "nosession"
 
 
 def placed_images_fused(corpus_dir: str, keep_pixels: bool = False) -> rd.Dataset:
@@ -174,7 +183,8 @@ def placed_images_fused(corpus_dir: str, keep_pixels: bool = False) -> rd.Datase
     """
     from gdal_ray.stages.decode import decode_stats
 
-    cached = _FUSED_CACHE.get((corpus_dir, keep_pixels))
+    sess = _session_key()
+    cached = _FUSED_CACHE.get((sess, corpus_dir, keep_pixels))
     if cached is not None:
         return cached
 
@@ -209,7 +219,7 @@ def placed_images_fused(corpus_dir: str, keep_pixels: bool = False) -> rd.Datase
     out = ds.map_batches(load, batch_format="pyarrow", batch_size=None)
     if len(_FUSED_CACHE) > 8:
         _FUSED_CACHE.clear()
-    _FUSED_CACHE[(corpus_dir, keep_pixels)] = out
+    _FUSED_CACHE[(sess, corpus_dir, keep_pixels)] = out
     return out
 
 
@@ -289,13 +299,14 @@ def _polygon_index_ref(corpus_dir: str):
     # broadcast handle; rebuilding per query call would re-ship it)
     import pyarrow.parquet as pq
 
-    ref = _POLY_INDEX_CACHE.get(corpus_dir)
+    key = (_session_key(), corpus_dir)
+    ref = _POLY_INDEX_CACHE.get(key)
     if ref is None:
         table = pq.read_table(f"{corpus_dir}/polygons.parquet", columns=["poly_id", "wkb"])
         ref = ray.put(build_polygon_cell_index(table, CELL_LEVEL))
         if len(_POLY_INDEX_CACHE) > 8:
             _POLY_INDEX_CACHE.clear()
-        _POLY_INDEX_CACHE[corpus_dir] = ref
+        _POLY_INDEX_CACHE[key] = ref
     return ref
 
 

@@ -273,10 +273,13 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
             placed_b = placed_b.map_batches(
                 G.add_bbox_meters, batch_format="pyarrow", batch_size=None
             )
-        else:  # non-co-sharded fallback: the general hash join
+        else:  # non-co-sharded fallback: the general hash join, joining
+            # ONLY the pending images' bytes (filter before the shuffle)
             imgs = SRC.read_images(corpus_dir, columns=["image_id", "bytes", "fmt"])
-            placed_b = placed.join(imgs, join_type="inner", num_partitions=8, on=("image_id",))
-        if done:
+            placed_b = pending_placed.join(
+                imgs, join_type="inner", num_partitions=8, on=("image_id",)
+            )
+        if pairs and done:
             placed_b = placed_b.map_batches(groups_of_bbox, batch_format="pyarrow")
         partials = placed_b.map_batches(
             render_partial_tiles, fn_kwargs={"z": z_base}, batch_format="pyarrow", batch_size=IMAGE_BATCH

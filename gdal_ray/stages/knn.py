@@ -171,7 +171,11 @@ def knn_shuffle(points_ds, queries_ds, k: int, level: int = CELL_LEVEL, num_buck
             batch = batch.drop_columns(["cell"])
         return batch.append_column("cell", pa.array(cell))
 
-    pts = points_ds.map_batches(add_cell, batch_format="pyarrow")
+    # materialize the keyed point METADATA once (id + coords + cell —
+    # columns-pruned, no payloads): it feeds both the histogram pass and
+    # the candidate shuffle, and without this the upstream source pipeline
+    # would execute twice
+    pts = points_ds.map_batches(add_cell, batch_format="pyarrow").materialize()
     # phase 1: per-cell histogram (small: <= 4^level rows)
     cnt = pts.groupby("cell").count().to_pandas()
     counts = dict(zip(cnt["cell"].astype(np.int64), cnt["count()"].astype(np.int64)))

@@ -56,7 +56,7 @@ class AudioFeatures:
             from gdal_ray.io.audio import decode_wav
 
             pcm, _ = decode_wav(blob)
-            return pcm[:, 0].astype(np.float64) / 32768.0
+            return pcm[:n, 0].astype(np.float64) / 32768.0
         if self.strict:
             raise NotImplementedError(
                 f"audio decode for fmt={fmt!r} needs an audio library "

@@ -191,9 +191,11 @@ def topk_cosine_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             ids = g["vec_id"].to_numpy()
             sims = m @ st["qn"][qidx].T  # (|bucket|, |probing queries|)
             take = min(k, len(ids))
-            part_idx = np.argpartition(-sims, kth=take - 1, axis=0)[:take]
             for jj, qi in enumerate(qidx):
-                sel = part_idx[:, jj]
+                # partial top-k under the SAME total order (score desc,
+                # vec_id asc) as the final merge and the SQL oracle —
+                # a plain argpartition would break ties at the cut
+                sel = np.lexsort((ids, -sims[:, jj]))[:take]
                 rows.append(
                     pd.DataFrame(
                         {
@@ -300,20 +302,18 @@ def hyperplane_bands(ds, n_bits: int = 64, band_bits: int = 4, seed: int = 7,
     band with prob 1-(1-p^b)^r, p = 1 - arccos(t)/pi — the classic
     hyperplane-LSH bound; the verify stage makes the result exact-on-
     candidates."""
-    rng = np.random.default_rng(seed)
-    planes_ref = None
+    _planes_cache: dict = {}
 
     def sketch(batch: pa.Table) -> pa.Table:
-        nonlocal planes_ref
         m = _matrix(batch, vec_col, np.float64)
-        if planes_ref is None or planes_ref.shape[1] != m.shape[1]:
-            # deterministic per dimension: re-derive from the seed
-            planes_ref_local = np.random.default_rng(seed).normal(
-                size=(n_bits, m.shape[1])
-            )
-        else:
-            planes_ref_local = planes_ref
-        bits = (m @ planes_ref_local.T) > 0  # (n, n_bits)
+        dim = m.shape[1]
+        planes = _planes_cache.get(dim)
+        if planes is None:
+            # deterministic per (seed, dim): every worker derives the same
+            # hyperplanes; cached per actor/worker process
+            planes = np.random.default_rng(seed).normal(size=(n_bits, dim))
+            _planes_cache[dim] = planes
+        bits = (m @ planes.T) > 0  # (n, n_bits)
         n_bands = n_bits // band_bits
         ids = np.asarray(batch[id_col])
         out_band, out_key, out_id = [], [], []

@@ -39,7 +39,9 @@ class TextStats:
         # ASCII character classes throughout: matches RE2 (\w = [0-9A-Za-z_])
         # so every column has an exact DuckDB twin (q_text_analysis oracle)
         self.word = re.compile(r"[^ \t\n\r]+")
-        self.punct = re.compile(r"[^\w\s]", re.ASCII)
+        # explicit whitespace list (RE2's \s has no \v, Python's does):
+        # both sides treat \v as punctuation
+        self.punct = re.compile(r"[^\w \t\n\f\r]", re.ASCII)
         self.token = re.compile(r"\w+", re.ASCII)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
