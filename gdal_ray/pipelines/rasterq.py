@@ -489,7 +489,9 @@ def q_warp_utm(sf_dir: str):
     The corpus stores 4326/3857 placements, so a deterministic 10 m/px UTM
     zone-31 placement is derived per image (near the central meridian,
     offset keyed by stored phash) — the ellipsoidal Karney chain runs
-    without PROJ (gdal_ray/geo/tmerc.py)."""
+    without PROJ (gdal_ray/geo/tmerc.py). Emits checksums for BOTH the
+    bench's resampling arms (-r near / -r cubic,
+    autotest/benchmark/test_gdalwarp.py:38)."""
     import os
 
     import ray.data as rd
@@ -511,7 +513,8 @@ def q_warp_utm(sf_dir: str):
         ws = np.asarray(batch["w"])
         hs = np.asarray(batch["h"])
         ph = np.asarray(batch["phash"], dtype=np.int64)
-        rows = {"image_id": [], "dst_w": [], "dst_h": [], "warp_cksum": []}
+        rows = {"image_id": [], "dst_w": [], "dst_h": [], "warp_cksum": [],
+                "warp_cksum_cubic": []}
         for i in range(len(ids)):
             # deterministic UTM placement: 10 m pixels, centered near the
             # zone-31 central meridian, jittered by the stored phash
@@ -519,17 +522,24 @@ def q_warp_utm(sf_dir: str):
             n0 = 4400000.0 + float(np.abs(ph[i] >> 16) % 200000)
             gt = (e0, 10.0, 0.0, n0, 0.0, -10.0)
             img = C.decode_image(blobs[i], fmts[i])
-            out, _ = warp_image(img, gt, "EPSG:32631", "EPSG:4326")
+            out, ogt = warp_image(img, gt, "EPSG:32631", "EPSG:4326")
+            outc, _ = warp_image(
+                img, gt, "EPSG:32631", "EPSG:4326",
+                dst_gt=ogt, dst_w=out.shape[1], dst_h=out.shape[0],
+                resampling="cubic",
+            )
             rows["image_id"].append(ids[i])
             rows["dst_w"].append(out.shape[1])
             rows["dst_h"].append(out.shape[0])
             rows["warp_cksum"].append(checksum_image(out[:, :, 0]))
+            rows["warp_cksum_cubic"].append(checksum_image(outc[:, :, 0]))
         return pa.table(
             {
                 "image_id": pa.array(rows["image_id"], pa.string()),
                 "dst_w": pa.array(rows["dst_w"], pa.int32()),
                 "dst_h": pa.array(rows["dst_h"], pa.int32()),
                 "warp_cksum": pa.array(rows["warp_cksum"], pa.int32()),
+                "warp_cksum_cubic": pa.array(rows["warp_cksum_cubic"], pa.int32()),
             }
         )
 
