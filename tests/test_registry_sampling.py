@@ -1,0 +1,78 @@
+"""Pipeline-step registry, sampling operators, Lance seam."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_registry_chain_and_errors(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import Pipeline, list_steps, register_step
+
+    assert {"filter", "derive", "select", "rename", "sort", "limit",
+            "sample", "distinct"} <= set(list_steps())
+    with pytest.raises(KeyError):
+        Pipeline([("nope", {})])
+
+    ds = rd.from_items([{"a": i, "b": i % 3} for i in range(100)])
+    pipe = Pipeline(
+        [
+            ("filter", {"expr": "a >= 10"}),
+            ("derive", {"col": "c", "expr": "a * 2 + b"}),
+            ("rename", {"mapping": {"b": "grp"}}),
+            ("sort", {"keys": ["c", "a"], "descending": [True, True]}),
+            ("limit", {"n": 5}),
+        ]
+    )
+    assert "filter" in pipe.describe() and "limit" in pipe.describe()
+    df = pipe.run(ds).to_pandas()
+    assert list(df["a"]) == [99, 98, 97, 96, 95]
+    assert (df["c"] == df["a"] * 2 + df["grp"]).all()
+
+    # user extension: register a custom step and use it
+    @register_step("double_col")
+    def _double(ds2, col):
+        import pandas as pd
+
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b[col] = b[col] * 2
+            return b
+
+        return ds2.map_batches(fn, batch_format="pandas")
+
+    out = Pipeline([("double_col", {"col": "a"})]).run(ds).to_pandas()
+    assert sorted(out["a"])[:3] == [0, 2, 4]
+
+
+def test_deterministic_sample_matches_formula(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.sampling import KNUTH, deterministic_sample, random_sample
+
+    ds = rd.from_items([{"k": i} for i in range(1, 2001)])
+    got = sorted(deterministic_sample(ds, "k", 10).to_pandas()["k"])
+    want = sorted(k for k in range(1, 2001) if (k * KNUTH) % 100 < 10)
+    assert got == want
+    assert 150 < len(got) < 250  # ~10%
+
+    frac = random_sample(ds, 0.25, seed=7).count() / 2000
+    assert 0.15 < frac < 0.35
+
+
+def test_lance_seam_missing_package(tmp_path):
+    """A .lance dataset with no lance package raises at the documented seam
+    (parquet fallback otherwise untouched)."""
+    import os
+
+    from gdal_ray.sources.corpus import read_table
+
+    try:
+        import lance  # noqa: F401
+
+        pytest.skip("lance installed; seam exercises the real reader")
+    except ImportError:
+        pass
+    os.makedirs(tmp_path / "images.lance")
+    with pytest.raises(RuntimeError, match="lance package is unavailable"):
+        read_table(str(tmp_path), "images")
