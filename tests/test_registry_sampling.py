@@ -76,3 +76,32 @@ def test_lance_seam_missing_package(tmp_path):
     os.makedirs(tmp_path / "images.lance")
     with pytest.raises(RuntimeError, match="lance package is unavailable"):
         read_table(str(tmp_path), "images")
+
+
+def test_verified_text_near_dups_copartitioned(ray_session):
+    """The co-partitioned text near-dup verify finds planted duplicates and
+    emits no false positives — and completes in a small-CPU session
+    (adaptive join partitions; a fixed 16-aggregator join would deadlock)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import ngram_jaccard, verified_text_near_dups
+
+    rng = np.random.default_rng(13)
+    words = ["kappa", "tau", "sigma", "omega", "iota", "chi", "psi", "mu"]
+    docs = []
+    for i in range(60):
+        docs.append(" ".join(rng.choice(words, size=60)))
+    # plant 6 near-duplicates of the first 6 docs (tiny suffix change)
+    planted = []
+    for i in range(6):
+        docs.append(docs[i] + " tail")
+        planted.append((i, 60 + i))
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = verified_text_near_dups(ds, jaccard_threshold=0.8).to_pandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    for a, b in planted:
+        assert ngram_jaccard(docs[a].lower(), docs[b].lower()) >= 0.8
+        assert (a, b) in pairs, (a, b)
+    # precision: every emitted pair is exactly above threshold
+    for a, b in pairs:
+        assert ngram_jaccard(docs[a].lower(), docs[b].lower()) >= 0.8
