@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from gdal_ray.pipelines import derived_geo as DG
     from gdal_ray.pipelines import ext_queries as EQ
     from gdal_ray.pipelines import lattice_oracles as LO
+    from gdal_ray.pipelines import raster_lattices as RL
     from gdal_ray.pipelines import rasterq as RQ
     from gdal_ray.pipelines import relational as R
 
@@ -65,6 +66,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_buffer_lattice": LO.q_buffer_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
+        # --- SQL-checkable raster kernels on derived closed-form grids ---
+        "q_band_stats_lattice": RL.q_band_stats_lattice,
+        "q_histogram_lattice": RL.q_histogram_lattice,
+        "q_checksum_lattice": RL.q_checksum_lattice,
+        "q_translate_lattice": RL.q_translate_lattice,
+        "q_pixelfn_lattice": RL.q_pixelfn_lattice,
+        "q_dem_lattice": RL.q_dem_lattice,
+        "q_contour_lattice": RL.q_contour_lattice,
+        "q_footprint_lattice": RL.q_footprint_lattice,
+        "q_proximity_lattice": RL.q_proximity_lattice,
+        "q_cleanup_lattice": RL.q_cleanup_lattice,
+        "q_zonal_lattice": RL.q_zonal_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -194,8 +207,203 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     """
 
+    # shared PIP half-plane join on the 2^24 lattice triangles (also the
+    # substrate of the zonal aggregate twin)
+    pip_join_sql = """
+            WITH c AS (SELECT c_custkey,
+                              (c_custkey*2654435761) % 16777216 AS px,
+                              (c_custkey*2246822519) % 16777216 AS py
+                       FROM customer),
+                 s AS (SELECT s_suppkey,
+                              (s_suppkey*2654435761) % 16777216 AS sx,
+                              (s_suppkey*2246822519) % 16777216 AS sy,
+                              1048576 + (s_suppkey % 7) * 262144 AS hw
+                       FROM supplier),
+                 t AS (SELECT s_suppkey, sx-hw AS ax, sy-hw AS ay,
+                              sx+hw AS bx, sy-hw AS by_, sx AS cx, sy+hw AS cy
+                       FROM s)
+            SELECT c_custkey, s_suppkey
+            FROM c, t
+            WHERE (bx-ax)*(py-ay) - (by_-ay)*(px-ax) > 0
+              AND (cx-bx)*(py-by_) - (cy-by_)*(px-bx) > 0
+              AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
+    """
+
+    # closed-form raster grid shared by the raster_lattices twins:
+    # V(k, r, c) = (k*7 + r*13 + c*5) % 251 on a (12+k%5) x (16+k%7) grid
+    grid_sql = """
+        SELECT s_suppkey AS k, r, c,
+               16 + s_suppkey % 7 AS w, 12 + s_suppkey % 5 AS h,
+               (s_suppkey*7 + r*13 + c*5) % 251 AS v
+        FROM supplier,
+             generate_series(0, 16) t1(r), generate_series(0, 22) t2(c)
+        WHERE r < 12 + s_suppkey % 5 AND c < 16 + s_suppkey % 7
+    """
+    primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+
+    def cksum(v_expr: str, i_expr: str) -> str:
+        # GDALChecksumImage (alg/gdalchecksum.cpp:48) for non-negative ints
+        return (
+            f"CAST(SUM(({v_expr}) % list_extract({primes}, "
+            f"(({i_expr}) % 11) + 1)) % 65536 AS INTEGER)"
+        )
+
     return {
         "q_text_analysis": text_analysis_sql,
+        "q_band_stats_lattice": f"""
+            WITH px AS ({grid_sql})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pixels,
+                   CAST(SUM(v) AS BIGINT) AS sum_val,
+                   CAST(SUM(v*v) AS BIGINT) AS sumsq_val,
+                   CAST(MIN(v) AS BIGINT) AS min_val,
+                   CAST(MAX(v) AS BIGINT) AS max_val,
+                   ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+                   ROUND(sqrt(CAST(SUM(v*v) AS DOUBLE) / COUNT(*)
+                         - (CAST(SUM(v) AS DOUBLE) / COUNT(*))
+                           * (CAST(SUM(v) AS DOUBLE) / COUNT(*))), 6) AS std
+            FROM px
+        """,
+        "q_histogram_lattice": f"""
+            WITH px AS ({grid_sql})
+            SELECT v AS bin, COUNT(*) AS n_pixels FROM px GROUP BY v
+        """,
+        "q_checksum_lattice": f"""
+            WITH px AS ({grid_sql})
+            SELECT 'g' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   {cksum('v', 'r*w + c')} AS cksum
+            FROM px GROUP BY k, w
+        """,
+        "q_translate_lattice": f"""
+            WITH px AS ({grid_sql}),
+                 win AS (SELECT k, r, c,
+                                k % 3 AS x0, k % 2 AS y0,
+                                w - 4 AS ww, h - 4 AS hh,
+                                CAST(LEAST(255, GREATEST(0,
+                                    FLOOR(v*2.0 + 3.0 + 0.5))) AS BIGINT) AS v2
+                         FROM px)
+            SELECT 'g' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   CAST(ww AS INTEGER) AS win_w, CAST(hh AS INTEGER) AS win_h,
+                   {cksum('v2', '(r - y0)*ww + (c - x0)')} AS cksum
+            FROM win
+            WHERE r >= y0 AND r < y0 + hh AND c >= x0 AND c < x0 + ww
+            GROUP BY k, ww, hh
+        """,
+        "q_pixelfn_lattice": f"""
+            WITH px AS ({grid_sql}),
+                 b AS (SELECT k, r, c, v AS v1,
+                              (k*11 + r*3 + c*17) % 239 AS v2
+                       FROM px)
+            SELECT 'g' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   COUNT(*) FILTER (WHERE v1 > v2) AS n_pos,
+                   COUNT(*) FILTER (WHERE v1 < v2) AS n_neg,
+                   MIN(CASE WHEN r = 1 AND c = 2 THEN
+                       (CASE WHEN v1 + v2 = 0 THEN 0.0
+                             ELSE ROUND((CAST(v1 AS DOUBLE) - v2)
+                                        / (CAST(v1 AS DOUBLE) + v2), 6) END)
+                       END) AS val_12
+            FROM b GROUP BY k
+        """,
+        "q_dem_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              CAST(1 + s_suppkey % 5 AS DOUBLE) AS a,
+                              CAST(2 + s_suppkey % 7 AS DOUBLE) AS b
+                       FROM supplier),
+                 t AS (SELECT k, a, b,
+                              atan(sqrt(b*b + a*a)) AS hslope,
+                              atan2(-a, -b) AS haspect,
+                              (315.0*pi())/180.0 AS azr,
+                              (45.0*pi())/180.0 AS altr
+                       FROM g),
+                 hh AS (SELECT *,
+                               sin(altr)*cos(hslope)
+                               + cos(altr)*sin(hslope)
+                                 *cos(azr - pi()/2 - haspect) AS cang
+                        FROM t),
+                 asp AS (SELECT *,
+                                CAST(atan2(8*a, -(8*b)) * (180.0/pi())
+                                     AS REAL) AS a1
+                         FROM hh)
+            SELECT 'd' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   ROUND(CAST(CAST(atan(sqrt(64*b*b + 64*a*a)/8.0)
+                         * (180.0/pi()) AS REAL) AS DOUBLE), 4) AS slope_deg,
+                   ROUND(CAST(CAST(CASE WHEN CAST(a1 AS DOUBLE) > 90.0
+                                        THEN 450.0 - CAST(a1 AS DOUBLE)
+                                        ELSE 90.0 - CAST(a1 AS DOUBLE) END
+                              AS REAL) AS DOUBLE), 4) AS aspect_deg,
+                   CAST(FLOOR(CASE WHEN cang <= 0 THEN 1.0
+                                   ELSE 1.0 + 254.0*cang END)
+                        AS INTEGER) AS hillshade_b,
+                   ROUND(CAST(CAST(sqrt(((((((a+b)*(a+b) + a*a) + (b-a)*(b-a))
+                         + b*b) + b*b) + (a-b)*(a-b)) + a*a + (a+b)*(a+b))
+                         AS REAL) AS DOUBLE), 4) AS tri,
+                   0.0 AS tpi,
+                   2.0*(a + b) AS roughness
+            FROM asp
+        """,
+        "q_contour_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              8 + s_suppkey % 5 AS w, 6 + s_suppkey % 7 AS h,
+                              CAST(1 + s_suppkey % 3 AS DOUBLE) AS m
+                       FROM supplier),
+                 t AS (SELECT k, w, h, m,
+                              m * ((w - 1) / 2.0) + 0.25 * m AS lvl
+                       FROM g),
+                 t2 AS (SELECT *, CAST(FLOOR(lvl / m) AS BIGINT) AS c0 FROM t)
+            SELECT 'c' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   lvl AS level,
+                   CAST(1 AS INTEGER) AS n_lines,
+                   CAST(h AS BIGINT) AS n_points,
+                   ROUND((c0 + 0.5) + (lvl - m*c0) / (m*(c0+1) - m*c0), 6) AS x0,
+                   0.5 AS ymin,
+                   CAST(h AS DOUBLE) - 0.5 AS ymax
+            FROM t2
+        """,
+        "q_footprint_lattice": """
+            SELECT 'f' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS img_id,
+                   CAST(1 AS INTEGER) AS n_parts,
+                   CAST(2 AS INTEGER) AS n_rings,
+                   CAST((16 + s_suppkey % 7) * (12 + s_suppkey % 5)
+                        - (3 + s_suppkey % 4) * (3 + s_suppkey % 3)
+                        AS DOUBLE) AS area_px
+            FROM supplier
+        """,
+        "q_proximity_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              16 + s_suppkey % 7 AS w, 12 + s_suppkey % 5 AS h,
+                              3 + s_suppkey % 5 AS r0, 4 + s_suppkey % 7 AS c0
+                       FROM supplier),
+                 px AS (SELECT k, r0, c0, r, c FROM g,
+                        generate_series(0, 16) t1(r), generate_series(0, 22) t2(c)
+                        WHERE r < h AND c < w)
+            SELECT 'p' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   COUNT(*) FILTER (WHERE (r-r0)*(r-r0) + (c-c0)*(c-c0) <= 36)
+                       AS n_within,
+                   MIN(CASE WHEN r = 0 AND c = 0 THEN
+                       ROUND(sqrt(CAST((r-r0)*(r-r0) + (c-c0)*(c-c0)
+                                  AS DOUBLE)), 6) END) AS corner_dist
+            FROM px GROUP BY k
+        """,
+        "q_cleanup_lattice": f"""
+            WITH g AS (SELECT s_suppkey AS k,
+                              16 + s_suppkey % 7 AS w, 12 + s_suppkey % 5 AS h
+                       FROM supplier),
+                 px AS (SELECT k, w, r, c,
+                               CASE WHEN r BETWEEN 1 AND 6 AND c BETWEEN 1 AND 6
+                                    THEN 9 ELSE 5 END AS v
+                        FROM g, generate_series(0, 16) t1(r),
+                                generate_series(0, 22) t2(c)
+                        WHERE r < h AND c < w)
+            SELECT 's' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   {cksum('v', 'r*w + c')} AS cksum
+            FROM px GROUP BY k, w
+        """,
+        "q_zonal_lattice": f"""
+            WITH j AS ({pip_join_sql})
+            SELECT s_suppkey % 8 AS category,
+                   COUNT(*) AS n_hits,
+                   CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+            FROM j GROUP BY category
+        """,
         "q1_pricing_summary": """
             -- money columns quantized per row to integer 1e-4 units
             -- (floor(x*1e4+0.5)) before summing: the int64 SUM is
@@ -347,25 +555,7 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(CAST(d2 AS DOUBLE)) AS dist
             FROM r WHERE rank < 5
         """,
-        "q_pip_lattice": """
-            WITH c AS (SELECT c_custkey,
-                              (c_custkey*2654435761) % 16777216 AS px,
-                              (c_custkey*2246822519) % 16777216 AS py
-                       FROM customer),
-                 s AS (SELECT s_suppkey,
-                              (s_suppkey*2654435761) % 16777216 AS sx,
-                              (s_suppkey*2246822519) % 16777216 AS sy,
-                              1048576 + (s_suppkey % 7) * 262144 AS hw
-                       FROM supplier),
-                 t AS (SELECT s_suppkey, sx-hw AS ax, sy-hw AS ay,
-                              sx+hw AS bx, sy-hw AS by_, sx AS cx, sy+hw AS cy
-                       FROM s)
-            SELECT c_custkey, s_suppkey
-            FROM c, t
-            WHERE (bx-ax)*(py-ay) - (by_-ay)*(px-ax) > 0
-              AND (cx-bx)*(py-by_) - (cy-by_)*(px-bx) > 0
-              AND (ax-cx)*(py-cy) - (ay-cy)*(px-cx) > 0
-        """,
+        "q_pip_lattice": pip_join_sql,
         "q_hilbert_lattice": """
             WITH RECURSIVE h AS (
                 SELECT c_custkey,

@@ -1,0 +1,481 @@
+"""DuckDB-checkable oracles for the RASTER kernels, via derived grids.
+
+Third wave of the ``derived_geo`` / ``lattice_oracles`` pattern: the
+driver's correctness gate only sees the TPC-H-ish views, so each query here
+derives a deterministic pixel grid from supplier keys — ``V(k, r, c) =
+(k*7 + r*13 + c*5) % 251`` on a ``(12 + k%5) x (16 + k%7)`` grid — and
+routes it through the REAL raster kernels (``gdal_ray.raster.kernels``,
+``checksum``, ``contour``, ``polygonize``) with an ANSI-SQL twin whose
+integers are exact and whose floats follow the identical operation order:
+
+- sums / sumsq / histogram counts are integers < 2^53 (order-independent,
+  so Ray's distributed aggregate and DuckDB's SUM agree bit-for-bit);
+- the GDALChecksumImage twin replays ``sum(v % prime[i mod 11]) % 65536``
+  (alg/gdalchecksum.cpp:48) with a list literal — values are non-negative
+  so C-truncated fmod equals SQL ``%``;
+- DEM derivatives run on an affine plane ``z = a*r + b*c`` whose Horn
+  window sums (apps/gdaldem_lib.cpp:1345) are exact small floats; the
+  engine's trailing float32 casts are mirrored with ``CAST(.. AS REAL)``
+  (a 1-ulp libm difference in double cannot flip a float32 rounding);
+- marching-squares crossings (alg/contour.cpp:568) land strictly inside a
+  cell, and the interpolation ``(L - v0) / (v1 - v0)`` is replayed with the
+  same operand order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+__all__ = [
+    "q_band_stats_lattice",
+    "q_histogram_lattice",
+    "q_checksum_lattice",
+    "q_translate_lattice",
+    "q_pixelfn_lattice",
+    "q_dem_lattice",
+    "q_contour_lattice",
+    "q_footprint_lattice",
+    "q_proximity_lattice",
+    "q_cleanup_lattice",
+    "q_zonal_lattice",
+    "grid_for_key",
+    "GRID_SQL",
+]
+
+import os
+
+
+def _suppliers(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+
+
+def grid_dims(k: int):
+    return 16 + k % 7, 12 + k % 5  # (w, h)
+
+
+def grid_for_key(k: int) -> np.ndarray:
+    """The shared closed-form test grid: V = (k*7 + r*13 + c*5) % 251."""
+    w, h = grid_dims(k)
+    rr, cc = np.mgrid[0:h, 0:w]
+    return (k * 7 + rr * 13 + cc * 5) % 251
+
+
+# The SQL twin of grid_for_key: one row per (s_suppkey, r, c, v).
+GRID_SQL = """
+    SELECT s_suppkey AS k, r, c,
+           16 + s_suppkey % 7 AS w, 12 + s_suppkey % 5 AS h,
+           (s_suppkey*7 + r*13 + c*5) % 251 AS v
+    FROM supplier,
+         generate_series(0, 16) t1(r), generate_series(0, 22) t2(c)
+    WHERE r < 12 + s_suppkey % 5 AND c < 16 + s_suppkey % 7
+"""
+
+_CKSUM_PRIMES = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+
+
+def cksum_sql(v_expr: str, i_expr: str) -> str:
+    """GDALChecksumImage twin for non-negative integer pixels."""
+    return (
+        f"CAST(SUM(({v_expr}) % list_extract({_CKSUM_PRIMES}, "
+        f"(({i_expr}) % 11) + 1)) % 65536 AS INTEGER)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Global band statistics (two-phase distributed aggregate, int partials)
+# --------------------------------------------------------------------------
+
+def q_band_stats_lattice(sf_dir: str):
+    """Exact global band statistics (gcore/gdalrasterband.cpp:5157
+    ComputeStatistics) over all derived grids through Ray's distributed
+    partial+final aggregate. Partials are INTEGER (n, sum, sumsq) so the
+    tree reduction is order-independent; mean/std derive from the int sums
+    in one fixed driver-side step — same op order as the SQL twin."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        n = s = ss = 0
+        mn, mx = 1 << 30, -(1 << 30)
+        for k in batch["s_suppkey"].to_pylist():
+            g = grid_for_key(int(k))
+            n += g.size
+            s += int(g.sum())
+            ss += int((g.astype(np.int64) ** 2).sum())
+            mn = min(mn, int(g.min()))
+            mx = max(mx, int(g.max()))
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum": pa.array([s], pa.int64()),
+                "sumsq": pa.array([ss], pa.int64()),
+                "min": pa.array([mn], pa.int64()),
+                "max": pa.array([mx], pa.int64()),
+            }
+        )
+
+    parts = _suppliers(sf_dir).map_batches(partials, batch_format="pyarrow", batch_size=64)
+    agg = parts.aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum", alias_name="sum"),
+        Sum("sumsq", alias_name="sumsq"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+    n = int(agg["n"])
+    mean = float(agg["sum"]) / n
+    std = float(np.sqrt(float(agg["sumsq"]) / n - mean * mean))
+    return pd.DataFrame(
+        {
+            "n_pixels": [n],
+            "sum_val": [int(agg["sum"])],
+            "sumsq_val": [int(agg["sumsq"])],
+            "min_val": [int(agg["min"])],
+            "max_val": [int(agg["max"])],
+            "mean": [round(mean, 6)],
+            "std": [round(std, 6)],
+        }
+    )
+
+
+def q_histogram_lattice(sf_dir: str):
+    """Exact global histogram (gcore/gdalrasterband.cpp:4176 GetHistogram):
+    per-batch ``np.bincount`` partials -> distributed groupby-sum on the
+    bin id (the keyed form of the partial+reduce histogram plan)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(251, dtype=np.int64)
+        for k in batch["s_suppkey"].to_pylist():
+            acc += np.bincount(grid_for_key(int(k)).ravel(), minlength=251)
+        bins = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "bin": pa.array(bins.astype(np.int64)),
+                "n": pa.array(acc[bins]),
+            }
+        )
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", batch_size=64)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n_pixels"))
+    )
+
+
+# --------------------------------------------------------------------------
+# GDALChecksumImage / translate chain / pixel functions
+# --------------------------------------------------------------------------
+
+def q_checksum_lattice(sf_dir: str):
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48) of every derived grid
+    through the real vectorized kernel; the SQL twin replays the
+    prime-modulo sum."""
+    from gdal_ray.raster.checksum import checksum_image
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = batch["s_suppkey"].to_pylist()
+        return pa.table(
+            {
+                "img_id": pa.array([f"g{int(k):06d}" for k in keys], pa.string()),
+                "cksum": pa.array(
+                    [checksum_image(grid_for_key(int(k))) for k in keys], pa.int32()
+                ),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+def q_translate_lattice(sf_dir: str):
+    """The gdal_translate chain (apps/gdal_translate_lib.cpp:591): window
+    subset -> a*x+b rescale with uint8 clamp -> checksum, through the real
+    kernels; the twin replays floor(v*2 + 3 + 0.5) with LEAST/GREATEST."""
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import rescale_linear, translate_window
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "win_w": [], "win_h": [], "cksum": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k)
+            w, h = grid_dims(k)
+            x0, y0 = k % 3, k % 2
+            ww, hh = w - 4, h - 4
+            win = translate_window(g, x0, y0, ww, hh)
+            scaled = rescale_linear(win, 2.0, 3.0, np.uint8)
+            out["img_id"].append(f"g{k:06d}")
+            out["win_w"].append(ww)
+            out["win_h"].append(hh)
+            out["cksum"].append(checksum_image(scaled))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "win_w": pa.array(out["win_w"], pa.int32()),
+                "win_h": pa.array(out["win_h"], pa.int32()),
+                "cksum": pa.array(out["cksum"], pa.int32()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+def q_pixelfn_lattice(sf_dir: str):
+    """VRT pixel function norm_diff (frmts/vrt/pixelfunctions.cpp:4006) on
+    two derived bands: positive/negative pixel counts (exact ints) + the
+    value at pixel (1, 2) rounded to 6 decimals."""
+    from gdal_ray.raster.kernels import PIXEL_FUNCTIONS
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "n_pos": [], "n_neg": [], "val_12": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            b1 = grid_for_key(k)
+            w, h = grid_dims(k)
+            rr, cc = np.mgrid[0:h, 0:w]
+            b2 = (k * 11 + rr * 3 + cc * 17) % 239
+            nd = PIXEL_FUNCTIONS["norm_diff"]([b1, b2])
+            out["img_id"].append(f"g{k:06d}")
+            out["n_pos"].append(int((nd > 0).sum()))
+            out["n_neg"].append(int((nd < 0).sum()))
+            out["val_12"].append(round(float(nd[1, 2]), 6))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "n_pos": pa.array(out["n_pos"], pa.int64()),
+                "n_neg": pa.array(out["n_neg"], pa.int64()),
+                "val_12": pa.array(out["val_12"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# DEM derivatives on an affine plane (Horn window sums exact)
+# --------------------------------------------------------------------------
+
+def q_dem_lattice(sf_dir: str):
+    """gdaldem derivatives (apps/gdaldem_lib.cpp Horn kernels) on the plane
+    z = a*r + b*c, probed at interior pixel (3, 3) of an 8x8 grid where the
+    edge-clamped pad is irrelevant: slope/aspect/TRI carry the engine's
+    trailing float32 cast (SQL mirrors with CAST(.. AS REAL)); hillshade is
+    the real uint8 output byte; TPI is exactly 0 and roughness exactly
+    2(a+b) on a plane."""
+    from gdal_ray.raster import kernels as K
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {
+            "img_id": [], "slope_deg": [], "aspect_deg": [], "hillshade_b": [],
+            "tri": [], "tpi": [], "roughness": [],
+        }
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            a = float(1 + k % 5)
+            b = float(2 + k % 7)
+            rr, cc = np.mgrid[0:8, 0:8]
+            dem = a * rr + b * cc
+            out["img_id"].append(f"d{k:06d}")
+            out["slope_deg"].append(round(float(K.slope_horn(dem)[3, 3]), 4))
+            out["aspect_deg"].append(round(float(K.aspect(dem)[3, 3]), 4))
+            out["hillshade_b"].append(int(K.hillshade(dem)[3, 3]))
+            out["tri"].append(round(float(K.tri(dem)[3, 3]), 4))
+            out["tpi"].append(float(K.tpi(dem)[3, 3]))
+            out["roughness"].append(float(K.roughness(dem)[3, 3]))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "slope_deg": pa.array(out["slope_deg"], pa.float64()),
+                "aspect_deg": pa.array(out["aspect_deg"], pa.float64()),
+                "hillshade_b": pa.array(out["hillshade_b"], pa.int32()),
+                "tri": pa.array(out["tri"], pa.float64()),
+                "tpi": pa.array(out["tpi"], pa.float64()),
+                "roughness": pa.array(out["roughness"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Contour (marching squares) on a column ramp
+# --------------------------------------------------------------------------
+
+def q_contour_lattice(sf_dir: str):
+    """Marching-squares contour (alg/contour.cpp:568) of the ramp
+    v = m*c at level m*((w-1)/2) + 0.25*m: exactly one vertical polyline
+    whose crossing x replays the engine's (L - v0)/(v1 - v0) interpolation."""
+    from gdal_ray.raster.contour import contour_lines
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {
+            "img_id": [], "level": [], "n_lines": [], "n_points": [],
+            "x0": [], "ymin": [], "ymax": [],
+        }
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w = 8 + k % 5
+            h = 6 + k % 7
+            m = float(1 + k % 3)
+            rr, cc = np.mgrid[0:h, 0:w]
+            arr = m * cc
+            level = m * ((w - 1) / 2.0) + 0.25 * m
+            lines = contour_lines(arr, [level])
+            coords = np.concatenate([ln["coords"] for ln in lines], axis=0)
+            out["img_id"].append(f"c{k:06d}")
+            out["level"].append(float(level))
+            out["n_lines"].append(len(lines))
+            out["n_points"].append(sum(len(ln["coords"]) for ln in lines))
+            out["x0"].append(round(float(coords[0, 0]), 6))
+            out["ymin"].append(float(coords[:, 1].min()))
+            out["ymax"].append(float(coords[:, 1].max()))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "level": pa.array(out["level"], pa.float64()),
+                "n_lines": pa.array(out["n_lines"], pa.int32()),
+                "n_points": pa.array(out["n_points"], pa.int64()),
+                "x0": pa.array(out["x0"], pa.float64()),
+                "ymin": pa.array(out["ymin"], pa.float64()),
+                "ymax": pa.array(out["ymax"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Footprint / polygonize with a hole
+# --------------------------------------------------------------------------
+
+def q_footprint_lattice(sf_dir: str):
+    """Footprint (apps/gdal_footprint_lib.cpp:1268) of a grid whose only
+    nodata is an interior rectangle: the real polygonize tracer must emit
+    ONE polygon with one hole and area w*h - hole_w*hole_h."""
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.raster.polygonize import polygonize_array
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "n_parts": [], "n_rings": [], "area_px": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w, h = grid_dims(k)
+            x0, y0 = 2 + k % 3, 2 + k % 2
+            hw, hh = 3 + k % 4, 3 + k % 3
+            arr = np.ones((h, w), dtype=np.int32)
+            arr[y0 : y0 + hh, x0 : x0 + hw] = -1
+            mask = (arr != -1).astype(np.int32)
+            polys = polygonize_array(mask, nodata=0)
+            out["img_id"].append(f"f{k:06d}")
+            out["n_parts"].append(len(polys))
+            out["n_rings"].append(sum(len(p["rings"]) for p in polys))
+            out["area_px"].append(float(sum(GO.polygon_area(p["rings"]) for p in polys)))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "n_parts": pa.array(out["n_parts"], pa.int32()),
+                "n_rings": pa.array(out["n_rings"], pa.int32()),
+                "area_px": pa.array(out["area_px"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Proximity (exact euclidean distance raster)
+# --------------------------------------------------------------------------
+
+def q_proximity_lattice(sf_dir: str):
+    """Proximity (alg/gdalproximity.cpp:94) to a single target pixel:
+    distances are exact sqrt of integers, so the within-radius count and
+    the corner distance agree bit-for-bit with the closed form."""
+    from gdal_ray.raster.kernels import proximity
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "n_within": [], "corner_dist": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w, h = grid_dims(k)
+            r0, c0 = 3 + k % 5, 4 + k % 7
+            mask = np.zeros((h, w), dtype=bool)
+            mask[r0, c0] = True
+            d = proximity(mask)
+            out["img_id"].append(f"p{k:06d}")
+            out["n_within"].append(int((d <= 6.0).sum()))
+            out["corner_dist"].append(round(float(d[0, 0]), 6))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "n_within": pa.array(out["n_within"], pa.int64()),
+                "corner_dist": pa.array(out["corner_dist"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sieve + FillNodata cleanup chain
+# --------------------------------------------------------------------------
+
+def q_cleanup_lattice(sf_dir: str):
+    """gdal_sieve + gdal_fillnodata chain (alg/gdalsievefilter.cpp:178,
+    alg/rasterfill.cpp:394): a small 2x2 patch merges into the background,
+    the nodata hole fills from uniform neighbors, the large region stays —
+    the post-clean checksum has a closed form."""
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import cast_clip, fillnodata, sieve
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "cksum": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w, h = grid_dims(k)
+            arr = np.full((h, w), 5, dtype=np.int32)
+            arr[1:7, 1:7] = 9                      # big region: stays
+            arr[h - 4 : h - 2, 2:4] = 3            # 2x2 patch: sieved away
+            arr[2:5, w - 5 : w - 2] = -1           # nodata hole: filled
+            cleaned = sieve(arr, threshold=6, nodata=-1)
+            filled = cast_clip(fillnodata(cleaned, nodata=-1), np.int32)
+            out["img_id"].append(f"s{k:06d}")
+            out["cksum"].append(checksum_image(filled))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "cksum": pa.array(out["cksum"], pa.int32()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Zonal statistics over the PIP-lattice join
+# --------------------------------------------------------------------------
+
+def q_zonal_lattice(sf_dir: str):
+    """Zonal/RAT aggregate (SURVEY §2.5) over the real ray-cast PIP join:
+    polygon category = s_suppkey % 8, per-category hit count + custkey sum
+    through Ray's distributed groupby aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from gdal_ray.pipelines.lattice_oracles import q_pip_lattice
+
+    joined = q_pip_lattice(sf_dir)
+
+    def add_cat(batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        return batch.append_column("category", pa.array(sk % 8, pa.int64()))
+
+    return (
+        joined.map_batches(add_cat, batch_format="pyarrow")
+        .groupby("category")
+        .aggregate(
+            Count(alias_name="n_hits"),
+            Sum("c_custkey", alias_name="sum_custkey"),
+        )
+    )
