@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_proximity_lattice": RL.q_proximity_lattice,
         "q_cleanup_lattice": RL.q_cleanup_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
+        "q_point_query_lattice": RL.q_point_query_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -403,6 +404,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_hits,
                    CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
             FROM j GROUP BY category
+        """,
+        "q_point_query_lattice": """
+            WITH q AS (SELECT c_custkey,
+                              (c_custkey*2654435761) % 65536 AS qx,
+                              (c_custkey*2246822519) % 65536 AS qy
+                       FROM customer),
+                 i AS (SELECT s_suppkey,
+                              (s_suppkey*2654435761) % 65536 - 40 AS x0,
+                              (s_suppkey*2246822519) % 65536 + 30 AS y0
+                       FROM supplier),
+                 c AS (SELECT c_custkey, s_suppkey,
+                              CAST(FLOOR((qx - x0) / 2.0) AS BIGINT) AS ix,
+                              CAST(FLOOR((y0 - qy) / 2.0) AS BIGINT) AS iy
+                       FROM q, i
+                       WHERE qx >= x0 AND qx <= x0 + 80
+                         AND qy >= y0 - 60 AND qy <= y0)
+            SELECT 'q' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS query_id,
+                   'i' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS image_id,
+                   CAST((s_suppkey + 3*iy + 5*ix) % 251 AS INTEGER) AS value
+            FROM c WHERE ix >= 0 AND ix < 40 AND iy >= 0 AND iy < 30
         """,
         "q1_pricing_summary": """
             -- money columns quantized per row to integer 1e-4 units

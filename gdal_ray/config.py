@@ -15,3 +15,8 @@ HOT_CELL_CAP = 50_000
 # stages use smaller batches (wide binary rows).
 META_BATCH = 65536  # same default as GDAL's Arrow stream (ogrlayerarrow.cpp:1947)
 IMAGE_BATCH = 256
+
+# Broadcast-side caps (scale guards): above these row counts the broadcast
+# fast paths switch to (or demand) the co-partitioned shuffle plans.
+KNN_BROADCAST_MAX = 2_000_000     # reference-point index rows
+EXACT_NEARDUP_MAX = 200_000       # all-pairs embedding rows (O(N^2) oracle)

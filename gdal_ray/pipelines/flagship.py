@@ -189,6 +189,12 @@ def placed_images_fused(corpus_dir: str, keep_pixels: bool = False) -> rd.Datase
         return cached
 
     units = _shard_units(corpus_dir)
+    if units is None:
+        raise ValueError(
+            f"placed_images_fused requires the co-sharded images/placements "
+            f"layout (like-named part files) under {corpus_dir!r}; use "
+            f"placed_images(..., join_strategy='hash') for non-co-sharded tables"
+        )
     ds = rd.from_items(units, override_num_blocks=len(units))
 
     def load(batch: pa.Table) -> pa.Table:
@@ -380,13 +386,32 @@ def _image_centroids(corpus_dir: str):
     return meta_df["image_id"].to_numpy(), cx, cy
 
 
+def _corpus_num_images(corpus_dir: str) -> int:
+    """Image row count from parquet footer metadata only (no data read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(corpus_dir, "images.parquet")
+    if os.path.isdir(p):
+        return sum(pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                   for f in os.listdir(p))
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def knn_images(corpus_dir: str, concurrency=(1, 4)) -> rd.Dataset:
     """query_points kNN against image centroids -> (query_id, rank, image_id, dist).
 
-    Broadcast fast path: the reference-point index is metadata-only (id +
-    centroid), built on the driver and broadcast once. For a point side too
-    large to broadcast use ``knn_images_shuffle`` (same semantics through
-    the co-partitioned plan)."""
+    Broadcast fast path for reference sides up to KNN_BROADCAST_MAX rows:
+    the index is metadata-only (id + centroid), built on the driver and
+    broadcast once. Above the cap this routes to ``knn_images_shuffle``
+    automatically (same output through the co-partitioned plan) — the
+    driver-side `_image_centroids` materialization is a deliberate
+    small-side-only step, never applied to a corpus-scale table."""
+    from gdal_ray.config import KNN_BROADCAST_MAX
+
+    if _corpus_num_images(corpus_dir) > KNN_BROADCAST_MAX:
+        return knn_images_shuffle(corpus_dir)
     ids, cx, cy = _image_centroids(corpus_dir)
     index_ref = ray.put(build_centroid_cell_index(ids, cx, cy))
 

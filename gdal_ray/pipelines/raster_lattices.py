@@ -41,11 +41,14 @@ __all__ = [
     "q_proximity_lattice",
     "q_cleanup_lattice",
     "q_zonal_lattice",
+    "q_point_query_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
 
 import os
+
+_TWO16 = 1 << 16
 
 
 def _suppliers(sf_dir: str):
@@ -451,6 +454,88 @@ def q_cleanup_lattice(sf_dir: str):
         )
 
     return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Point query through the co-partitioned shuffle machinery
+# --------------------------------------------------------------------------
+
+def q_point_query_lattice(sf_dir: str):
+    """gdallocationinfo (apps/gdallocationinfo.cpp:373) through the REAL
+    two-stage co-partitioned plan (stages/pointquery.py): customer lattice
+    points vs supplier-derived image footprints (gt = (x0, 2, 0, y0, 0, -2),
+    40x30 px), pixel value closed-form (k + 3*iy + 5*ix) % 251. All
+    coordinates are dyadic integers, so the inverse-affine floor matches
+    the SQL twin exactly."""
+    from gdal_ray.geo import affine as A
+    from gdal_ray.pipelines.derived_geo import LATTICE_A, LATTICE_B
+    from gdal_ray.stages.pointquery import point_footprint_candidates, sample_at_points
+
+    def qp(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array([f"q{int(x):09d}" for x in keys], pa.string()),
+                "cx": pa.array(((keys * LATTICE_A) % _TWO16).astype(np.float64)),
+                "cy": pa.array(((keys * LATTICE_B) % _TWO16).astype(np.float64)),
+            }
+        )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        x0 = ((keys * LATTICE_A) % _TWO16 - 40).astype(np.float64)
+        y0 = ((keys * LATTICE_B) % _TWO16 + 30).astype(np.float64)
+        return pa.table(
+            {
+                "image_id": pa.array([f"i{int(x):06d}" for x in keys], pa.string()),
+                "minx": pa.array(x0),
+                "miny": pa.array(y0 - 60.0),
+                "maxx": pa.array(x0 + 80.0),
+                "maxy": pa.array(y0),
+            }
+        )
+
+    def pay(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array([f"i{int(x):06d}" for x in keys], pa.string()),
+                "k": pa.array(keys),
+            }
+        )
+
+    import os
+
+    import ray.data as rd
+
+    points = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(qp, batch_format="pyarrow")
+    foots = _suppliers(sf_dir).map_batches(fp, batch_format="pyarrow")
+    payload = _suppliers(sf_dir).map_batches(pay, batch_format="pyarrow")
+
+    # level 16 (~611 m cells) spreads the 2^16-meter lattice over ~100x100
+    # cells so the co-partition exercise is non-degenerate
+    cand = point_footprint_candidates(points, foots, level=16)
+
+    def sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
+        k = int(row["k"])
+        sx = (k * LATTICE_A) % _TWO16
+        sy = (k * LATTICE_B) % _TWO16
+        gt = (float(sx - 40), 2.0, 0.0, float(sy + 30), 0.0, -2.0)
+        inv = A.invert_geotransform(gt)
+        px, py = A.apply_geotransform(inv, qx, qy)
+        ix = np.floor(px).astype(np.int64)
+        iy = np.floor(py).astype(np.int64)
+        ok = (ix >= 0) & (ix < 40) & (iy >= 0) & (iy < 30)
+        if not ok.any():
+            return None, None
+        return ok, ((k + 3 * iy[ok] + 5 * ix[ok]) % 251).astype(np.int32)
+
+    out_schema = pa.schema(
+        [("query_id", pa.string()), ("image_id", pa.string()), ("value", pa.int32())]
+    )
+    return sample_at_points(cand, payload, sampler, out_schema)
 
 
 # --------------------------------------------------------------------------

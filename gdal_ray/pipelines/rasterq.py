@@ -112,89 +112,85 @@ def q_global_histogram(sf_dir: str):
     return pd.DataFrame({"bin": np.arange(256, dtype=np.int32), "count": acc})
 
 
-def q_point_query(sf_dir: str):
-    """gdallocationinfo as a pipeline (apps/gdallocationinfo.cpp:373):
-    each query point -> images whose footprint contains it -> band-0 pixel
-    value via the inverse geotransform (O(1) arithmetic lookup). Query
-    points are broadcast; the image table streams (no shuffle)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    import ray.data as rd
-
+def _image_pixel_sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
+    """Per-image sampler for the co-partitioned point query: inverse
+    geotransform -> band-0 pixel (apps/gdallocationinfo.cpp:373). Decode
+    runs ONCE per image, only when at least one point is in bounds."""
     from gdal_ray.geo import affine as A
     from gdal_ray.geo import mercator as M
     from gdal_ray.io import codec as C
-    from gdal_ray.pipelines.flagship import _merge_placements
-    from gdal_ray.stages import geo as G
+
+    gt = tuple(float(row[f"gt{i}"]) for i in range(6))
+    inv = A.invert_geotransform(gt)
+    if inv is None:
+        return None, None
+    gx, gy = qx, qy
+    if row["srs"] == "EPSG:4326":
+        lat, lon = M.meters_to_latlon(gx, gy)
+        gx, gy = lon, lat
+    px, py = A.apply_geotransform(inv, gx, gy)
+    ix = np.floor(px).astype(np.int64)
+    iy = np.floor(py).astype(np.int64)
+    ok = (ix >= 0) & (ix < int(row["w"])) & (iy >= 0) & (iy < int(row["h"]))
+    if not ok.any():
+        return None, None
+    img = C.decode_image(row["bytes"], row["fmt"])
+    return ok, img[iy[ok], ix[ok], 0].astype(np.int32)
+
+
+def q_point_query(sf_dir: str):
+    """gdallocationinfo as a DISTRIBUTED pipeline (the scale-safe plan):
+    stage A cell-co-partitions the query points with the image footprint
+    covers (same key space as the PIP join), stage B hash-co-partitions the
+    candidates with the image payload on image_id — no broadcast of the
+    point table, no O(images x points) scan; see stages/pointquery.py."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.geo import mercator as M
+    from gdal_ray.pipelines.flagship import _merge_placements, placed_images
+    from gdal_ray.stages.pointquery import point_footprint_candidates, sample_at_points
 
     d = corpus_for_sf(sf_dir)
-    qp = pq.read_table(f"{d}/query_points.parquet").to_pandas()
-    qx, qy = M.latlon_to_meters(qp["lat"].to_numpy(), qp["lon"].to_numpy())
-    pts_ref = ray.put({"id": qp["query_id"].to_numpy(), "x": qx, "y": qy})
 
-    src = rd.read_parquet(os.path.join(d, "images.parquet"), include_paths=True)
-    placed = src.map_batches(
+    def pts_prep(batch: pa.Table) -> pa.Table:
+        mx, my = M.latlon_to_meters(np.asarray(batch["lat"]), np.asarray(batch["lon"]))
+        return pa.table(
+            {"query_id": batch["query_id"], "cx": pa.array(mx), "cy": pa.array(my)}
+        )
+
+    points = rd.read_parquet(
+        os.path.join(d, "query_points.parquet"), columns=["query_id", "lon", "lat"]
+    ).map_batches(pts_prep, batch_format="pyarrow")
+
+    footprints = placed_images(d, decode=False).map_batches(
+        lambda b: b.select(["image_id", "minx", "miny", "maxx", "maxy"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    cand = point_footprint_candidates(points, footprints)
+
+    payload = rd.read_parquet(
+        os.path.join(d, "images.parquet"), include_paths=True
+    ).map_batches(
         _merge_placements,
         fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
         batch_format="pyarrow",
         batch_size=64,
-    ).map_batches(G.add_bbox_meters, batch_format="pyarrow", batch_size=None)
+    ).map_batches(
+        lambda b: b.select(
+            ["image_id", "bytes", "fmt", "w", "h", "srs"]
+            + [f"gt{i}" for i in range(6)]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
-    def sample(batch: pa.Table) -> pa.Table:
-        from gdal_ray.stages.geo import _gt_matrix
-
-        pts = ray.get(pts_ref)
-        gts = _gt_matrix(batch)
-        out_q, out_img, out_val = [], [], []
-        minx = np.asarray(batch["minx"])
-        miny = np.asarray(batch["miny"])
-        maxx = np.asarray(batch["maxx"])
-        maxy = np.asarray(batch["maxy"])
-        srs = batch["srs"].to_pylist()
-        ids = batch["image_id"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        ws = np.asarray(batch["w"])
-        hs = np.asarray(batch["h"])
-        for i in range(len(ids)):
-            m = (
-                (pts["x"] >= minx[i])
-                & (pts["x"] <= maxx[i])
-                & (pts["y"] >= miny[i])
-                & (pts["y"] <= maxy[i])
-            )
-            if not m.any():
-                continue
-            inv = A.invert_geotransform(gts[i])
-            if inv is None:
-                continue
-            gx = pts["x"][m]
-            gy = pts["y"][m]
-            if srs[i] == "EPSG:4326":
-                lat, lon = M.meters_to_latlon(gx, gy)
-                gx, gy = lon, lat
-            px, py = A.apply_geotransform(inv, gx, gy)
-            ix = np.floor(px).astype(np.int64)
-            iy = np.floor(py).astype(np.int64)
-            ok = (ix >= 0) & (ix < ws[i]) & (iy >= 0) & (iy < hs[i])
-            if not ok.any():
-                continue
-            img = C.decode_image(blobs[i], fmts[i])
-            sel = np.flatnonzero(m)[ok]
-            out_q.extend(pts["id"][sel])
-            out_img.extend([ids[i]] * int(ok.sum()))
-            out_val.extend(img[iy[ok], ix[ok], 0].astype(int).tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.string()),
-                "image_id": pa.array(out_img, pa.string()),
-                "value": pa.array(out_val, pa.int32()),
-            }
-        )
-
-    return placed.map_batches(sample, batch_format="pyarrow", batch_size=None)
+    out_schema = pa.schema(
+        [("query_id", pa.string()), ("image_id", pa.string()), ("value", pa.int32())]
+    )
+    return sample_at_points(cand, payload, _image_pixel_sampler, out_schema)
 
 
 def q_zonal_category_stats(sf_dir: str):

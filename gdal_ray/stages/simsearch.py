@@ -248,18 +248,26 @@ def _block_pair_sims(block_a, block_b, threshold, same):
     return ids_a[ia], ids_b[ib], s[ia, ib] if len(ia) else np.empty(0)
 
 
-def embedding_near_dup(ds, threshold: float, block_size: int = 4096):
+def embedding_near_dup(ds, threshold: float, block_size: int = 4096,
+                       max_rows: int | None = None):
     """EXACT all-pairs cosine near-duplicate join over an embedding column.
 
     The Dataset API has no native self-cross-join, so this drops to raw Ray
     tasks over O(K^2/2) block tiles (K = ceil(N/block_size)) — each tile one
-    matmul, results tiny. At 10^9 rows you'd pre-filter candidates with the
-    hyperplane-LSH bands (ivf/simhash) and verify exactly per tile; the
-    tile kernel is identical.
+    matmul, results tiny. This is the SMALL-SCALE ORACLE twin: it refuses
+    tables above ``max_rows`` (default config.EXACT_NEARDUP_MAX) because the
+    driver collects block refs and the pair count is quadratic — use
+    ``embedding_near_dup_lsh`` (banded candidates + exact verify) at scale;
+    the tile kernel is identical.
 
     Returns pandas (id_a, id_b, score) with id_a < id_b.
     """
     import pandas as pd
+
+    if max_rows is None:
+        from gdal_ray.config import EXACT_NEARDUP_MAX
+
+        max_rows = EXACT_NEARDUP_MAX
 
     blocks = []
     ids_acc, vec_acc = [], []
@@ -269,6 +277,12 @@ def embedding_near_dup(ds, threshold: float, block_size: int = 4096):
         ids = np.asarray(batch["vec_id"])
         blocks.append(ray.put((ids, m)))
         count += len(ids)
+        if count > max_rows:
+            raise ValueError(
+                f"embedding_near_dup is the exact O(N^2) oracle path and is "
+                f"capped at {max_rows} rows ({count}+ supplied); use "
+                f"embedding_near_dup_lsh for large tables"
+            )
     futs = []
     for i in range(len(blocks)):
         for j in range(i, len(blocks)):
