@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_relate_lattice": LO.q_relate_lattice,
         "q_tin_lattice": LO.q_tin_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
+        "q_conic_lattice": LO.q_conic_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
         # --- SQL-checkable raster kernels on derived closed-form grids ---
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sim_ivf": RQ.q_sim_ivf,
         "q_warp_4326_images": RQ.q_warp_4326_images,
         "q_warp_utm": RQ.q_warp_utm,
+        "q_warp_lcc": RQ.q_warp_lcc,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         "q_embed_near_dup_lsh": RQ.q_embed_near_dup_lsh,
         "q_simhash_docs": RQ.q_simhash_docs,
@@ -249,8 +251,71 @@ def oracle_sql() -> dict[str, str]:
             f"(({i_expr}) % 11) + 1)) % 65536 AS INTEGER)"
         )
 
+    # Snyder closed-form helpers for the conic (LCC/Albers) forward twin;
+    # expressions mirror gdal_ray/geo/conic.py operation-for-operation
+    def _sm(phi):
+        return f"(cos({phi})/sqrt(1.0 - e2*sin({phi})*sin({phi})))"
+
+    def _st(phi):
+        return (
+            f"(tan(pi()/4.0 - ({phi})/2.0) / "
+            f"power((1.0 - e*sin({phi}))/(1.0 + e*sin({phi})), e/2.0))"
+        )
+
+    def _sq(phi):
+        return (
+            f"((1.0 - e2) * (sin({phi})/(1.0 - e2*sin({phi})*sin({phi})) "
+            f"- (1.0/(2.0*e)) * ln((1.0 - e*sin({phi}))/(1.0 + e*sin({phi})))))"
+        )
+
+    def _rad(deg):
+        return f"(({deg})*(pi()/180.0))"
+
+    conic_sql = f"""
+        WITH c1 AS (SELECT 6378137.0 AS a,
+                           (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2),
+             c2 AS (SELECT a, e2, sqrt(e2) AS e FROM c1),
+             lp AS (SELECT a, e2, e,
+                           {_sm(_rad('33.0'))} AS m1, {_sm(_rad('45.0'))} AS m2,
+                           {_st(_rad('33.0'))} AS t1, {_st(_rad('45.0'))} AS t2,
+                           {_st(_rad('23.0'))} AS t0
+                    FROM c2),
+             lcc AS (SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM lp),
+             lcc2 AS (SELECT *, m1/(n*power(t1, n)) AS ff FROM lcc),
+             lcc3 AS (SELECT *, a*ff*power(t0, n) AS rho0 FROM lcc2),
+             ap AS (SELECT a, e2, e,
+                           {_sm(_rad('29.5'))} AS am1, {_sm(_rad('45.5'))} AS am2,
+                           {_sq(_rad('29.5'))} AS aq1, {_sq(_rad('45.5'))} AS aq2,
+                           {_sq(_rad('23.0'))} AS aq0
+                    FROM c2),
+             alb AS (SELECT *, (am1*am1 - am2*am2)/(aq2 - aq1) AS an FROM ap),
+             alb2 AS (SELECT *, am1*am1 + an*aq1 AS ac FROM alb),
+             alb3 AS (SELECT *, a*sqrt(ac - an*aq0)/an AS arho0 FROM alb2),
+             pts AS (SELECT c_custkey,
+                            {_rad('-80.0 + ((c_custkey*2654435761) % 160000)/1000.0')} AS phi,
+                            {_rad('-179.0 + ((c_custkey*2246822519) % 358000)/1000.0')} AS lam
+                     FROM customer),
+             lv AS (SELECT c_custkey, phi, lam,
+                           a*ff*power({_st('phi')}, n) AS rho,
+                           n*(lam - {_rad('-96.0')}) AS theta,
+                           rho0
+                    FROM pts, lcc3),
+             av AS (SELECT c_custkey, phi, lam,
+                           a*sqrt(ac - an*{_sq('phi')})/an AS arho,
+                           an*(lam - {_rad('-96.0')}) AS atheta,
+                           arho0
+                    FROM pts, alb3)
+        SELECT l.c_custkey,
+               ROUND(l.rho*sin(l.theta), 3) AS lcc_x,
+               ROUND(l.rho0 - l.rho*cos(l.theta), 3) AS lcc_y,
+               ROUND(v.arho*sin(v.atheta), 3) AS alb_x,
+               ROUND(v.arho0 - v.arho*cos(v.atheta), 3) AS alb_y
+        FROM lv l JOIN av v ON l.c_custkey = v.c_custkey
+    """
+
     return {
         "q_text_analysis": text_analysis_sql,
+        "q_conic_lattice": conic_sql,
         "q_band_stats_lattice": f"""
             WITH px AS ({grid_sql})
             SELECT CAST(COUNT(*) AS BIGINT) AS n_pixels,
@@ -742,10 +807,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.row_ = n.row_ AND a.col_ = n.col_
         """,
         "q_sample_lattice": """
+            -- key reduced mod 2^32 then multiplied in UBIGINT: matches the
+            -- engine's uint64 hash for ANY int64 key (no silent wrap)
             SELECT c_mktsegment, COUNT(*) AS n_sampled,
                    CAST(MIN(c_custkey) AS BIGINT) AS min_key
             FROM customer
-            WHERE (c_custkey*2654435761) % 100 < 10
+            WHERE (CAST(c_custkey AS UBIGINT) % 4294967296) * 2654435761 % 100 < 10
             GROUP BY c_mktsegment
         """,
         "q_pipeline_chain": """

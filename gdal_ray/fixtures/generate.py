@@ -80,7 +80,7 @@ def _image_rows(seed, lo, hi, size_idx_w, size_idx_h, is_jpeg, ref_dir):
                 if attempt > 0:
                     jit = jit * (attempt == 1)  # second try: zero jitter
                 cand = np.clip(base.astype(np.int16) + jit, 0, 255).astype(np.uint8)
-                blob_c = C.encode_qlossy(cand) if is_jpeg[i] else C.encode_png(cand)
+                blob_c = C.encode_jpeg(cand) if is_jpeg[i] else C.encode_png(cand)
                 fmt_c = "jpeg" if is_jpeg[i] else "png"
                 hh = int(PH.phash64(C.decode_image(blob_c, fmt_c)))
                 from gdal_ray.io.phash import hamming64 as _ham
@@ -106,7 +106,7 @@ def _image_rows(seed, lo, hi, size_idx_w, size_idx_h, is_jpeg, ref_dir):
             h = int(sizes[size_idx_h[i]])
             img = make_image(seed, i, w, h)
         if is_jpeg[i]:
-            blob = C.encode_qlossy(img)
+            blob = C.encode_jpeg(img)
             fmt = "jpeg"
         else:
             blob = C.encode_png(img)
@@ -589,7 +589,9 @@ _IMG_H = None
 
 
 def corpus_dir(n_images: int, seed: int = 42) -> str:
-    return os.path.join(FIXTURE_ROOT, f"n{n_images}_s{seed}")
+    # v3: real baseline-JPEG payloads (gdal_ray.io.jpeg) replaced the
+    # round-2 qlossy stand-in; version bump invalidates cached corpora
+    return os.path.join(FIXTURE_ROOT, f"n{n_images}_s{seed}_v3")
 
 
 def generate_corpus(n_images: int, seed: int = 42, pixel_refs: bool | None = None, force=False) -> str:

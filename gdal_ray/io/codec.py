@@ -6,13 +6,13 @@ The container has no imaging libraries (no PIL / libjpeg / GDAL drivers), so:
   filter-0 scanlines; reads any of the five standard filters, 8-bit
   grayscale / RGB / RGBA. Lossless — decoded pixels are compared with
   exact ``allclose`` in tests.
-- ``jpeg``: a STAND-IN deterministic lossy codec (uniform quantization with
-  step 8 + zlib), NOT actual JFIF. Chosen so reconstruction error matches
-  the JPEG-quality oracle bound: uniform step-8 quantization has
-  MSE ~= 8^2/12 = 5.33 -> PSNR ~= 40.9 dB >= the 40 dB gate. The Ray-side
-  plumbing (binary column in, HWC uint8 out, per-fmt dispatch) is exactly
-  what a real libjpeg-backed decoder would use; swapping in libjpeg later
-  touches only this module.
+- ``jpeg``: a REAL baseline JFIF codec (gdal_ray.io.jpeg: 8x8 DCT, Annex-K
+  tables, canonical Huffman, byte-stuffed entropy stream) — the pure-numpy
+  replacement for the reference's libjpeg driver
+  (``frmts/jpeg/jpgdataset.cpp``). The corpus encodes at quality 97 4:4:4
+  so decode-vs-reference PSNR clears the 40 dB oracle gate with margin.
+  The legacy round-2 "qlossy" stand-in blobs still decode (magic-sniffed)
+  so cached corpora remain readable.
 
 This replaces GDAL's raster driver layer for the image payload (the
 reference registers ~153 codecs, ``frmts/gdalallregister.cpp:111``); our
@@ -27,7 +27,15 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_png", "decode_png", "encode_qlossy", "decode_qlossy", "decode_image", "psnr"]
+__all__ = [
+    "encode_png",
+    "decode_png",
+    "encode_jpeg",
+    "encode_qlossy",
+    "decode_qlossy",
+    "decode_image",
+    "psnr",
+]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _QL_MAGIC = b"QLS1"
@@ -147,14 +155,26 @@ def decode_qlossy(buf: bytes) -> np.ndarray:
     return img.reshape(h, w, c)
 
 
+def encode_jpeg(img: np.ndarray, quality: int = 97, subsample: bool = False) -> bytes:
+    """Real baseline JFIF encode (gdal_ray.io.jpeg)."""
+    from gdal_ray.io.jpeg import encode_jpeg as _enc
+
+    return _enc(img, quality=quality, subsample=subsample)
+
+
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
-    """Dispatch on the ``fmt`` column. 'jpeg' uses the qlossy stand-in."""
+    """Dispatch on the ``fmt`` column; jpeg payloads are sniffed so legacy
+    'qlossy' stand-in blobs (round-2 corpora) still decode."""
     if fmt == "png":
         return decode_png(buf)
     if fmt in ("jpeg", "qlossy"):
+        if buf[:2] == b"\xff\xd8":
+            from gdal_ray.io.jpeg import decode_jpeg
+
+            return decode_jpeg(buf)
         return decode_qlossy(buf)
     raise NotImplementedError(
-        f"fmt={fmt!r}: real JPEG/TIFF decode needs an imaging library not present "
+        f"fmt={fmt!r}: TIFF/WebP decode needs an imaging library not present "
         "in this environment; plug a decoder into gdal_ray.io.codec.decode_image"
     )
 

@@ -147,23 +147,37 @@ def _canonical_codes(bits, vals):
     return codes
 
 
+_LUT_CACHE: dict = {}
+
+
 def _decode_lut(bits, vals):
-    """16-bit-peek LUT: (sym[65536], len[65536]) as Python lists."""
-    sym = [-1] * 65536
-    length = [0] * 65536
+    """16-bit-peek LUT: (sym[65536], len[65536]) as Python lists.
+
+    Cached on the table definition — rebuilding costs ~5 ms and every
+    standard-table stream hits the cache."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, dtype=np.int32)
+    length = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             v = vals[k]
             base = code << (16 - ln)
-            for i in range(base, base + (1 << (16 - ln))):
-                sym[i] = v
-                length[i] = ln
+            span = 1 << (16 - ln)
+            sym[base : base + span] = v
+            length[base : base + span] = ln
             code += 1
             k += 1
         code <<= 1
-    return sym, length
+    out = (sym.tolist(), length.tolist())
+    if len(_LUT_CACHE) > 32:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 # --- forward path ----------------------------------------------------------
@@ -368,6 +382,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = True) -> b
     return bytes(out)
 
 
+def _upsample2(p: np.ndarray, axis: int) -> np.ndarray:
+    """2x triangle-filter upsample along one axis (libjpeg fancy upsampling:
+    nearer sample weight 3/4, farther 1/4, edges clamped)."""
+    if axis == 1:
+        return _upsample2(p.T, 0).T
+    lo = np.vstack([p[:1], p[:-1]])   # sample above
+    hi = np.vstack([p[1:], p[-1:]])   # sample below
+    out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=p.dtype)
+    out[0::2] = 0.75 * p + 0.25 * lo
+    out[1::2] = 0.75 * p + 0.25 * hi
+    return out
+
+
 # --- decoder ----------------------------------------------------------------
 
 class _BitReader:
@@ -497,28 +524,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
             end = p
             break
-    segment = raw[:end]
-    # split on restart markers, removing stuffed zeros
-    parts = []
-    cur = bytearray()
-    i = 0
-    m = len(segment)
-    while i < m:
-        b = segment[i]
-        if b == 0xFF and i + 1 < m:
-            nxt = segment[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                parts.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(b)
-        i += 1
-    parts.append(bytes(cur))
+    seg_arr = arr[:end]
+    # vectorized unstuff/split: drop the 0x00 after each 0xFF, cut at RSTn
+    ff = np.nonzero(seg_arr[:-1] == 0xFF)[0]
+    nxt = seg_arr[ff + 1]
+    drop = ff[nxt == 0x00] + 1          # stuffed zeros to delete
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]  # restart marker starts
+    keep = np.ones(len(seg_arr), dtype=bool)
+    keep[drop] = False
+    keep[rst] = False
+    keep[rst + 1] = False
+    # map restart positions into the compacted stream to split
+    if len(rst):
+        newpos = np.cumsum(keep)
+        cuts = newpos[rst] - 1 + 1  # count of kept bytes before the marker
+        clean = seg_arr[keep].tobytes()
+        parts = []
+        prev = 0
+        for cpos in cuts:
+            parts.append(clean[prev:cpos])
+            prev = cpos
+        parts.append(clean[prev:])
+    else:
+        parts = [seg_arr[keep].tobytes()]
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -532,13 +560,21 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     for c in comps:
         c["bw"] = mcus_x * c["h"]
         c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        # coefficients collected in ZIGZAG order as flat (block*64 + k)
+        # index/value lists; de-zigzagged vectorized after the scan loop
+        c["idx"] = []
+        c["val"] = []
 
     n_mcu = mcus_x * mcus_y
     mcu_per_part = restart_interval if restart_interval else n_mcu
     mcu_idx = 0
     for part in parts:
-        reader = _BitReader(part)
+        # inlined bit reader (locals, no method-call overhead in the hot
+        # loop); zero-padding keeps the 4-byte bulk refills in bounds
+        part = part + b"\x00" * 64
+        dpos = 0
+        acc = 0
+        bits = 0
         pred = {c["id"]: 0 for c in comps}
         limit = min(n_mcu, mcu_idx + mcu_per_part)
         while mcu_idx < limit:
@@ -546,20 +582,53 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for c in comps:
                 dc_sym, dc_len = c["dc_lut"]
                 ac_sym, ac_len = c["ac_lut"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        p16 = reader.peek16()
+                cidx = c["idx"]
+                cval = c["val"]
+                cbw = c["bw"]
+                ch = c["h"]
+                cv = c["v"]
+                cid = c["id"]
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi64 = ((my * cv + by) * cbw + mx * ch + bx) << 6
+                        if bits < 16:
+                            acc = (acc << 32) | int.from_bytes(
+                                part[dpos : dpos + 4], "big"
+                            )
+                            dpos += 4
+                            bits += 32
+                            acc &= 0xFFFFFFFFFFFF
+                        p16 = (acc >> (bits - 16)) & 0xFFFF
                         s = dc_sym[p16]
-                        reader.skip(dc_len[p16])
-                        diff = _extend(reader.read(s), s) if s else 0
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
+                        bits -= dc_len[p16]
+                        if s:
+                            if bits < s:
+                                acc = (acc << 32) | int.from_bytes(
+                                    part[dpos : dpos + 4], "big"
+                                )
+                                dpos += 4
+                                bits += 32
+                                acc &= 0xFFFFFFFFFFFF
+                            v = (acc >> (bits - s)) & ((1 << s) - 1)
+                            bits -= s
+                            diff = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+                        else:
+                            diff = 0
+                        pred[cid] += diff
+                        cidx.append(bi64)
+                        cval.append(pred[cid])
                         k = 1
                         while k < 64:
-                            p16 = reader.peek16()
+                            if bits < 16:
+                                acc = (acc << 32) | int.from_bytes(
+                                    part[dpos : dpos + 4], "big"
+                                )
+                                dpos += 4
+                                bits += 32
+                                acc &= 0xFFFFFFFFFFFF
+                            p16 = (acc >> (bits - 16)) & 0xFFFF
                             rs = ac_sym[p16]
-                            reader.skip(ac_len[p16])
+                            bits -= ac_len[p16]
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -569,19 +638,37 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                             size = rs & 0x0F
                             if k > 63:
                                 break
-                            zz[k] = _extend(reader.read(size), size)
+                            if bits < size:
+                                acc = (acc << 32) | int.from_bytes(
+                                    part[dpos : dpos + 4], "big"
+                                )
+                                dpos += 4
+                                bits += 32
+                                acc &= 0xFFFFFFFFFFFF
+                            v = (acc >> (bits - size)) & ((1 << size) - 1)
+                            bits -= size
+                            cidx.append(bi64 + k)
+                            cval.append(
+                                v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+                            )
                             k += 1
-                        bi = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
-                        c["coef"][bi][_ZZ] = zz
+                        acc &= (1 << bits) - 1
             mcu_idx += 1
         if mcu_idx >= n_mcu:
             break
 
     dct = _dct_matrix()
     planes = []
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZZ] = np.arange(64)
     for c in comps:
+        coef_zz = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        if c["idx"]:
+            flat = np.asarray(c["idx"], dtype=np.int64)
+            coef_zz[flat >> 6, flat & 63] = np.asarray(c["val"], dtype=np.int32)
+        coef_nat = coef_zz[:, inv_zz]
         qt = qtabs[c["tq"]].reshape(64).astype(np.float64)
-        coef = c["coef"].astype(np.float64) * qt[None, :]
+        coef = coef_nat.astype(np.float64) * qt[None, :]
         blocks = coef.reshape(-1, 8, 8)
         pix = np.einsum("xu,nuv,yv->nxy", dct.T, blocks, dct.T, optimize=True)
         bw, bh = c["bw"], c["bh"]
@@ -589,9 +676,20 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
         plane += 128.0
-        # upsample to full MCU-grid resolution
-        if c["h"] != hmax or c["v"] != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        # upsample to full MCU-grid resolution: triangle filter for 2x
+        # (libjpeg "fancy upsampling", weights 3/4 + 1/4), repeat otherwise
+        if c["v"] != vmax:
+            f = vmax // c["v"]
+            if f == 2:
+                plane = _upsample2(plane, axis=0)
+            else:
+                plane = np.repeat(plane, f, axis=0)
+        if c["h"] != hmax:
+            f = hmax // c["h"]
+            if f == 2:
+                plane = _upsample2(plane, axis=1)
+            else:
+                plane = np.repeat(plane, f, axis=1)
         planes.append(plane[: mcus_y * 8 * vmax, : mcus_x * 8 * hmax])
 
     if len(planes) == 1:

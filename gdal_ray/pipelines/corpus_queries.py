@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from gdal_ray.fixtures.generate import generate_corpus
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
 __all__ = [
     "corpus_for_sf",
@@ -92,11 +93,11 @@ def q_decode_stats(sf_dir: str):
 def q_text_analysis(sf_dir: str):
     """Language-ID + quality scoring over the documents table (heuristics,
     not SQL-expressible -> rows-only)."""
-    import ray.data as rd
+    import ray.data as rd  # noqa: F401
 
     from gdal_ray.stages.text import LangId, TextStats
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"))
     return (
         ds.map_batches(TextStats, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
         .map_batches(LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
@@ -112,7 +113,7 @@ def q_minhash_pairs(sf_dir: str):
 
     from gdal_ray.ops.shuffle import bucketed_group_apply
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     bands = minhash_bands(ds)
 
     def pairs(part: pd.DataFrame) -> pd.DataFrame:

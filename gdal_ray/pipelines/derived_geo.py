@@ -19,7 +19,8 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray
-import ray.data as rd
+import ray.data as rd  # noqa: F401
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 from ray.data.aggregate import Count, Sum
 
 from gdal_ray.config import CELL_LEVEL
@@ -50,7 +51,7 @@ def _lattice_meters(keys: np.ndarray):
 def q_tile_assign(sf_dir: str, zooms=(4, 8)):
     """Per-customer XYZ tile assignment at two zooms via the engine's
     mercator kernels (gdal2tiles.py:452-464 rules: ceil/256-1 + y flip)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
 
     def assign(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["c_custkey"], dtype=np.int64)
@@ -80,7 +81,7 @@ def q_tile_assign(sf_dir: str, zooms=(4, 8)):
 def q_cell_hist(sf_dir: str, level: int = CELL_LEVEL):
     """Cell-id histogram of derived customer points (the per-partition
     metric the checkpoint manifest records)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
 
     def assign(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch["c_custkey"], dtype=np.int64)
@@ -108,7 +109,7 @@ def q_bbox_join(sf_dir: str):
     hw = 134217728 + (skeys % 5) * 33554432  # 2^27 .. 2^27+4*2^25
     boxes_ref = ray.put({"s_suppkey": skeys, "sx": sx, "sy": sy, "hw": hw})
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
         boxes = ray.get(boxes_ref)

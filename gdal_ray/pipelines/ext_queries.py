@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import os
 
-import ray.data as rd
+import ray.data as rd  # noqa: F401
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 from ray.data.aggregate import Count, Min
 
 __all__ = ["q_sample_lattice", "q_pipeline_chain", "q_audio_features"]
@@ -16,7 +17,7 @@ def q_sample_lattice(sf_dir: str):
     (the reproducible, SQL-parity form of the sampling operator)."""
     from gdal_ray.stages.sampling import deterministic_sample
 
-    ds = rd.read_parquet(
+    ds = _rpt(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     return (
@@ -31,7 +32,7 @@ def q_pipeline_chain(sf_dir: str):
     filter ! derive ! select ! sort ! limit) over the part table."""
     from gdal_ray.pipelines.registry import Pipeline
 
-    ds = rd.read_parquet(
+    ds = _rpt(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
     )
     pipe = Pipeline(

@@ -30,7 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
-import ray.data as rd
+import ray.data as rd  # noqa: F401
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
 from gdal_ray.pipelines.derived_geo import LATTICE_A, LATTICE_B
 
@@ -46,6 +47,7 @@ __all__ = [
     "q_relate_lattice",
     "q_buffer_lattice",
     "q_tin_lattice",
+    "q_conic_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -53,7 +55,7 @@ _TWO16 = 1 << 16
 
 
 def _read(sf_dir: str, table: str, columns):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return _rpt(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 # --------------------------------------------------------------------------
@@ -627,5 +629,39 @@ def q_clip_pairs_lattice(sf_dir: str):
         )
 
     return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Conic reprojection (LCC 2SP + Albers) forward oracle
+# --------------------------------------------------------------------------
+
+def q_conic_lattice(sf_dir: str):
+    """Lambert Conformal Conic (EPSG 9802) + Albers Equal-Area (EPSG 9822)
+    forward projection of customer lattice lat/lons through the real
+    ellipsoidal kernels (geo/conic.py, the PROJ-replacement seam used by
+    warp_image). The SQL twin replays Snyder's closed forms with identical
+    operation order; mm-level rounding absorbs libm 1-ulp drift. Inverse
+    (iterative) is covered by the pytest round-trip property tests."""
+    from gdal_ray.geo import conic as CN
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        lat = -80.0 + ((keys * LATTICE_A) % 160000) / 1000.0
+        lon = -179.0 + ((keys * LATTICE_B) % 358000) / 1000.0
+        lx, ly = CN.lcc_forward(lat, lon, 33.0, 45.0, 23.0, -96.0)
+        ax, ay = CN.albers_forward(lat, lon, 29.5, 45.5, 23.0, -96.0)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "lcc_x": pa.array(np.round(lx, 3)),
+                "lcc_y": pa.array(np.round(ly, 3)),
+                "alb_x": pa.array(np.round(ax, 3)),
+                "alb_y": pa.array(np.round(ay, 3)),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )

@@ -27,7 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
+import ray.data as rd  # noqa: F401
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
 __all__ = [
     "q_band_stats_lattice",
@@ -52,7 +53,7 @@ _TWO16 = 1 << 16
 
 
 def _suppliers(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    return _rpt(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
 
 
 def grid_dims(k: int):
@@ -508,7 +509,7 @@ def q_point_query_lattice(sf_dir: str):
 
     import ray.data as rd
 
-    points = rd.read_parquet(
+    points = _rpt(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     ).map_batches(qp, batch_format="pyarrow")
     foots = _suppliers(sf_dir).map_batches(fp, batch_format="pyarrow")

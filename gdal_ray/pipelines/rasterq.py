@@ -10,6 +10,7 @@ import ray
 
 from gdal_ray.pipelines.corpus_queries import corpus_for_sf
 from gdal_ray.sources import corpus as SRC
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
 __all__ = [
     "q_dem_metrics",
@@ -26,6 +27,7 @@ __all__ = [
     "q_sim_ivf",
     "q_warp_4326_images",
     "q_warp_utm",
+    "q_warp_lcc",
     "q_embed_near_dup",
     "q_embed_near_dup_lsh",
     "q_simhash_docs",
@@ -146,8 +148,6 @@ def q_point_query(sf_dir: str):
     point table, no O(images x points) scan; see stages/pointquery.py."""
     import os
 
-    import ray.data as rd
-
     from gdal_ray.geo import mercator as M
     from gdal_ray.pipelines.flagship import _merge_placements, placed_images
     from gdal_ray.stages.pointquery import point_footprint_candidates, sample_at_points
@@ -160,7 +160,7 @@ def q_point_query(sf_dir: str):
             {"query_id": batch["query_id"], "cx": pa.array(mx), "cy": pa.array(my)}
         )
 
-    points = rd.read_parquet(
+    points = _rpt(
         os.path.join(d, "query_points.parquet"), columns=["query_id", "lon", "lat"]
     ).map_batches(pts_prep, batch_format="pyarrow")
 
@@ -171,7 +171,7 @@ def q_point_query(sf_dir: str):
     )
     cand = point_footprint_candidates(points, footprints)
 
-    payload = rd.read_parquet(
+    payload = _rpt(
         os.path.join(d, "images.parquet"), include_paths=True
     ).map_batches(
         _merge_placements,
@@ -417,7 +417,7 @@ def q_sim_ivf(sf_dir: str):
     qt = qt.filter(pc.less(qt["vec_id"], 8)).sort_by("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
     qids = np.asarray(qt["vec_id"])
-    ds = rd.read_parquet(
+    ds = _rpt(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     top = topk_cosine_ivf(ds, queries, k=5, n_clusters=16, n_probe=4, centroids=cents)
@@ -443,7 +443,7 @@ def q_warp_4326_images(sf_dir: str):
     from gdal_ray.stages.geo import _gt_matrix
 
     d = corpus_for_sf(sf_dir)
-    src = rd.read_parquet(os.path.join(d, "images.parquet"), include_paths=True)
+    src = _rpt(os.path.join(d, "images.parquet"), include_paths=True)
     placed = src.map_batches(
         _merge_placements,
         fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
@@ -497,7 +497,7 @@ def q_warp_utm(sf_dir: str):
     from gdal_ray.raster.warp import warp_image
 
     d = corpus_for_sf(sf_dir)
-    src = rd.read_parquet(
+    src = _rpt(
         os.path.join(d, "images.parquet"),
         columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
     )
@@ -542,6 +542,58 @@ def q_warp_utm(sf_dir: str):
     return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)
 
 
+def q_warp_lcc(sf_dir: str):
+    """gdalwarp to Lambert Conformal Conic (geo/conic.py seam): the 3857
+    slice of the corpus warped to LCC:33,45,23,-96, reporting dst grid +
+    checksum (rows-only gate; the conic kernels have a SQL-checked forward
+    twin in q_conic_lattice and round-trip property tests)."""
+    import os
+
+    import ray.data as rd
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.flagship import _merge_placements
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import warp_image
+    from gdal_ray.stages.geo import _gt_matrix
+
+    d = corpus_for_sf(sf_dir)
+    src = _rpt(os.path.join(d, "images.parquet"), include_paths=True)
+    placed = src.map_batches(
+        _merge_placements,
+        fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        keep = [i for i, s in enumerate(batch["srs"].to_pylist()) if s == "EPSG:3857"]
+        rows = {"image_id": [], "dst_w": [], "dst_h": [], "warp_cksum": []}
+        if keep:
+            batch2 = batch.take(pa.array(keep))
+            gts = _gt_matrix(batch2)
+            blobs = batch2["bytes"].to_pylist()
+            fmts = batch2["fmt"].to_pylist()
+            ids = batch2["image_id"].to_pylist()
+            for i in range(len(ids)):
+                img = C.decode_image(blobs[i], fmts[i])
+                out, _ = warp_image(img, tuple(gts[i]), "EPSG:3857", "LCC:33,45,23,-96")
+                rows["image_id"].append(ids[i])
+                rows["dst_w"].append(out.shape[1])
+                rows["dst_h"].append(out.shape[0])
+                rows["warp_cksum"].append(checksum_image(out[:, :, 0]))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "dst_w": pa.array(rows["dst_w"], pa.int32()),
+                "dst_h": pa.array(rows["dst_h"], pa.int32()),
+                "warp_cksum": pa.array(rows["warp_cksum"], pa.int32()),
+            }
+        )
+
+    return placed.map_batches(per_image, batch_format="pyarrow", batch_size=64)
+
+
 def q_embed_near_dup(sf_dir: str):
     """EXACT all-pairs embedding-cosine near-dup join (threshold 0.45,
     chosen so the nearest pair sits 5e-4 from the boundary — float-safe
@@ -552,7 +604,7 @@ def q_embed_near_dup(sf_dir: str):
 
     from gdal_ray.stages.simsearch import embedding_near_dup
 
-    ds = rd.read_parquet(
+    ds = _rpt(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return embedding_near_dup(ds, threshold=0.45)
@@ -566,7 +618,7 @@ def q_simhash_docs(sf_dir: str):
 
     from gdal_ray.stages.dedup import SimHasher
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return ds.map_batches(
         SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, 4), num_cpus=1
     )
@@ -580,7 +632,7 @@ def q_jaccard_near_dup(sf_dir: str):
 
     from gdal_ray.stages.dedup import verified_text_near_dups
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return verified_text_near_dups(ds, jaccard_threshold=0.8)
 
 
@@ -701,7 +753,7 @@ def q_nearblack(sf_dir: str):
     from gdal_ray.raster.kernels import nearblack
 
     d = corpus_for_sf(sf_dir)
-    src = rd.read_parquet(
+    src = _rpt(
         os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
     )
 
@@ -740,7 +792,7 @@ def q_pansharpen(sf_dir: str):
     from gdal_ray.raster.kernels import pansharpen_brovey, resample_bilinear
 
     d = corpus_for_sf(sf_dir)
-    src = rd.read_parquet(
+    src = _rpt(
         os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
     )
 
@@ -780,7 +832,7 @@ def q_embed_near_dup_lsh(sf_dir: str):
 
     from gdal_ray.stages.simsearch import embedding_near_dup_lsh
 
-    ds = rd.read_parquet(
+    ds = _rpt(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return embedding_near_dup_lsh(ds, threshold=0.45)

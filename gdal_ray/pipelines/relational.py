@@ -16,7 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data as rd
+import ray.data as rd  # noqa: F401
+from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 from ray.data.aggregate import Count, Min, Sum
 
 __all__ = [
@@ -33,7 +34,7 @@ __all__ = [
 
 
 def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return _rpt(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _q4(x):

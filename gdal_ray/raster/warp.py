@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from gdal_ray.geo import affine as A
+from gdal_ray.geo import conic as CN
 from gdal_ray.geo import mercator as M
 from gdal_ray.geo import tmerc as TM
 
@@ -39,6 +40,11 @@ def _to_4326(gx, gy, srs):
     if utm is not None:
         lat, lon = TM.utm_to_latlon(gx, gy, utm[0], utm[1])
         return lon, lat
+    conic = CN.parse_conic_srs(srs)
+    if conic is not None:
+        inv = CN.lcc_inverse if conic[0] == "LCC" else CN.albers_inverse
+        lat, lon = inv(gx, gy, *conic[1])
+        return lon, lat
     raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
 
 
@@ -50,6 +56,10 @@ def _from_4326(lon, lat, srs):
     utm = TM.parse_utm_epsg(srs)
     if utm is not None:
         return TM.latlon_to_utm(lat, lon, utm[0], utm[1])
+    conic = CN.parse_conic_srs(srs)
+    if conic is not None:
+        fwd = CN.lcc_forward if conic[0] == "LCC" else CN.albers_forward
+        return fwd(lat, lon, *conic[1])
     raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
 
 

@@ -19,11 +19,40 @@ __all__ = [
     "read_query_points",
     "read_rasters",
     "read_table",
+    "read_parquet_tight",
 ]
 
 
 def _path(corpus_dir: str, name: str) -> str:
     return os.path.join(corpus_dir, f"{name}.parquet")
+
+
+def read_parquet_tight(path: str, columns=None, **kw) -> rd.Dataset:
+    """``read_parquet`` with read-task count capped at the ROW-GROUP count.
+
+    Ray's default splits a file into ~CPU-count read tasks; the surplus
+    tasks on small tables emit 0-row schema-less blocks that every
+    downstream operator then logs "RefBundle with a different schema"
+    warnings for. Capping at the row-group total (footer metadata only)
+    keeps full per-row-group parallelism at scale and kills the empty
+    blocks at gate scale."""
+    if "override_num_blocks" not in kw:
+        import pyarrow.parquet as pq
+
+        try:
+            if os.path.isdir(path):
+                nrg = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                nrg = pq.ParquetFile(path).metadata.num_row_groups
+            if nrg > 0:
+                kw["override_num_blocks"] = nrg
+        except Exception:
+            pass
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def read_table(corpus_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
@@ -41,7 +70,7 @@ def read_table(corpus_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
                 f"{lance_path} exists but the lance package is unavailable"
             ) from e
         return rd.read_lance(lance_path, columns=columns, **kw)
-    return rd.read_parquet(_path(corpus_dir, name), columns=columns, **kw)
+    return read_parquet_tight(_path(corpus_dir, name), columns=columns, **kw)
 
 
 def read_images(corpus_dir: str, columns=None, **kw) -> rd.Dataset:

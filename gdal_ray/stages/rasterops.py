@@ -84,30 +84,36 @@ def resample_roundtrip_batch(batch: pa.Table) -> pa.Table:
 def global_stats_partials(batch: pa.Table) -> pa.Table:
     """Decoded images -> per-batch partial (n, sum, sumsq, min, max) over
     pixel values; a tiny final aggregate yields exact GLOBAL band stats
-    (two-phase form of gcore/gdalrasterband.cpp:5157 ComputeStatistics)."""
+    (two-phase form of gcore/gdalrasterband.cpp:5157 ComputeStatistics).
+
+    Partials are INTEGER (uint8 pixels -> int64 sums are exact), so the
+    distributed tree reduction is order-independent — the mean/std a
+    consumer derives from them is bit-stable across runs. int64 holds
+    sumsq for ~1.4e14 pixels per final aggregate; beyond that, shard the
+    aggregate per partition key."""
     from gdal_ray.io import codec as C
 
     blobs = batch["bytes"].to_pylist()
     fmts = batch["fmt"].to_pylist()
     n = 0
-    s = 0.0
-    ss = 0.0
-    mn = np.inf
-    mx = -np.inf
+    s = 0
+    ss = 0
+    mn = 1 << 30
+    mx = -(1 << 30)
     for i in range(len(blobs)):
-        img = C.decode_image(blobs[i], fmts[i]).astype(np.float64)
+        img = C.decode_image(blobs[i], fmts[i]).astype(np.int64)
         n += img.size
-        s += float(img.sum())
-        ss += float((img * img).sum())
-        mn = min(mn, float(img.min()))
-        mx = max(mx, float(img.max()))
+        s += int(img.sum())
+        ss += int((img * img).sum())
+        mn = min(mn, int(img.min()))
+        mx = max(mx, int(img.max()))
     return pa.table(
         {
             "n": pa.array([n], pa.int64()),
-            "sum": pa.array([s]),
-            "sumsq": pa.array([ss]),
-            "min": pa.array([mn]),
-            "max": pa.array([mx]),
+            "sum": pa.array([s], pa.int64()),
+            "sumsq": pa.array([ss], pa.int64()),
+            "min": pa.array([mn], pa.int64()),
+            "max": pa.array([mx], pa.int64()),
         }
     )
 

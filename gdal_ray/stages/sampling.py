@@ -28,11 +28,18 @@ def random_sample(ds, fraction: float, seed: int | None = None):
 
 
 def deterministic_sample(ds, key_col: str, pct: int):
-    """Keep rows whose Knuth-hashed integer key lands in [0, pct) mod 100."""
+    """Keep rows whose Knuth-hashed integer key lands in [0, pct) mod 100.
+
+    The key is reduced mod 2^32 BEFORE the multiply and the product taken
+    in uint64, so the hash is well-defined for any int64 key (a plain
+    int64 ``key * KNUTH`` silently wraps above ~3.4e9) and the SQL twin
+    ``(CAST(k AS UBIGINT) % 4294967296) * 2654435761 % 100`` matches it
+    exactly without UBIGINT overflow."""
 
     def flt(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch[key_col], dtype=np.int64)
-        return batch.filter(pa.array((keys * KNUTH) % 100 < pct))
+        keys = np.asarray(batch[key_col], dtype=np.int64).astype(np.uint64)
+        h = ((keys % np.uint64(1 << 32)) * np.uint64(KNUTH)) % np.uint64(100)
+        return batch.filter(pa.array(h < np.uint64(pct)))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 
@@ -54,9 +61,10 @@ def approx_decode_stats(corpus_dir: str, pct: int = 10):
     def flt(batch: pa.Table) -> pa.Table:
         # image_id strings -> stable integer key via the trailing digits
         keys = np.asarray(
-            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.uint64
         )
-        return batch.filter(pa.array((keys * KNUTH) % 100 < pct))
+        h = ((keys % np.uint64(1 << 32)) * np.uint64(KNUTH)) % np.uint64(100)
+        return batch.filter(pa.array(h < np.uint64(pct)))
 
     return src.map_batches(flt, batch_format="pyarrow").map_batches(
         decode_stats, batch_format="pyarrow", batch_size=128

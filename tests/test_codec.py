@@ -40,16 +40,73 @@ def test_png_decoder_handles_up_filter():
 
 
 def test_qlossy_psnr_above_40db():
+    # legacy round-2 stand-in blobs must stay decodable (cached corpora)
     rng = np.random.default_rng(6)
     img = rng.integers(0, 256, (96, 80, 3), dtype=np.uint8)
     dec = C.decode_qlossy(C.encode_qlossy(img))
     assert C.psnr(img, dec) >= 40.0
 
 
+def test_jpeg_container_structure():
+    """The encoder emits REAL JFIF: marker walk finds SOI/APP0/DQT/SOF0/
+    DHT/SOS/EOI with spec-conformant lengths (frmts/jpeg/jpgdataset.cpp
+    would accept this stream)."""
+    import struct
+
+    from gdal_ray.fixtures.generate import make_image
+
+    buf = C.encode_jpeg(make_image(42, 3, 48, 32))
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    pos = 2
+    seen = []
+    while pos < len(buf) - 2:
+        assert buf[pos] == 0xFF
+        marker = buf[pos + 1]
+        seen.append(marker)
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xDA:  # SOS: entropy data follows
+            break
+        pos += 2 + ln
+    assert seen[:2] == [0xE0, 0xDB] and 0xC0 in seen and 0xC4 in seen and seen[-1] == 0xDA
+    # SOF0 dims
+    sof = buf.index(b"\xff\xc0")
+    prec, h, w, nc = struct.unpack_from(">BHHB", buf, sof + 4)
+    assert (prec, h, w, nc) == (8, 32, 48, 3)
+
+
+def test_jpeg_roundtrip_psnr_above_40db():
+    """Decode-vs-source PSNR >= 40 dB (the BASELINE.json lossy gate) on
+    corpus-statistics images, q97 4:4:4 as the fixture generator encodes."""
+    from gdal_ray.fixtures.generate import make_image
+
+    for i, (h, w) in ((1, (64, 64)), (9, (128, 96)), (13, (256, 128))):
+        img = make_image(42, i, w, h)
+        out = C.decode_image(C.encode_jpeg(img), "jpeg")
+        assert out.shape == img.shape
+        assert C.psnr(img, out) >= 40.0
+
+
+def test_jpeg_gray_and_subsampled_paths():
+    from gdal_ray.fixtures.generate import make_image
+    from gdal_ray.io.jpeg import decode_jpeg, encode_jpeg
+
+    # constant gray: DC-only blocks reconstruct exactly
+    g = np.full((24, 40), 131, np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (24, 40, 1) and int(np.abs(out[:, :, 0].astype(int) - 131).max()) == 0
+    # 4:2:0 with odd dimensions decodes at the right size and decent fidelity
+    img = make_image(42, 21, 99, 67)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    assert out.shape == img.shape
+    assert C.psnr(img, out) >= 33.0
+
+
 def test_decode_image_dispatch_and_unknown_fmt():
     img = np.zeros((8, 8, 3), np.uint8)
     assert C.decode_image(C.encode_png(img), "png").shape == (8, 8, 3)
+    # sniffing: both legacy qlossy and real JFIF blobs dispatch under "jpeg"
     assert C.decode_image(C.encode_qlossy(img), "jpeg").shape == (8, 8, 3)
+    assert C.decode_image(C.encode_jpeg(img), "jpeg").shape == (8, 8, 3)
     with pytest.raises(NotImplementedError):
         C.decode_image(b"xxxx", "tiff")
 
