@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tin_lattice": LO.q_tin_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
         "q_conic_lattice": LO.q_conic_lattice,
+        "q_line_lattice": LO.q_line_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
         "q_pipeline_chain": EQ.q_pipeline_chain,
         # --- SQL-checkable raster kernels on derived closed-form grids ---
@@ -316,6 +317,35 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_text_analysis": text_analysis_sql,
         "q_conic_lattice": conic_sql,
+        "q_line_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              CAST((s_suppkey*2654435761) % 65536 AS DOUBLE) AS sx,
+                              CAST((s_suppkey*2246822519) % 65536 AS DOUBLE) AS sy,
+                              CAST(32 + s_suppkey % 17 AS DOUBLE) AS dx,
+                              CAST(24 + s_suppkey % 13 AS DOUBLE) AS dy,
+                              CAST(16 + s_suppkey % 11 AS DOUBLE) AS dx2
+                       FROM supplier),
+                 l AS (SELECT *, sqrt(dx*dx + dy*dy) AS l1,
+                              sqrt(dx2*dx2 + dy*dy) AS l2
+                       FROM g),
+                 c AS (SELECT *,
+                              GREATEST(8.0/dx, 6.0/dy) AS t0,
+                              LEAST(24.0/dx, 18.0/dy) AS t1,
+                              (0.25*(l1 + l2))/l1 AS frac
+                       FROM l),
+                 e AS (SELECT *, sx + t0*dx AS axx, sy + t0*dy AS ayy,
+                              sx + t1*dx AS bxx, sy + t1*dy AS byy
+                       FROM c)
+            SELECT 'ln' || lpad(CAST(k AS VARCHAR), 6, '0') AS line_id,
+                   ROUND(l1 + l2, 6) AS length,
+                   CAST(1 + CEIL(l1/10.0) + CEIL(l2/10.0) AS BIGINT) AS n_seg_pts,
+                   ROUND(sx + frac*dx, 6) AS interp_x,
+                   ROUND(sy + frac*dy, 6) AS interp_y,
+                   CAST(1 AS INTEGER) AS n_clip_parts,
+                   ROUND(sqrt((bxx-axx)*(bxx-axx) + (byy-ayy)*(byy-ayy)), 6)
+                       AS clip_len
+            FROM e
+        """,
         "q_band_stats_lattice": f"""
             WITH px AS ({grid_sql})
             SELECT CAST(COUNT(*) AS BIGINT) AS n_pixels,

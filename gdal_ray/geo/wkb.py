@@ -15,9 +15,12 @@ import numpy as np
 
 __all__ = [
     "encode_point",
+    "encode_linestring",
+    "encode_multilinestring",
     "encode_polygon",
     "encode_multipolygon",
     "decode_polygons",
+    "decode_lines",
     "decode_points",
     "wkb_envelope",
 ]
@@ -32,6 +35,46 @@ _WKB_MULTIPOLYGON = 6
 
 def encode_point(x, y):
     return struct.pack("<BIdd", 1, _WKB_POINT, float(x), float(y))
+
+
+def encode_linestring(pts):
+    """pts: (M, 2) float array -> WKB LineString."""
+    pts = np.asarray(pts, dtype="<f8")
+    return struct.pack("<BII", 1, _WKB_LINESTRING, pts.shape[0]) + pts.tobytes()
+
+
+def encode_multilinestring(lines):
+    """lines: list of (M, 2) arrays -> WKB MultiLineString."""
+    parts = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines))]
+    for pts in lines:
+        parts.append(encode_linestring(pts))
+    return b"".join(parts)
+
+
+def decode_lines(buf):
+    """WKB LineString/MultiLineString -> list of (M, 2) float64 arrays."""
+    little, gtype, off = _decode_geom(buf, 0)
+    dt = "<f8" if little else ">f8"
+
+    def one(off, little, dt):
+        npts, off = _rd_u32(buf, off, little)
+        arr = np.frombuffer(buf, dtype=dt, count=npts * 2, offset=off).reshape(npts, 2)
+        return arr.astype(np.float64, copy=False), off + npts * 16
+
+    if gtype == _WKB_LINESTRING:
+        pts, _ = one(off, little, dt)
+        return [pts]
+    if gtype == _WKB_MULTILINESTRING:
+        ngeom, off = _rd_u32(buf, off, little)
+        out = []
+        for _ in range(ngeom):
+            little2, gtype2, off = _decode_geom(buf, off)
+            if gtype2 != _WKB_LINESTRING:
+                raise ValueError(f"unexpected member type {gtype2} in MultiLineString")
+            pts, off = one(off, little2, "<f8" if little2 else ">f8")
+            out.append(pts)
+        return out
+    raise ValueError(f"not a linear WKB geometry (type {gtype})")
 
 
 def encode_polygon(rings):

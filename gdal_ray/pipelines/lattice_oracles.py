@@ -48,6 +48,7 @@ __all__ = [
     "q_buffer_lattice",
     "q_tin_lattice",
     "q_conic_lattice",
+    "q_line_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -663,5 +664,74 @@ def q_conic_lattice(sf_dir: str):
         )
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# LineString ops (length / segmentize / interpolate / rect clip)
+# --------------------------------------------------------------------------
+
+def q_line_lattice(sf_dir: str):
+    """LineString kernels (geo/lineops.py: OGRCurve get_Length/Value,
+    segmentize, layer-algebra Clip via Liang-Barsky) on a 2-segment zigzag
+    with integer geometry, through a WKB LineString round-trip. Every
+    emitted float replays exactly in the SQL twin: segment lengths are
+    sqrt of exact ints, the interpolation distance 0.25*length always
+    lands in segment 1, and the clip rect offsets are exact ints so the
+    Liang-Barsky parameters are identical divisions."""
+    from gdal_ray.geo import lineops as LN
+    from gdal_ray.geo import wkb as W
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        sx = ((keys * LATTICE_A) % _TWO16).astype(np.float64)
+        sy = ((keys * LATTICE_B) % _TWO16).astype(np.float64)
+        dx = (32 + keys % 17).astype(np.float64)
+        dy = (24 + keys % 13).astype(np.float64)
+        dx2 = (16 + keys % 11).astype(np.float64)
+        out = {
+            "line_id": [], "length": [], "n_seg_pts": [],
+            "interp_x": [], "interp_y": [], "n_clip_parts": [], "clip_len": [],
+        }
+        for i in range(len(keys)):
+            pts = np.array(
+                [
+                    [sx[i], sy[i]],
+                    [sx[i] + dx[i], sy[i] + dy[i]],
+                    [sx[i] + dx[i] + dx2[i], sy[i]],
+                ]
+            )
+            pts = W.decode_lines(W.encode_linestring(pts))[0]
+            total = LN.line_length(pts)
+            ix, iy = LN.line_interpolate(pts, 0.25 * total)
+            segd = LN.segmentize(pts, 10.0)
+            parts = LN.clip_line_rect(
+                pts, sx[i] + 8.0, sy[i] + 6.0, sx[i] + 24.0, sy[i] + 18.0
+            )
+            clen = sum(
+                float(np.sum(np.sqrt(np.sum(np.diff(p, axis=0) ** 2, axis=1))))
+                for p in parts
+            )
+            out["line_id"].append(f"ln{int(keys[i]):06d}")
+            out["length"].append(round(total, 6))
+            out["n_seg_pts"].append(len(segd))
+            out["interp_x"].append(round(ix, 6))
+            out["interp_y"].append(round(iy, 6))
+            out["n_clip_parts"].append(len(parts))
+            out["clip_len"].append(round(clen, 6))
+        return pa.table(
+            {
+                "line_id": pa.array(out["line_id"], pa.string()),
+                "length": pa.array(out["length"], pa.float64()),
+                "n_seg_pts": pa.array(out["n_seg_pts"], pa.int64()),
+                "interp_x": pa.array(out["interp_x"], pa.float64()),
+                "interp_y": pa.array(out["interp_y"], pa.float64()),
+                "n_clip_parts": pa.array(out["n_clip_parts"], pa.int32()),
+                "clip_len": pa.array(out["clip_len"], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )
