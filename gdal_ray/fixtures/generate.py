@@ -54,8 +54,12 @@ def make_image(seed: int, i: int, w: int, h: int) -> np.ndarray:
         + 60 * np.cos(2 * np.pi * fy * yy / h + phase[1])
         + 120 * (xx + yy) / (w + h)
     )
+    # noise sigma=2: visible grain for the phash/near-dup fixtures while a
+    # q92 4:4:4 JPEG round-trip still clears the 40 dB oracle gate (the
+    # sigma=3/q97 combination doubled the entropy-decode cost for the same
+    # coverage)
     img = np.stack(
-        [base + 40 * np.sin(phase[2] + k) + r.normal(0, 3, (h, w)) for k in range(3)], axis=2
+        [base + 40 * np.sin(phase[2] + k) + r.normal(0, 2, (h, w)) for k in range(3)], axis=2
     )
     return np.clip(img + 96, 0, 255).astype(np.uint8)
 
@@ -591,7 +595,7 @@ _IMG_H = None
 def corpus_dir(n_images: int, seed: int = 42) -> str:
     # v3: real baseline-JPEG payloads (gdal_ray.io.jpeg) replaced the
     # round-2 qlossy stand-in; version bump invalidates cached corpora
-    return os.path.join(FIXTURE_ROOT, f"n{n_images}_s{seed}_v3")
+    return os.path.join(FIXTURE_ROOT, f"n{n_images}_s{seed}_v4")
 
 
 def generate_corpus(n_images: int, seed: int = 42, pixel_refs: bool | None = None, force=False) -> str:

@@ -9,7 +9,7 @@ The container has no imaging libraries (no PIL / libjpeg / GDAL drivers), so:
 - ``jpeg``: a REAL baseline JFIF codec (gdal_ray.io.jpeg: 8x8 DCT, Annex-K
   tables, canonical Huffman, byte-stuffed entropy stream) — the pure-numpy
   replacement for the reference's libjpeg driver
-  (``frmts/jpeg/jpgdataset.cpp``). The corpus encodes at quality 97 4:4:4
+  (``frmts/jpeg/jpgdataset.cpp``). The corpus encodes at quality 92 4:4:4
   so decode-vs-reference PSNR clears the 40 dB oracle gate with margin.
   The legacy round-2 "qlossy" stand-in blobs still decode (magic-sniffed)
   so cached corpora remain readable.
@@ -155,7 +155,7 @@ def decode_qlossy(buf: bytes) -> np.ndarray:
     return img.reshape(h, w, c)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 97, subsample: bool = False) -> bytes:
+def encode_jpeg(img: np.ndarray, quality: int = 92, subsample: bool = False) -> bytes:
     """Real baseline JFIF encode (gdal_ray.io.jpeg)."""
     from gdal_ray.io.jpeg import encode_jpeg as _enc
 

@@ -40,7 +40,7 @@ from gdal_ray.io import codec as C
 from gdal_ray.sources import corpus as SRC
 from gdal_ray.state.manifest import Manifest, fragment_lineage
 
-__all__ = ["render_partial_tiles", "compose_tiles", "build_overview", "tile_pyramid"]
+__all__ = ["render_partial_tiles", "compose_tiles", "build_overview", "tile_pyramid", "export_tile_tree"]
 
 GROUP = 16  # tile-group edge (in tiles) = resume partition granularity
 
@@ -415,3 +415,87 @@ def tile_pyramid(corpus_dir: str, out_dir: str, z_base: int = 6, z_min: int = 4)
         "skipped_partitions": len(done),
         "lineage": lineage,
     }
+
+
+def export_tile_tree(pyramid_dir: str, out_dir: str, xyz: bool = True) -> dict:
+    """Materialize the parquet tile pyramid as a z/x/y.png directory tree.
+
+    The filesystem sink of gdal2tiles (``gdal2tiles.py:2795`` base-tile
+    writes + ``generate_metadata:2670``): one PNG per (z, x, y) row plus a
+    ``tilemapresource.xml``. ``xyz=True`` writes the XYZ y convention (the
+    table's native keying, gdal2tiles --xyz); ``xyz=False`` flips to TMS
+    (``getYTile`` y-flip). Files are written by parallel map_batches tasks
+    (each task owns its rows, paths are unique per (z, x, y), writes are
+    tmp+rename atomic), so the export streams at any scale; existing files
+    are skipped (gdal2tiles --resume semantics).
+    """
+    import ray.data as rd
+
+    src_files = sorted(str(p) for p in pathlib.Path(pyramid_dir).glob("z*/tiles.parquet"))
+    if not src_files:
+        raise ValueError(f"no tile groups under {pyramid_dir!r}")
+    root = pathlib.Path(out_dir)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def write_files(batch: pa.Table) -> pa.Table:
+        zs = np.asarray(batch["z"])
+        xs = np.asarray(batch["x"])
+        ys = np.asarray(batch["y"])
+        blobs = batch["png"].to_pylist()
+        n_written = 0
+        n_skipped = 0
+        for i in range(len(zs)):
+            z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
+            if not xyz:
+                y = (1 << z) - 1 - y
+            d = root / str(z) / str(x)
+            d.mkdir(parents=True, exist_ok=True)
+            f = d / f"{y}.png"
+            if f.exists():
+                n_skipped += 1
+                continue
+            tmp = d / f".{y}.png.tmp"
+            tmp.write_bytes(blobs[i])
+            tmp.rename(f)
+            n_written += 1
+        return pa.table(
+            {
+                "z": pa.array([int(zs.min()) if len(zs) else 0], pa.int64()),
+                "n_written": pa.array([n_written], pa.int64()),
+                "n_skipped": pa.array([n_skipped], pa.int64()),
+            }
+        )
+
+    summ = (
+        rd.read_parquet(src_files)
+        .map_batches(write_files, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    n_written = int(summ["n_written"].sum())
+    n_skipped = int(summ["n_skipped"].sum())
+
+    # TMS metadata (gdal2tiles generate_metadata:2670 layout)
+    zooms = sorted(
+        int(p.name) for p in root.iterdir() if p.is_dir() and p.name.isdigit()
+    )
+    units_pp = [2 * np.pi * 6378137 / TILE_SIZE / (1 << z) for z in zooms]
+    tilesets = "\n".join(
+        f'      <TileSet href="{z}" units-per-pixel="{u:.8f}" order="{z}"/>'
+        for z, u in zip(zooms, units_pp)
+    )
+    osh = np.pi * 6378137
+    (root / "tilemapresource.xml").write_text(
+        f"""<?xml version="1.0" encoding="utf-8"?>
+<TileMap version="1.0.0" tilemapservice="http://tms.osgeo.org/1.0.0">
+  <Title>gdal_ray tile pyramid</Title>
+  <SRS>EPSG:3857</SRS>
+  <BoundingBox minx="{-osh}" miny="{-osh}" maxx="{osh}" maxy="{osh}"/>
+  <Origin x="{-osh}" y="{-osh}"/>
+  <TileFormat width="{TILE_SIZE}" height="{TILE_SIZE}" mime-type="image/png" extension="png"/>
+  <TileSets profile="mercator">
+{tilesets}
+  </TileSets>
+</TileMap>
+"""
+    )
+    return {"n_written": n_written, "n_skipped": n_skipped, "zooms": zooms, "xyz": xyz}

@@ -99,8 +99,19 @@ def suggest_output_grid(src_gt, w, h, src_srs, dst_srs, dst_size=None):
 
 
 def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=None,
-               resampling="nearest", fill=0):
-    """Warp one image to dst_srs. Returns (dst_img, dst_gt)."""
+               resampling="nearest", fill=0, src_nodata=None, cutline_wkb=None):
+    """Warp one image to dst_srs. Returns (dst_img, dst_gt).
+
+    Masking (the gdalwarp masking paths, ``alg/gdalwarpkernel.cpp``):
+    - ``src_nodata``: source pixels equal to it never contribute — nearest
+      propagates the fill, bilinear/cubic/lanczos drop the invalid window
+      samples and renormalize the remaining weights (all-invalid -> fill);
+      for multi-band images a pixel is invalid when EVERY band equals the
+      nodata value (UNIFIED_SRC_NODATA semantics);
+    - ``cutline_wkb``: WKB (Multi)Polygon in DST coordinates; dst pixels
+      whose centers fall outside are set to ``fill`` (the cutline mask is
+      rasterized with the engine's own scanline burner).
+    """
     h, w = img.shape[:2]
     if dst_gt is None:
         dst_gt, dst_w, dst_h = suggest_output_grid(src_gt, w, h, src_srs, dst_srs)
@@ -113,10 +124,18 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
     px, py = A.apply_geotransform(inv, sx, sy)
     shape = (dst_h, dst_w) + img.shape[2:]
     out = np.full(shape, fill, dtype=img.dtype)
+    if src_nodata is None:
+        valid = None
+    elif img.ndim == 3:
+        valid = ~(img == src_nodata).all(axis=2)
+    else:
+        valid = img != src_nodata
     if resampling == "nearest":
         ix = np.floor(px).astype(np.int64)
         iy = np.floor(py).astype(np.int64)
         ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        if valid is not None:
+            ok[ok] &= valid[iy[ok], ix[ok]]
         out[ok] = img[iy[ok], ix[ok]]
     elif resampling == "bilinear":
         fx = px - 0.5
@@ -126,26 +145,46 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
         ok = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
         wx = (fx - x0)[ok]
         wy = (fy - y0)[ok]
-        if img.ndim == 3:
-            wx = wx[:, None]
-            wy = wy[:, None]
         f = img.astype(np.float64)
         x0o = x0[ok]
         y0o = y0[ok]
+        w00 = (1 - wx) * (1 - wy)
+        w10 = wx * (1 - wy)
+        w01 = (1 - wx) * wy
+        w11 = wx * wy
+        if valid is not None:
+            # zero the weights of nodata corners, renormalize survivors
+            w00 = w00 * valid[y0o, x0o]
+            w10 = w10 * valid[y0o, x0o + 1]
+            w01 = w01 * valid[y0o + 1, x0o]
+            w11 = w11 * valid[y0o + 1, x0o + 1]
+            tot = w00 + w10 + w01 + w11
+            dead = tot == 0
+            tot[dead] = 1.0
+            w00, w10, w01, w11 = w00 / tot, w10 / tot, w01 / tot, w11 / tot
+        if img.ndim == 3:
+            w00, w10, w01, w11 = (a[:, None] for a in (w00, w10, w01, w11))
         val = (
-            f[y0o, x0o] * (1 - wx) * (1 - wy)
-            + f[y0o, x0o + 1] * wx * (1 - wy)
-            + f[y0o + 1, x0o] * (1 - wx) * wy
-            + f[y0o + 1, x0o + 1] * wx * wy
+            f[y0o, x0o] * w00
+            + f[y0o, x0o + 1] * w10
+            + f[y0o + 1, x0o] * w01
+            + f[y0o + 1, x0o + 1] * w11
         )
         if np.issubdtype(img.dtype, np.integer):
             val = np.clip(np.floor(val + 0.5), np.iinfo(img.dtype).min, np.iinfo(img.dtype).max)
-        out[ok] = val.astype(img.dtype)
+        val = val.astype(img.dtype)
+        if valid is not None:
+            val[dead] = fill
+        out[ok] = val
         # fall back to nearest at the right/bottom edge rows GDAL handles
         # with clamped windows
         edge = (~ok) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
         ixe = np.floor(px[edge]).astype(np.int64)
         iye = np.floor(py[edge]).astype(np.int64)
+        if valid is not None:
+            edge[edge] &= valid[iye, ixe]
+            ixe = np.floor(px[edge]).astype(np.int64)
+            iye = np.floor(py[edge]).astype(np.int64)
         out[edge] = img[iye, ixe]
     elif resampling in ("cubic", "lanczos"):
         from gdal_ray.raster.kernels import _cubic_weight, _lanczos_weight
@@ -168,15 +207,27 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
                 wx = wfn(fx - (x0 + dx_))
                 ix = np.clip(x0 + dx_, 0, w - 1)
                 w2 = wy * wx
+                if valid is not None:
+                    w2 = w2 * valid[iy, ix]
                 vals = f[iy, ix]
                 acc += vals * (w2[..., None] if img.ndim == 3 else w2)
                 wsum += w2
-        wsum = np.where(wsum == 0, 1.0, wsum)
+        dead = wsum == 0
+        wsum = np.where(dead, 1.0, wsum)
         vals = acc / (wsum[..., None] if img.ndim == 3 else wsum)
         if np.issubdtype(img.dtype, np.integer):
             info = np.iinfo(img.dtype)
             vals = np.clip(np.floor(vals + 0.5), info.min, info.max)
-        out[inside] = vals.astype(img.dtype)[inside]
+        vals = vals.astype(img.dtype)
+        if valid is not None:
+            vals[dead] = fill
+        out[inside] = vals[inside]
     else:
         raise ValueError(resampling)
+    if cutline_wkb is not None:
+        from gdal_ray.raster.rasterize import rasterize_wkb
+
+        mask = np.zeros((dst_h, dst_w), dtype=np.int32)
+        rasterize_wkb(mask, cutline_wkb, dst_gt, 1)
+        out[mask == 0] = fill
     return out, dst_gt

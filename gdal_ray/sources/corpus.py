@@ -28,16 +28,19 @@ def _path(corpus_dir: str, name: str) -> str:
 
 
 def read_parquet_tight(path: str, columns=None, **kw) -> rd.Dataset:
-    """``read_parquet`` with read-task count capped at the ROW-GROUP count.
+    """``read_parquet`` with read-task count capped at the ROW-GROUP count —
+    but ONLY when that cap still provides at least one block per CPU.
 
-    Ray's default splits a file into ~CPU-count read tasks; the surplus
-    tasks on small tables emit 0-row schema-less blocks that every
-    downstream operator then logs "RefBundle with a different schema"
-    warnings for. Capping at the row-group total (footer metadata only)
-    keeps full per-row-group parallelism at scale and kills the empty
-    blocks at gate scale."""
+    Ray's default splits a file into ~CPU-count read tasks; surplus tasks
+    on small tables emit 0-row schema-less blocks that downstream operators
+    log "RefBundle with a different schema" warnings for. Capping at the
+    row-group total (footer metadata only) removes them — but a cap BELOW
+    the CPU count would serialize every fused downstream stage (measured:
+    a 100-row single-row-group rasters table went 3.8 s -> 17 s), so small
+    tables keep Ray's default split and the cosmetic warnings."""
     if "override_num_blocks" not in kw:
         import pyarrow.parquet as pq
+        import ray
 
         try:
             if os.path.isdir(path):
@@ -48,7 +51,10 @@ def read_parquet_tight(path: str, columns=None, **kw) -> rd.Dataset:
                 )
             else:
                 nrg = pq.ParquetFile(path).metadata.num_row_groups
-            if nrg > 0:
+            cpus = 8
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            if nrg >= cpus:
                 kw["override_num_blocks"] = nrg
         except Exception:
             pass

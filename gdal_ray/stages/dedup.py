@@ -187,50 +187,86 @@ class MinHasher:
             return h ^ (h >> np.uint64(31))
 
     def _sig(self, text: str) -> np.ndarray:
-        """Shingle hashes fully vectorized: a byte-polynomial over every
-        sliding window (duplicates included — min over duplicates equals
-        min over the set, the MinHash invariant) + a splitmix64 mix, then
-        one (num_perm, n_shingles) permutation matrix min. ~10x the old
-        per-shingle blake2b loop."""
+        """Single-document signature (scalar twin of the batched __call__):
+        shingle hashes are a byte-polynomial over every sliding window
+        (duplicates included — min over duplicates equals min over the set,
+        the MinHash invariant) + a splitmix64 mix, then the permutation min."""
+        hv = self._shingle_hashes(text)
+        with np.errstate(over="ignore"):
+            m = (hv[None, :] * self.a[:, None] + self.b[:, None]) % self.prime
+        return m.min(axis=1)
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        """Mixed byte-polynomial hash of every sliding shingle (see _sig)."""
         from numpy.lib.stride_tricks import sliding_window_view
 
         t = text.lower().encode("utf-8")
         k = self.shingle
         if len(t) == 0:
-            hv = np.array([0], dtype=np.uint64)
-        elif len(t) < k:
+            return np.array([0], dtype=np.uint64)
+        if len(t) < k:
             acc = np.uint64(0)
             with np.errstate(over="ignore"):
                 for byte in t:
                     acc = acc * np.uint64(257) + np.uint64(byte)
-            hv = self._mix64(np.array([acc], dtype=np.uint64))
-        else:
-            b = np.frombuffer(t, dtype=np.uint8)
-            w = sliding_window_view(b, k).astype(np.uint64)
-            weights = np.uint64(257) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                hv = self._mix64((w * weights[None, :]).sum(axis=1, dtype=np.uint64))
+            return self._mix64(np.array([acc], dtype=np.uint64))
+        b = np.frombuffer(t, dtype=np.uint8)
+        w = sliding_window_view(b, k).astype(np.uint64)
+        weights = np.uint64(257) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            m = (hv[None, :] * self.a[:, None] + self.b[:, None]) % self.prime
-        return m.min(axis=1)
+            return self._mix64((w * weights[None, :]).sum(axis=1, dtype=np.uint64))
+
+    # bound on the (num_perm x shingles) permutation matrix per flattened
+    # chunk: 64 perms x 200k shingles x 8 B ~= 100 MB of transient uint64
+    _CHUNK_SHINGLES = 200_000
+
+    def _band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) signatures -> (n_docs, bands) int64 band keys:
+        a splitmix64 fold over each band's rows (equal chunks -> equal keys,
+        the only property LSH banding needs), fully vectorized."""
+        n = sigs.shape[0]
+        chunks = sigs.reshape(n, self.bands, self.rows)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.rows):
+                acc = self._mix64(acc ^ chunks[:, :, j])
+        return acc.view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized: all docs' shingle hashes flatten into bounded
+        chunks, ONE permutation matrix + segmented min (reduceat) per chunk
+        yields every signature, and band keys fold vectorized — no per-doc
+        permutation call, no per-band hashlib call."""
         texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        out_doc, out_band, out_key = [], [], []
-        for did, text in zip(ids, texts):
-            sig = self._sig(text or "")
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                out_doc.append(did)
-                out_band.append(b)
-                out_key.append(int.from_bytes(key, "little", signed=True))
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        start = 0
+        while start < n:
+            hvs = []
+            total = 0
+            end = start
+            while end < n and (total == 0 or total < self._CHUNK_SHINGLES):
+                hv = self._shingle_hashes(texts[end] or "")
+                hvs.append(hv)
+                total += len(hv)
+                end += 1
+            flat = np.concatenate(hvs)
+            offsets = np.concatenate([[0], np.cumsum([len(h) for h in hvs])[:-1]])
+            # per-permutation 1-D contiguous ops: numpy's uint64 SIMD path
+            # (the (64, N) broadcast form hits a ~200x slower strided loop)
+            with np.errstate(over="ignore"):
+                for i in range(self.num_perm):
+                    m = (flat * self.a[i] + self.b[i]) % self.prime
+                    sigs[start:end, i] = np.minimum.reduceat(m, offsets)
+            start = end
+        keys = self._band_keys(sigs)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
+                "band_id": pa.array(band_ids),
+                "band_key": pa.array(keys.reshape(-1)),
             }
         )
 

@@ -76,7 +76,7 @@ def test_jpeg_container_structure():
 
 def test_jpeg_roundtrip_psnr_above_40db():
     """Decode-vs-source PSNR >= 40 dB (the BASELINE.json lossy gate) on
-    corpus-statistics images, q97 4:4:4 as the fixture generator encodes."""
+    corpus-statistics images, q92 4:4:4 as the fixture generator encodes."""
     from gdal_ray.fixtures.generate import make_image
 
     for i, (h, w) in ((1, (64, 64)), (9, (128, 96)), (13, (256, 128))):

@@ -362,3 +362,62 @@ def test_viewshed_flat_and_wall():
     v3 = viewshed(flat, 7, 7, max_dist=3.0)
     ys, xs = np.mgrid[0:15, 0:15]
     assert (v3 == ((ys - 7) ** 2 + (xs - 7) ** 2 <= 9.0)).all()
+
+
+def test_warp_src_nodata_masking():
+    """gdalwarp srcnodata semantics (alg/gdalwarpkernel.cpp masking):
+    nodata never bleeds into neighbors; all-invalid windows emit fill."""
+    import numpy as np
+
+    from gdal_ray.raster.warp import warp_image
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    img[4:8, 4:8] = 7  # nodata patch
+    gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+    # identity-grid warp: nearest must map nodata -> fill, others unchanged
+    out, _ = warp_image(img, gt, "EPSG:3857", "EPSG:3857",
+                        dst_gt=gt, dst_w=16, dst_h=16,
+                        resampling="nearest", fill=0, src_nodata=7)
+    assert (out[4:8, 4:8] == 0).all()
+    assert (out[0:4, :] == 100).all()
+    # 2x bilinear upsample: valid neighbors renormalize, no 7s leak in
+    gt2 = (0.0, 0.5, 0.0, 16.0, 0.0, -0.5)
+    out2, _ = warp_image(img, gt, "EPSG:3857", "EPSG:3857",
+                         dst_gt=gt2, dst_w=32, dst_h=32,
+                         resampling="bilinear", fill=0, src_nodata=7)
+    vals = set(np.unique(out2).tolist())
+    assert vals <= {0, 100}  # only fill or the true value, never blends with 7
+    # cubic: same guarantee through the weight-renormalized path
+    out3, _ = warp_image(img, gt, "EPSG:3857", "EPSG:3857",
+                         dst_gt=gt2, dst_w=32, dst_h=32,
+                         resampling="cubic", fill=0, src_nodata=7)
+    assert out3[14, 14] in (0, 100)
+    assert (out3[2:6, 2:6] == 100).all()
+
+
+def test_warp_cutline_checksum_parity():
+    """Cutline masking: dst pixels outside the polygon become fill; parity
+    with a hand-built scanline mask oracle (checksum equality)."""
+    import numpy as np
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import warp_image
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(1, 255, (20, 20), dtype=np.uint8)
+    gt = (0.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+    # axis-aligned rect cutline in dst coords: x in [4, 12], y in [6, 15]
+    ring = np.array([[4.0, 6.0], [12.0, 6.0], [12.0, 15.0], [4.0, 15.0], [4.0, 6.0]])
+    cut = W.encode_polygon([ring])
+    out, _ = warp_image(img, gt, "EPSG:3857", "EPSG:3857",
+                        dst_gt=gt, dst_w=20, dst_h=20, cutline_wkb=cut)
+    # oracle: pixel centers inside the rect keep their value
+    expect = np.zeros_like(img)
+    for r in range(20):
+        for c in range(20):
+            x, y = c + 0.5, 20.0 - (r + 0.5)
+            if 4.0 <= x <= 12.0 and 6.0 <= y <= 15.0:
+                expect[r, c] = img[r, c]
+    assert checksum_image(out) == checksum_image(expect)
+    assert (out == expect).all()

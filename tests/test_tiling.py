@@ -177,3 +177,35 @@ def test_manifest_driven_salting(ray_session, corpus, tmp_path):
     g = set(map(tuple, got[["src_id", "poly_id"]].itertuples(index=False)))
     w = set(map(tuple, want_img[["src_id", "poly_id"]].itertuples(index=False)))
     assert g == w
+
+
+def test_export_tile_tree_matches_parquet(pyramid, tmp_path):
+    """The z/x/y.png directory tree is byte-identical to the parquet tiles
+    (gdal2tiles sink layout), XYZ and TMS conventions both correct, and a
+    re-export skips every existing file (resume semantics)."""
+    from gdal_ray.pipelines.tiling import export_tile_tree
+
+    out, _ = pyramid
+    tree = tmp_path / "tree"
+    s = export_tile_tree(out, str(tree), xyz=True)
+    rows = 0
+    for z in (5, 4, 3):
+        df = _read_level(out, z)
+        rows += len(df)
+        for _, r in df.iterrows():
+            f = tree / str(int(r["z"])) / str(int(r["x"])) / f"{int(r['y'])}.png"
+            assert f.exists()
+            assert f.read_bytes() == r["png"]
+    assert s["n_written"] == rows and s["n_skipped"] == 0
+    assert (tree / "tilemapresource.xml").exists()
+    assert "EPSG:3857" in (tree / "tilemapresource.xml").read_text()
+    # idempotent rerun: everything skipped
+    s2 = export_tile_tree(out, str(tree), xyz=True)
+    assert s2["n_written"] == 0 and s2["n_skipped"] == rows
+    # TMS flips y
+    tms = tmp_path / "tms"
+    export_tile_tree(out, str(tms), xyz=False)
+    df5 = _read_level(out, 5)
+    r0 = df5.iloc[0]
+    yflip = (1 << int(r0["z"])) - 1 - int(r0["y"])
+    assert (tms / str(int(r0["z"])) / str(int(r0["x"])) / f"{yflip}.png").exists()
