@@ -62,20 +62,38 @@ def bucketed_group_apply(ds, keys, fn, num_buckets: int = 64, schema: pa.Schema 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("__bucket", pa.array(_hash_cols(batch, keys, num_buckets)))
 
-    def run(g: pd.DataFrame):
-        out = fn(g.drop(columns="__bucket"))
-        if schema is not None:
-            if isinstance(out, pd.DataFrame):
-                out = pa.Table.from_pandas(out, schema=schema, preserve_index=False)
-            else:
-                out = out.cast(schema)
-            return out.replace_schema_metadata(None)
-        return out
+    def _typed(out):
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+        else:
+            out = out.cast(schema)
+        return out.replace_schema_metadata(None)
 
+    def run_block(block: pd.DataFrame):
+        # One call to ``fn`` per bucket present in this sorted block — the
+        # same partition-call granularity groupby().map_groups gave, but an
+        # EMPTY sort-range block now yields a TYPED empty table instead of
+        # the schema-less block map_groups emits (which made the streaming
+        # executor log a schema-mismatch warning per empty block).
+        if len(block) == 0:
+            if schema is not None:
+                return schema.empty_table()
+            return block.drop(columns="__bucket", errors="ignore")
+        parts = [
+            fn(g.drop(columns="__bucket"))
+            for _, g in block.groupby("__bucket", sort=False)
+        ]
+        if schema is not None:
+            return pa.concat_tables([_typed(p) for p in parts])
+        pdf = [p.to_pandas() if isinstance(p, pa.Table) else p for p in parts]
+        return pd.concat(pdf, ignore_index=True) if len(pdf) > 1 else pdf[0]
+
+    # Mirrors GroupedData.map_groups' plan (sort on the key, then whole-block
+    # map with in-block grouping) but keeps control of the empty-block path.
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(run, batch_format="pandas")
+        .sort("__bucket")
+        .map_batches(run_block, batch_size=None, batch_format="pandas")
     )
 
 

@@ -21,6 +21,7 @@ of CELL_LEVEL cells). Per run:
 
 from __future__ import annotations
 
+import json
 import os
 import pathlib
 import shutil
@@ -159,13 +160,21 @@ def flagship_checkpointed(corpus_dir: str, out_dir: str):
             hist = g["cell"].value_counts().to_dict()
             summary["pid"].append(pid)
             summary["n_rows"].append(len(g))
-            summary["hist"].append(hist)
+            # JSON string, not a dict column: a dict-typed object column has
+            # no stable Arrow schema (Ray logs unhashable-schema warnings)
+            summary["hist"].append(json.dumps({str(k): int(v) for k, v in hist.items()}))
         return pd.DataFrame(summary)
 
-    summaries = bucketed_group_apply(results, ["pid"], write_partition, 32).to_pandas()
+    summaries = bucketed_group_apply(
+        results, ["pid"], write_partition, 32,
+        schema=pa.schema(
+            [("pid", pa.string()), ("n_rows", pa.int64()), ("hist", pa.string())]
+        ),
+    ).to_pandas()
     n_rows = 0
     for _, row in summaries.iterrows():
-        manifest.mark(row["pid"], lineage, int(row["n_rows"]), cell_hist=row["hist"])
+        hist = {int(k): int(v) for k, v in json.loads(row["hist"]).items()}
+        manifest.mark(row["pid"], lineage, int(row["n_rows"]), cell_hist=hist)
         n_rows += int(row["n_rows"])
     hot = manifest.hot_cells(cap=max(1, _hot_cap(manifest)))
     return {

@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from gdal_ray.fixtures.generate import generate_corpus
 from gdal_ray.sources.corpus import read_parquet_tight as _rpt
@@ -134,7 +135,11 @@ def q_minhash_pairs(sf_dir: str):
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    cand = bucketed_group_apply(bands, ["band_id", "band_key"], pairs, 32)
+    pair_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    cand = bucketed_group_apply(
+        bands, ["band_id", "band_key"], pairs, 32, schema=pair_schema
+    )
     return bucketed_group_apply(
-        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8
+        cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8,
+        schema=pair_schema,
     )
