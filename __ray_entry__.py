@@ -27,6 +27,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from gdal_ray.pipelines import composite_lattices as CO
     from gdal_ray.pipelines import corpus_queries as CQ
     from gdal_ray.pipelines import derived_geo as DG
     from gdal_ray.pipelines import ext_queries as EQ
@@ -81,6 +82,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cleanup_lattice": RL.q_cleanup_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
         "q_point_query_lattice": RL.q_point_query_lattice,
+        "q_warp_merc_lattice": CO.q_warp_merc_lattice,
+        "q_overview_lattice": CO.q_overview_lattice,
+        "q_mosaic_lattice": CO.q_mosaic_lattice,
+        "q_pansharpen_lattice": CO.q_pansharpen_lattice,
+        "q_rat_lattice": CO.q_rat_lattice,
+        "q_stack_lattice": CO.q_stack_lattice,
+        "q_mdim_lattice": CO.q_mdim_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -895,4 +903,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(px - sx) < hw AND abs(py - sy) < hw
             GROUP BY s_suppkey
         """,
+        **_composite_oracles(),
     }
+
+
+def _composite_oracles() -> dict[str, str]:
+    from gdal_ray.pipelines.composite_lattices import oracles
+
+    return oracles()

@@ -27,6 +27,7 @@ __all__ = [
     "sieve",
     "fillnodata",
     "histogram",
+    "mosaic_arrays",
     "PIXEL_FUNCTIONS",
 ]
 
@@ -326,6 +327,26 @@ PIXEL_FUNCTIONS = {
     "interpolate_linear": lambda bands, t=0.5: bands[0].astype(np.float64) * (1 - t)
     + bands[1].astype(np.float64) * t,
 }
+
+
+def mosaic_arrays(canvas_shape, sources, offsets, nodata=0, dtype=np.int64):
+    """VRT-mosaic painting (gdalbuildvrt / frmts/vrt/vrtsources.cpp order
+    semantics): sources paint the canvas IN LIST ORDER; a later source
+    overwrites wherever its pixel differs from ``nodata`` (the simple-source
+    nodata mask), so overlaps resolve last-wins-on-valid. Sources may hang
+    off the canvas edge — the out-of-canvas part is clipped."""
+    out = np.full(canvas_shape, nodata, dtype=dtype)
+    H, W = canvas_shape[:2]
+    for src, (oy, ox) in zip(sources, offsets):
+        h, w = src.shape[:2]
+        y0, x0 = max(0, oy), max(0, ox)
+        y1, x1 = min(H, oy + h), min(W, ox + w)
+        if y0 >= y1 or x0 >= x1:
+            continue
+        win = src[y0 - oy : y1 - oy, x0 - ox : x1 - ox]
+        m = win != nodata
+        out[y0:y1, x0:x1][m] = win[m]
+    return out
 
 
 def nearblack(img, threshold=15, set_value=0, white=False):

@@ -1,0 +1,89 @@
+"""Unit oracles for the multidim view module and the VRT-mosaic kernel."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster.kernels import mosaic_arrays
+from gdal_ray.raster.mdim import MDArray
+
+
+def test_mdim_view_matches_numpy_fuzz():
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(200):
+        shape = tuple(int(x) for x in rng.integers(2, 9, size=int(rng.integers(2, 5))))
+        a = rng.integers(0, 100, size=shape)
+        m, ref = MDArray(a), a
+        for _step in range(int(rng.integers(1, 4))):
+            nd = ref.ndim
+            if nd <= 1:
+                break
+            if rng.random() < 0.4:
+                axes = tuple(int(x) for x in rng.permutation(nd))
+                m, ref = m.transpose(axes), np.transpose(ref, axes)
+            else:
+                sl = []
+                for d in range(nd):
+                    n = ref.shape[d]
+                    if n == 0:
+                        sl.append(slice(0, 0))
+                    elif nd - sum(isinstance(s, int) for s in sl) > 1 and rng.random() < 0.15:
+                        sl.append(int(rng.integers(0, n)))
+                    else:
+                        st = int(rng.integers(0, n))
+                        sp = int(rng.integers(st, n + 1))
+                        sl.append(slice(st, sp, int(rng.integers(1, 4))))
+                m, ref = m.view(*sl), ref[tuple(sl)]
+        if ref.ndim == 0:
+            continue
+        got = m.read()
+        assert got.shape == ref.shape
+        assert np.array_equal(got, ref)
+        checked += 1
+    assert checked > 100
+
+
+def test_mdim_view_is_lazy():
+    a = np.arange(2 * 3 * 4).reshape(2, 3, 4)
+    v = MDArray(a).view(slice(0, 2), slice(1, 3)).transpose((2, 0, 1))
+    assert v.base is a  # no copy until read()
+    assert v.shape == (4, 2, 2)
+
+
+def test_mdim_reduce():
+    a = np.arange(24).reshape(2, 3, 4)
+    v = MDArray(a).transpose((1, 2, 0))
+    assert np.array_equal(v.reduce("max", axis=2), a.max(axis=0))
+    assert np.array_equal(v.reduce("sum", axis=2), a.sum(axis=0))
+
+
+def test_mdim_bad_args():
+    a = np.zeros((2, 3))
+    with pytest.raises(ValueError):
+        MDArray(a).transpose((0, 0))
+    with pytest.raises(ValueError):
+        MDArray(a).view(slice(None, None, -1))
+    with pytest.raises(IndexError):
+        MDArray(a).view(5)
+
+
+def test_mosaic_last_wins_on_valid():
+    s0 = np.full((2, 2), 9)
+    s1 = np.array([[0, 4], [4, 0]])  # zeros are nodata -> do not overwrite
+    out = mosaic_arrays((3, 3), [s0, s1], [(0, 0), (0, 0)], nodata=0)
+    assert np.array_equal(out, np.array([[9, 4, 0], [4, 9, 0], [0, 0, 0]]))
+
+
+def test_mosaic_clips_sources_off_canvas():
+    src = np.arange(1, 7).reshape(2, 3)
+    out = mosaic_arrays((3, 3), [src], [(2, -1)], nodata=0)
+    # only the first source row's columns 1..2 land on canvas row 2
+    assert np.array_equal(out[2], np.array([2, 3, 0]))
+    assert out[:2].sum() == 0
+
+
+def test_mosaic_paint_order():
+    a = np.full((1, 1), 5)
+    b = np.full((1, 1), 7)
+    assert mosaic_arrays((1, 1), [a, b], [(0, 0), (0, 0)])[0, 0] == 7
+    assert mosaic_arrays((1, 1), [b, a], [(0, 0), (0, 0)])[0, 0] == 5
