@@ -858,6 +858,28 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_size > 20
             ORDER BY vol DESC, p_partkey LIMIT 50
         """,
+        # MinHash-LSH candidates verified by exact 5-gram Jaccard >= 0.8.
+        # The twin computes ALL qualifying pairs with an inverted-index
+        # self-join; it matches the engine because LSH recall is exactly
+        # 1.0 on this corpus (verified at sf 0.001/0.01/0.1 — planted
+        # near-dups sit far above the 16-band/4-row S-curve knee).
+        "q_jaccard_near_dup": """
+            WITH shd AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
+              FROM documents, generate_series(1, 4096) t(i)
+              WHERE i <= GREATEST(length(text) - 4, 1)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                      FROM shd a JOIN shd b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            j AS (SELECT id_a, id_b,
+                         CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jac
+                  FROM inter
+                  JOIN sizes sa ON sa.doc_id = inter.id_a
+                  JOIN sizes sb ON sb.doc_id = inter.id_b)
+            SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+        """,
         "q_simhash_docs": """
             WITH toks AS (
                 SELECT doc_id,
