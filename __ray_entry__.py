@@ -880,6 +880,11 @@ def oracle_sql() -> dict[str, str]:
                   JOIN sizes sb ON sb.doc_id = inter.id_b)
             SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         """,
+        # Full MinHash-LSH chain in SQL (bit-exact vs the engine at
+        # sf 0.001/0.01/0.1): shingle byte-polynomial + splitmix64,
+        # 64 permutations with numpy's mod-2^64 wraparound, band fold,
+        # within-bucket pairs. Generated so hash constants stay in sync.
+        "q_minhash_pairs": _minhash_oracle(),
         "q_simhash_docs": """
             WITH toks AS (
                 SELECT doc_id,
@@ -933,3 +938,9 @@ def _composite_oracles() -> dict[str, str]:
     from gdal_ray.pipelines.composite_lattices import oracles
 
     return oracles()
+
+
+def _minhash_oracle() -> str:
+    from gdal_ray.stages.dedup import minhash_pairs_oracle_sql
+
+    return minhash_pairs_oracle_sql()

@@ -271,6 +271,74 @@ class MinHasher:
         )
 
 
+def minhash_pairs_oracle_sql(table: str = "documents") -> str:
+    """ANSI-SQL (DuckDB) twin of the full MinHash-LSH candidate chain:
+    shingle byte-polynomial -> splitmix64 mix -> 64 mod-(2^61-1) permutations
+    (with numpy's mod-2^64 wraparound BEFORE the prime mod) -> per-band
+    splitmix64 fold -> within-bucket pairs. Constants are injected from a
+    default-seeded MinHasher so engine and SQL share one hash family.
+
+    Precondition (holds for the synthetic corpus): text is non-null ASCII
+    with length >= shingle size, so the short/empty-doc branches of
+    ``_shingle_hashes`` never fire and ``lower()``/``ord()`` equal the
+    engine's byte-level operations.
+    """
+    mh = MinHasher()
+    m64 = 1 << 64
+    a1, a2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mix(x: str) -> str:
+        s1 = f"CAST((CAST(xor({x}, ({x}) >> 30) AS UHUGEINT) * {a1}) % {m64} AS UBIGINT)"
+        s2 = f"CAST((CAST(xor({s1}, ({s1}) >> 27) AS UHUGEINT) * {a2}) % {m64} AS UBIGINT)"
+        return f"xor({s2}, ({s2}) >> 31)"
+
+    perm_vals = ",".join(
+        f"({i}, {int(mh.a[i])}::UBIGINT, {int(mh.b[i])}::UBIGINT)" for i in range(mh.num_perm)
+    )
+    k = mh.shingle
+    poly = " + ".join(
+        f"ord(substr(t, i + {j}, 1)) * {257 ** (k - 1 - j)}::UBIGINT" for j in range(k)
+    )
+    rows = mh.rows
+    piv_cols = ",\n                 ".join(
+        f"MAX(CASE WHEN pi % {rows} = {r} THEN s END) AS s{r}" for r in range(rows)
+    )
+    fold_ctes = []
+    prev = "piv"
+    for r in range(rows):
+        carry = ", ".join(f"s{j}" for j in range(r + 1, rows))
+        carry = (carry + ", ") if carry else ""
+        acc_in = f"xor(0::UBIGINT, s0)" if r == 0 else f"xor(acc, s{r})"
+        fold_ctes.append(
+            f"f{r + 1} AS (SELECT doc_id, band_id, {carry}{mix(acc_in)} AS acc FROM {prev})"
+        )
+        prev = f"f{r + 1}"
+    folds = ",\n        ".join(fold_ctes)
+    return f"""
+        WITH docs AS (SELECT doc_id, lower(text) AS t FROM {table}),
+        sh AS (
+          SELECT DISTINCT doc_id, {mix(poly)} AS h
+          FROM docs, generate_series(1, 65536) g(i) WHERE i <= length(t) - {k - 1}
+        ),
+        perms(pi, a, b) AS (VALUES {perm_vals}),
+        sig AS (
+          SELECT doc_id, pi,
+                 MIN(CAST((CAST(h AS UHUGEINT) * a + b) % {m64} AS UBIGINT)
+                     % 2305843009213693951) AS s
+          FROM sh CROSS JOIN perms GROUP BY doc_id, pi
+        ),
+        piv AS (
+          SELECT doc_id, pi // {rows} AS band_id,
+                 {piv_cols}
+          FROM sig GROUP BY doc_id, pi // {rows}
+        ),
+        {folds}
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {prev} a JOIN {prev} b
+          ON a.band_id = b.band_id AND a.acc = b.acc AND a.doc_id < b.doc_id
+    """
+
+
 def minhash_bands(docs_ds, **kw):
     """documents -> (doc_id, band_id, band_key) LSH rows."""
     return docs_ds.map_batches(
