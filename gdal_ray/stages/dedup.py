@@ -271,6 +271,16 @@ class MinHasher:
         )
 
 
+def splitmix64_sql(x: str) -> str:
+    """DuckDB expression mirroring ``MinHasher._mix64`` on a UBIGINT expr
+    (bit-exact incl. the mod-2^64 multiply wraparound)."""
+    m64 = 1 << 64
+    a1, a2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    s1 = f"CAST((CAST(xor({x}, ({x}) >> 30) AS UHUGEINT) * {a1}) % {m64} AS UBIGINT)"
+    s2 = f"CAST((CAST(xor({s1}, ({s1}) >> 27) AS UHUGEINT) * {a2}) % {m64} AS UBIGINT)"
+    return f"xor({s2}, ({s2}) >> 31)"
+
+
 def minhash_pairs_oracle_sql(table: str = "documents") -> str:
     """ANSI-SQL (DuckDB) twin of the full MinHash-LSH candidate chain:
     shingle byte-polynomial -> splitmix64 mix -> 64 mod-(2^61-1) permutations
@@ -285,12 +295,7 @@ def minhash_pairs_oracle_sql(table: str = "documents") -> str:
     """
     mh = MinHasher()
     m64 = 1 << 64
-    a1, a2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mix(x: str) -> str:
-        s1 = f"CAST((CAST(xor({x}, ({x}) >> 30) AS UHUGEINT) * {a1}) % {m64} AS UBIGINT)"
-        s2 = f"CAST((CAST(xor({s1}, ({s1}) >> 27) AS UHUGEINT) * {a2}) % {m64} AS UBIGINT)"
-        return f"xor({s2}, ({s2}) >> 31)"
+    mix = splitmix64_sql
 
     perm_vals = ",".join(
         f"({i}, {int(mh.a[i])}::UBIGINT, {int(mh.b[i])}::UBIGINT)" for i in range(mh.num_perm)
