@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stack_lattice": CO.q_stack_lattice,
         "q_mdim_lattice": CO.q_mdim_lattice,
         "q_phash_lattice": CO.q_phash_lattice,
+        "q_viewshed_lattice": CO.q_viewshed_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,

@@ -49,6 +49,7 @@ __all__ = [
     "q_stack_lattice",
     "q_mdim_lattice",
     "q_phash_lattice",
+    "q_viewshed_lattice",
 ]
 
 
@@ -383,6 +384,41 @@ def q_mdim_lattice(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Viewshed (alg/viewshed/viewshed.cpp line-of-sight) on derived DEMs
+# --------------------------------------------------------------------------
+
+def q_viewshed_lattice(sf_dir: str):
+    """Observer line-of-sight visibility (raster/viewshed.py Bresenham ray
+    walk, the per-cell form of the reference plane-sweep) from the center
+    of every derived DEM. The SQL twin replays the exact float chain —
+    integer squared distances (exact), correctly-rounded sqrt/div on both
+    sides, and Python's banker's rounding of ray samples spelled out as a
+    half-even CASE — verified bit-exact at sf 0.001/0.01/0.1."""
+    from gdal_ray.raster.viewshed import viewshed
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"k": [], "n_visible": [], "vis_sum": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w, h = grid_dims(k)
+            dem = grid_for_key(k).astype(np.float64)
+            vis = viewshed(dem, h // 2, w // 2, observer_height=2.0)
+            rr, cc = np.mgrid[0:h, 0:w]
+            out["k"].append(k)
+            out["n_visible"].append(int(vis.sum()))
+            out["vis_sum"].append(int((rr[vis] * w + cc[vis]).sum()))
+        return pa.table(
+            {
+                "k": pa.array(out["k"], pa.int64()),
+                "n_visible": pa.array(out["n_visible"], pa.int64()),
+                "vis_sum": pa.array(out["vis_sum"], pa.int64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # pHash banded-LSH near-dup (lattice twin of q_near_dup_images)
 # --------------------------------------------------------------------------
 
@@ -648,8 +684,71 @@ def oracles() -> dict[str, str]:
           ON a.id < b.id AND bit_count(xor(a.h, b.h)) <= 2
     """
 
+    viewshed_sql = """
+        WITH g AS (
+          SELECT s_suppkey AS k, 16 + s_suppkey % 7 AS w, 12 + s_suppkey % 5 AS h
+          FROM supplier),
+        cells AS (
+          SELECT k, w, h, r, c, CAST((k*7 + r*13 + c*5) % 251 AS DOUBLE) AS v
+          FROM g, generate_series(0, 15) t1(r), generate_series(0, 21) t2(c)
+          WHERE r < h AND c < w),
+        obs AS (SELECT k, w, h, h // 2 AS oy, w // 2 AS ox FROM g),
+        oz AS (
+          SELECT o.k, o.w, o.h, o.oy, o.ox, cells.v + 2.0 AS oz
+          FROM obs o JOIN cells ON cells.k = o.k AND cells.r = o.oy AND cells.c = o.ox),
+        targets AS (
+          SELECT z.k, z.w, z.h, z.oy, z.ox, z.oz, cells.r AS ty, cells.c AS tx,
+                 cells.v AS tv, cells.r - z.oy AS dy, cells.c - z.ox AS dx,
+                 GREATEST(abs(cells.r - z.oy), abs(cells.c - z.ox)) AS n,
+                 sqrt(CAST((cells.c - z.ox)*(cells.c - z.ox)
+                         + (cells.r - z.oy)*(cells.r - z.oy) AS DOUBLE)) AS dist
+          FROM oz z JOIN cells ON cells.k = z.k
+          WHERE NOT (cells.r = z.oy AND cells.c = z.ox)),
+        tang AS (SELECT *, (tv - oz) / dist AS tangle FROM targets),
+        samples AS (
+          SELECT t.*,
+                 t.oy + t.dy * (CAST(s.i AS DOUBLE) / t.n) AS iy,
+                 t.ox + t.dx * (CAST(s.i AS DOUBLE) / t.n) AS ix
+          FROM tang t, generate_series(1, 21) s(i) WHERE s.i < t.n),
+        rnd AS (
+          SELECT *,
+            CASE WHEN iy - floor(iy) = 0.5
+                 THEN CASE WHEN CAST(floor(iy) AS BIGINT) % 2 = 0
+                           THEN CAST(floor(iy) AS BIGINT)
+                           ELSE CAST(floor(iy) AS BIGINT) + 1 END
+                 ELSE CAST(floor(iy + 0.5) AS BIGINT) END AS ry,
+            CASE WHEN ix - floor(ix) = 0.5
+                 THEN CASE WHEN CAST(floor(ix) AS BIGINT) % 2 = 0
+                           THEN CAST(floor(ix) AS BIGINT)
+                           ELSE CAST(floor(ix) AS BIGINT) + 1 END
+                 ELSE CAST(floor(ix + 0.5) AS BIGINT) END AS rx
+          FROM samples),
+        blockers AS (
+          SELECT r.k, r.ty, r.tx, MAX(
+                   CASE WHEN (c2.v - r.oz) /
+                             sqrt(CAST((r.rx - r.ox)*(r.rx - r.ox)
+                                     + (r.ry - r.oy)*(r.ry - r.oy) AS DOUBLE))
+                             > r.tangle + 1e-12
+                        THEN 1 ELSE 0 END) AS blocked
+          FROM rnd r JOIN cells c2 ON c2.k = r.k AND c2.r = r.ry AND c2.c = r.rx
+          WHERE NOT (r.ry = r.ty AND r.rx = r.tx)
+            AND NOT (r.ry = r.oy AND r.rx = r.ox)
+          GROUP BY r.k, r.ty, r.tx),
+        vis AS (
+          SELECT t.k, t.w, t.ty, t.tx,
+                 CASE WHEN COALESCE(b.blocked, 0) = 0 THEN 1 ELSE 0 END AS visible
+          FROM tang t LEFT JOIN blockers b
+            ON b.k = t.k AND b.ty = t.ty AND b.tx = t.tx)
+        SELECT k, CAST(1 + SUM(visible) AS BIGINT) AS n_visible,
+               CAST((SELECT oy*w + ox FROM obs o WHERE o.k = vis.k LIMIT 1)
+                 + SUM(CASE WHEN visible = 1 THEN ty*w + tx ELSE 0 END) AS BIGINT)
+                 AS vis_sum
+        FROM vis GROUP BY k, w
+    """
+
     return {
         "q_phash_lattice": phash_sql,
+        "q_viewshed_lattice": viewshed_sql,
         "q_warp_merc_lattice": warp_sql,
         "q_overview_lattice": overview_sql,
         "q_mosaic_lattice": mosaic_sql,
