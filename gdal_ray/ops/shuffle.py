@@ -57,6 +57,15 @@ def bucketed_group_apply(ds, keys, fn, num_buckets: int = 64, schema: pa.Schema 
     whenever ``fn`` can return EMPTY frames — an empty pandas object column
     otherwise degrades to a null-typed (or schema-less) block and the
     streaming executor logs schema-mismatch warnings on every such block.
+
+    Residual warning note: even with ``schema=``, a task whose output has
+    ZERO rows still triggers one "RefBundle with a different schema …
+    new schema: (empty)" line — Ray's BlockOutputBuffer drops 0-row output
+    blocks entirely, so the bundle carries no schema for the executor to
+    see. It is cosmetic. Avoid it by not creating empty partitions: size
+    ``num_buckets`` at or below the expected distinct-key count (surplus
+    sort ranges are the other common source, alongside surplus read tasks
+    on single-row-group files).
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:

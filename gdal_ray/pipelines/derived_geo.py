@@ -35,8 +35,14 @@ _TWO32 = 4294967296
 
 
 def _lattice(keys: np.ndarray):
-    ix = (keys * LATTICE_A) % _TWO32
-    iy = (keys * LATTICE_B) % _TWO32
+    # uint64 arithmetic: the product wraps mod 2^64 (a multiple of 2^32),
+    # so the % 2^32 residue is EXACT for any nonnegative int64 key. The
+    # DuckDB twins compute `key * A % 2^32` in BIGINT, which instead ERRORS
+    # past key ~3.47e9 (2^63/A) — oracle-checked lattices therefore require
+    # keys below that bound (TPC-H keys stay < 2^31 at any tested SF).
+    k = np.asarray(keys).astype(np.uint64)
+    ix = ((k * np.uint64(LATTICE_A)) % np.uint64(_TWO32)).astype(np.int64)
+    iy = ((k * np.uint64(LATTICE_B)) % np.uint64(_TWO32)).astype(np.int64)
     return ix, iy
 
 

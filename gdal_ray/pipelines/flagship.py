@@ -229,6 +229,85 @@ def placed_images_fused(corpus_dir: str, keep_pixels: bool = False) -> rd.Datase
     return out
 
 
+def fused_image_apply(
+    corpus_dir: str,
+    kernel,
+    *,
+    columns: list | None = None,
+    with_placements: bool = True,
+) -> rd.Dataset:
+    """Run ``kernel(table) -> table`` INSIDE each read task over one images
+    row group (merged with its like-named placements shard when
+    ``with_placements``). The raw image payload never enters the object
+    store — only the kernel's (small) output rows do. This is the general
+    form of the flagship's fused source for per-image raster queries
+    (warp, global stats, histogram, …).
+
+    ``kernel`` must return a correctly-TYPED table for empty input (it is
+    called even when a filter inside leaves zero rows, so every block
+    carries the output schema). Falls back to the unfused
+    read→merge→kernel plan when the corpus is not co-sharded.
+    """
+    import os
+
+    units = _shard_units(corpus_dir)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if units is not None and len(units) < cpus:
+        # too few row groups to keep the box busy at one-task-per-row-group
+        # granularity (tiny corpus): the unfused read parallelizes across
+        # batches instead. At scale the row-group count dwarfs the core
+        # count and the fused path always wins.
+        units = None
+    if units is None:
+        # non-co-sharded corpus: the general (unfused) plan
+        src = rd.read_parquet(
+            os.path.join(corpus_dir, "images.parquet"),
+            columns=columns,
+            include_paths=with_placements,
+        )
+        if with_placements:
+            src = src.map_batches(
+                _merge_placements,
+                fn_kwargs={"plc_dir": os.path.join(corpus_dir, "placements.parquet")},
+                batch_format="pyarrow",
+                batch_size=IMAGE_BATCH,
+            )
+        return src.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+    ds = rd.from_items(units, override_num_blocks=len(units))
+    cols = columns
+    if with_placements and cols is not None and "image_id" not in cols:
+        cols = ["image_id"] + list(cols)
+
+    def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for img_path, plc_path, rg in zip(
+            batch["img_path"].to_pylist(),
+            batch["plc_path"].to_pylist(),
+            batch["rg"].to_pylist(),
+        ):
+            t = pq.ParquetFile(img_path).read_row_group(
+                rg, columns=cols, use_threads=False
+            )
+            if with_placements:
+                plc_t, idx = _plc_shard(plc_path)
+                take = pa.array(
+                    [idx[v] for v in t["image_id"].to_pylist()], pa.int64()
+                )
+                for name in plc_t.column_names:
+                    if name != "image_id":
+                        t = t.append_column(name, plc_t[name].take(take))
+            outs.append(kernel(t))
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=None)
+
+
 def placed_images(
     corpus_dir: str,
     decode: bool = True,

@@ -62,11 +62,14 @@ def q_global_band_stats(sf_dir: str):
     combine), so the driver sees ONE row regardless of corpus size."""
     from ray.data.aggregate import Max, Min, Sum
 
+    from gdal_ray.pipelines.flagship import fused_image_apply
     from gdal_ray.stages.rasterops import global_stats_partials
 
     d = corpus_for_sf(sf_dir)
-    partials = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
-        global_stats_partials, batch_format="pyarrow", batch_size=256
+    # fused: decode+partial-reduce inside the read task; one tiny partial
+    # row per row group reaches the distributed aggregate
+    partials = fused_image_apply(
+        d, global_stats_partials, columns=["bytes", "fmt"], with_placements=False
     )
     agg = partials.aggregate(
         Sum("n", alias_name="n"),
@@ -92,11 +95,12 @@ def q_global_histogram(sf_dir: str):
     """Exact global 256-bin pixel histogram: per-batch partial histograms,
     then a distributed block-level vector combine — the driver sums only
     one row per block, not one per batch."""
+    from gdal_ray.pipelines.flagship import fused_image_apply
     from gdal_ray.stages.rasterops import histogram_partials
 
     d = corpus_for_sf(sf_dir)
-    parts = SRC.read_images(d, columns=["bytes", "fmt"]).map_batches(
-        histogram_partials, batch_format="pyarrow", batch_size=256
+    parts = fused_image_apply(
+        d, histogram_partials, columns=["bytes", "fmt"], with_placements=False
     )
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -437,19 +441,12 @@ def q_warp_4326_images(sf_dir: str):
     import ray.data as rd
 
     from gdal_ray.io import codec as C
-    from gdal_ray.pipelines.flagship import _merge_placements
+    from gdal_ray.pipelines.flagship import fused_image_apply
     from gdal_ray.raster.checksum import checksum_image
     from gdal_ray.raster.warp import warp_image
     from gdal_ray.stages.geo import _gt_matrix
 
     d = corpus_for_sf(sf_dir)
-    src = _rpt(os.path.join(d, "images.parquet"), include_paths=True)
-    placed = src.map_batches(
-        _merge_placements,
-        fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
-        batch_format="pyarrow",
-        batch_size=64,
-    )
 
     def per_image(batch: pa.Table) -> pa.Table:
         keep = [i for i, s in enumerate(batch["srs"].to_pylist()) if s == "EPSG:4326"]
@@ -476,7 +473,11 @@ def q_warp_4326_images(sf_dir: str):
             }
         )
 
-    return placed.map_batches(per_image, batch_format="pyarrow", batch_size=None)
+    # fused: decode+warp run inside the read task; only the tiny result
+    # rows (id, grid, checksum) ever enter the object store
+    return fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=True
+    )
 
 
 def q_warp_utm(sf_dir: str):
@@ -493,14 +494,11 @@ def q_warp_utm(sf_dir: str):
     import ray.data as rd
 
     from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.flagship import fused_image_apply
     from gdal_ray.raster.checksum import checksum_image
     from gdal_ray.raster.warp import warp_image
 
     d = corpus_for_sf(sf_dir)
-    src = _rpt(
-        os.path.join(d, "images.parquet"),
-        columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
-    )
 
     def per_image(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -539,7 +537,12 @@ def q_warp_utm(sf_dir: str):
             }
         )
 
-    return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)
+    return fused_image_apply(
+        d,
+        per_image,
+        columns=["image_id", "bytes", "fmt", "w", "h", "phash"],
+        with_placements=False,
+    )
 
 
 def q_warp_lcc(sf_dir: str):
@@ -552,19 +555,12 @@ def q_warp_lcc(sf_dir: str):
     import ray.data as rd
 
     from gdal_ray.io import codec as C
-    from gdal_ray.pipelines.flagship import _merge_placements
+    from gdal_ray.pipelines.flagship import fused_image_apply
     from gdal_ray.raster.checksum import checksum_image
     from gdal_ray.raster.warp import warp_image
     from gdal_ray.stages.geo import _gt_matrix
 
     d = corpus_for_sf(sf_dir)
-    src = _rpt(os.path.join(d, "images.parquet"), include_paths=True)
-    placed = src.map_batches(
-        _merge_placements,
-        fn_kwargs={"plc_dir": os.path.join(d, "placements.parquet")},
-        batch_format="pyarrow",
-        batch_size=64,
-    )
 
     def per_image(batch: pa.Table) -> pa.Table:
         keep = [i for i, s in enumerate(batch["srs"].to_pylist()) if s == "EPSG:3857"]
@@ -591,7 +587,9 @@ def q_warp_lcc(sf_dir: str):
             }
         )
 
-    return placed.map_batches(per_image, batch_format="pyarrow", batch_size=64)
+    return fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=True
+    )
 
 
 def q_embed_near_dup(sf_dir: str):
@@ -752,10 +750,9 @@ def q_nearblack(sf_dir: str):
     from gdal_ray.raster.checksum import checksum_image
     from gdal_ray.raster.kernels import nearblack
 
+    from gdal_ray.pipelines.flagship import fused_image_apply
+
     d = corpus_for_sf(sf_dir)
-    src = _rpt(
-        os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
-    )
 
     def per_image(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -776,7 +773,9 @@ def q_nearblack(sf_dir: str):
             }
         )
 
-    return src.map_batches(per_image, batch_format="pyarrow", batch_size=128)
+    return fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=False
+    )
 
 
 def q_pansharpen(sf_dir: str):
@@ -791,10 +790,9 @@ def q_pansharpen(sf_dir: str):
     from gdal_ray.raster.checksum import checksum_image
     from gdal_ray.raster.kernels import pansharpen_brovey, resample_bilinear
 
+    from gdal_ray.pipelines.flagship import fused_image_apply
+
     d = corpus_for_sf(sf_dir)
-    src = _rpt(
-        os.path.join(d, "images.parquet"), columns=["image_id", "bytes", "fmt"]
-    )
 
     def per_image(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -819,7 +817,9 @@ def q_pansharpen(sf_dir: str):
             }
         )
 
-    return src.map_batches(per_image, batch_format="pyarrow", batch_size=64)
+    return fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=False
+    )
 
 
 def q_embed_near_dup_lsh(sf_dir: str):
@@ -954,8 +954,20 @@ def q_stack_median(sf_dir: str):
             rows["median_cksum"].append(checksum_image(med))
         return pd.DataFrame(rows)
 
+    # bucket count scaled to the stack count so no sort range is empty at
+    # tiny SF (an empty range's 0-row output block is DROPPED by Ray's
+    # BlockOutputBuffer, leaving a schema-less bundle the executor warns
+    # about — no output schema= can reach a block that never exists)
+    import os
+
+    import pyarrow.parquet as pq_
+
+    n_rasters = pq_.read_metadata(
+        os.path.join(d, "rasters.parquet")
+    ).num_rows if os.path.isfile(os.path.join(d, "rasters.parquet")) else 64
+    buckets = max(1, min(8, n_rasters // 8))
     return bucketed_group_apply(
-        prepped, ["stack_id"], reduce_stack, 8,
+        prepped, ["stack_id"], reduce_stack, buckets,
         schema=pa.schema([("stack_id", pa.int64()), ("n_layers", pa.int64()),
                           ("median_cksum", pa.int64())]),
     )
