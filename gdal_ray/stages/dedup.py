@@ -41,12 +41,27 @@ def add_md5(batch: pa.Table, col: str = "text", out: str = "md5") -> pa.Table:
 
 
 def exact_dedup(ds, hash_col: str, key_col: str):
-    """Keep the min-key row per hash group (deterministic winner)."""
+    """Keep the min-key row per hash group (deterministic winner).
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1)
+    Partition-level kernel: ONE vectorized sort+groupby-head per
+    hash-bucketed partition, not one callback per group — with mostly
+    unique content the group count approaches the row count, and
+    per-group map_groups callbacks dominate wall time at corpus scale."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
 
-    return ds.groupby(hash_col).map_groups(first, batch_format="pandas")
+    schema = None
+    try:
+        s = ds.schema()
+        schema = getattr(s, "base_schema", None)
+    except Exception:
+        pass
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values([hash_col, key_col]).groupby(
+            hash_col, sort=False
+        ).head(1)
+
+    return bucketed_group_apply(ds, [hash_col], reduce_part, schema=schema)
 
 
 def phash_bands(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
