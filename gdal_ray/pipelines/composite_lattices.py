@@ -507,8 +507,8 @@ def oracles() -> dict[str, str]:
                       ELSE 0 END AS val
           FROM sp)
         SELECT {_IMG} AS img_id, CAST(w AS BIGINT) AS dst_w, CAST(h AS BIGINT) AS dst_h,
-               SUM(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS n_nonzero,
-               SUM(val) AS sum_val,
+               CAST(SUM(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
                {_cksum('val', 'r*w + c')} AS cksum
         FROM v GROUP BY k, w, h
     """
@@ -536,11 +536,11 @@ def oracles() -> dict[str, str]:
           QUALIFY row_number() OVER (PARTITION BY k, br, bc
                                      ORDER BY cnt DESC, v ASC) = 1),
         aagg AS (
-          SELECT k, ow, oh, SUM(av) AS sum_avg,
+          SELECT k, ow, oh, CAST(SUM(av) AS BIGINT) AS sum_avg,
                  {_cksum('av', 'br*ow + bc')} AS cksum_avg
           FROM avgb GROUP BY k, ow, oh),
         magg AS (
-          SELECT k, SUM(mv) AS sum_mode,
+          SELECT k, CAST(SUM(mv) AS BIGINT) AS sum_mode,
                  {_cksum('mv', 'br*ow + bc')} AS cksum_mode
           FROM modeb GROUP BY k)
         SELECT {_IMG} AS img_id, CAST(ow AS BIGINT) AS ov_w, CAST(oh AS BIGINT) AS ov_h,
@@ -570,8 +570,8 @@ def oracles() -> dict[str, str]:
           FROM cells cl LEFT JOIN painted p2
             ON cl.k = p2.k AND cl.r = p2.r AND cl.c = p2.c)
         SELECT {_IMG} AS img_id, CAST(m AS BIGINT) AS n_sources,
-               SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS n_painted,
-               SUM(v) AS sum_val,
+               CAST(SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_painted,
+               CAST(SUM(v) AS BIGINT) AS sum_val,
                {_cksum('v', 'r*20 + c')} AS cksum
         FROM canvas GROUP BY k, m
     """
@@ -621,8 +621,9 @@ def oracles() -> dict[str, str]:
                  CAST(FLOOR(LEAST(GREATEST(u1*(CASE WHEN pseudo > 0 THEN pan/pseudo ELSE 0.0 END) + 0.5, 0.0), 255.0)) AS BIGINT) AS b1,
                  CAST(FLOOR(LEAST(GREATEST(u2*(CASE WHEN pseudo > 0 THEN pan/pseudo ELSE 0.0 END) + 0.5, 0.0), 255.0)) AS BIGINT) AS b2
           FROM ratio)
-        SELECT {_IMG} AS img_id, SUM(b0) AS sum_b0, SUM(b1) AS sum_b1,
-               SUM(b2) AS sum_b2,
+        SELECT {_IMG} AS img_id, CAST(SUM(b0) AS BIGINT) AS sum_b0,
+               CAST(SUM(b1) AS BIGINT) AS sum_b1,
+               CAST(SUM(b2) AS BIGINT) AS sum_b2,
                {_cksum('b0', 'R*(2*w) + C')} AS cksum_b0
         FROM sharp GROUP BY k
     """
@@ -663,7 +664,7 @@ def oracles() -> dict[str, str]:
                generate_series(0, 2) c(t)),
         red AS (SELECT k, yi, xi, MAX(v) AS v FROM cells GROUP BY k, yi, xi)
         SELECT {_IMG} AS img_id, CAST(4 AS BIGINT) AS red_h,
-               CAST(12 AS BIGINT) AS red_w, SUM(v) AS sum_val,
+               CAST(12 AS BIGINT) AS red_w, CAST(SUM(v) AS BIGINT) AS sum_val,
                {_cksum('v', 'yi*12 + xi')} AS cksum
         FROM red GROUP BY k
     """

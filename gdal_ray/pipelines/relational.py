@@ -113,21 +113,37 @@ def q_filter_parts(sf_dir: str):
 
 
 def q_join_segment_revenue(sf_dir: str):
-    """Hash equi-join (OGR SQL JOIN, ogr_gensql.cpp:1497) + aggregate."""
+    """Hash equi-join (OGR SQL JOIN, ogr_gensql.cpp:1497) + aggregate.
+
+    orders:customer is N:1, so each batch pre-combines per o_custkey
+    (quantized revenue sum + order count) BEFORE the join — the shuffle
+    ships at most one row per (batch, custkey) instead of every order.
+    Join partition count is sized to the session (adaptive_partitions):
+    the shuffle aggregators are CPU-holding actors, so a fixed count
+    starves small sessions and under-uses big ones.
+    """
+    from gdal_ray.ops.shuffle import adaptive_partitions
+
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    def quant(batch: pa.Table) -> pa.Table:
-        # quantize BEFORE the join (fuses with the read; the join ships the
-        # int64 column instead of the float)
-        return pa.table(
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # quantize + partial per-batch combine (fuses with the read)
+        q = pa.table(
             {"o_custkey": batch["o_custkey"], "rev4": pa.array(_q4(batch["o_totalprice"]))}
         )
+        g = q.group_by("o_custkey").aggregate([("rev4", "sum"), ("rev4", "count")])
+        return g.rename_columns(["o_custkey", "rev4", "n"])
 
-    joined = orders.map_batches(quant, batch_format="pyarrow").join(
-        customer, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    joined = orders.map_batches(combine, batch_format="pyarrow").join(
+        customer,
+        join_type="inner",
+        num_partitions=adaptive_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
     agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("rev4", alias_name="rev4")
+        Sum("n", alias_name="n_orders"), Sum("rev4", alias_name="rev4")
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:

@@ -45,6 +45,13 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
         return problems
     g, w = canon(got), canon(want)
     for c in g.columns:
+        # Dtype-strict like the driver's hash: DuckDB SUM(BIGINT) returns
+        # HUGEINT (pandas object/float), which hash-mismatches an int64
+        # engine column even when values are equal. Require identical
+        # post-canon dtypes.
+        if g[c].dtype != w[c].dtype:
+            problems.append(f"col {c}: dtype {g[c].dtype} vs {w[c].dtype}")
+            continue
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
         if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(w[c].dtype, np.floating):
             gv = gv.astype(np.float64)
