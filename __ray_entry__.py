@@ -63,9 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bbox_join": DG.q_bbox_join,
         "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
-        "q_hilbert_lattice": LO.q_hilbert_lattice,
-        "q_geom_lattice": LO.q_geom_lattice,
-        "q_rasterize_lattice": LO.q_rasterize_lattice,
+        "q_union_lattice": LO.q_union_lattice,
+        "q_symdiff_lattice": LO.q_symdiff_lattice,
         "q_grid_lattice": LO.q_grid_lattice,
         "q_invdist_lattice": LO.q_invdist_lattice,
         "q_relate_lattice": LO.q_relate_lattice,
@@ -81,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_footprint_lattice": RL.q_footprint_lattice,
         "q_proximity_lattice": RL.q_proximity_lattice,
         "q_cleanup_lattice": RL.q_cleanup_lattice,
+        "q_fillnodata_lattice": RL.q_fillnodata_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
         "q_point_query_lattice": RL.q_point_query_lattice,
         "q_warp_merc_lattice": CO.q_warp_merc_lattice,
@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the 50-entry gate cap ----
         # SQL-twinned, gate-green in BOTH r2 and r3 — rotated out this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
+        "q_hilbert_lattice": LO.q_hilbert_lattice,
+        "q_geom_lattice": LO.q_geom_lattice,
+        "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
         "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
         "q_tin_lattice": LO.q_tin_lattice,
@@ -264,6 +267,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE r < 12 + s_suppkey % 5 AND c < 16 + s_suppkey % 7
     """
     primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+
+    # rectangle-pair lattice shared by the layer-algebra twins (geometry
+    # contract documented at lattice_oracles._boolean_layers)
+    _boolean_rect_sql = """
+            WITH g AS (SELECT s_suppkey AS k,
+                              (s_suppkey % 256) * 300 + 130 AS acx,
+                              (s_suppkey // 256) * 300 + 130 AS acy,
+                              60 + s_suppkey % 37 AS aw, 60 + s_suppkey % 41 AS ah,
+                              60 + s_suppkey % 43 AS bw, 60 + s_suppkey % 47 AS bh,
+                              (s_suppkey * 40503) % 97 - 48 AS dx,
+                              (s_suppkey * 65521) % 89 - 44 AS dy
+                       FROM supplier),
+                 ar AS (SELECT *,
+                               GREATEST(0, LEAST(acx + aw, acx + dx + bw)
+                                         - GREATEST(acx - aw, acx + dx - bw)) AS iw,
+                               GREATEST(0, LEAST(acy + ah, acy + dy + bh)
+                                         - GREATEST(acy - ah, acy + dy - bh)) AS ih
+                        FROM g)
+    """
 
     def cksum(v_expr: str, i_expr: str) -> str:
         # GDALChecksumImage (alg/gdalchecksum.cpp:48) for non-negative ints
@@ -513,6 +535,61 @@ def oracle_sql() -> dict[str, str]:
                    {cksum('v', 'r*w + c')} AS cksum
             FROM px GROUP BY k, w
         """,
+        "q_symdiff_lattice": f"""
+            {_boolean_rect_sql}
+            SELECT 'a' || lpad(CAST(k AS VARCHAR), 6, '0') AS fid, 'A' AS src,
+                   ROUND(CAST(4*aw*ah - CASE WHEN k % 2 = 0
+                                             THEN iw*ih ELSE 0 END
+                              AS DOUBLE), 6) AS area
+            FROM ar
+            UNION ALL
+            SELECT 'b' || lpad(CAST(k AS VARCHAR), 6, '0'), 'B',
+                   ROUND(CAST(4*bw*bh - iw*ih AS DOUBLE), 6)
+            FROM ar WHERE k % 2 = 0
+        """,
+        "q_union_lattice": f"""
+            {_boolean_rect_sql}
+            SELECT 'a' || lpad(CAST(k AS VARCHAR), 6, '0') AS fid, 'A' AS src,
+                   ROUND(CAST(4*aw*ah - CASE WHEN k % 2 = 0
+                                             THEN iw*ih ELSE 0 END
+                              AS DOUBLE), 6) AS area
+            FROM ar
+            UNION ALL
+            SELECT 'b' || lpad(CAST(k AS VARCHAR), 6, '0'), 'B',
+                   ROUND(CAST(4*bw*bh - iw*ih AS DOUBLE), 6)
+            FROM ar WHERE k % 2 = 0
+            UNION ALL
+            SELECT 'a' || lpad(CAST(k AS VARCHAR), 6, '0')
+                   || '|b' || lpad(CAST(k AS VARCHAR), 6, '0'), 'AB',
+                   ROUND(CAST(iw*ih AS DOUBLE), 6)
+            FROM ar WHERE k % 2 = 0
+        """,
+        "q_fillnodata_lattice": f"""
+            WITH px AS ({grid_sql}),
+                 hq AS (SELECT k, w, h, r, c, v,
+                               (r % 4 = 1 AND c % 4 = 2 AND r > 0
+                                AND r < h - 1 AND c > 0 AND c < w - 1) AS hole
+                        FROM px),
+                 -- stride-4 interior holes have 4 valid neighbors: the
+                 -- iterative ring fill closes in ONE pass and the filled
+                 -- value is the plain 4-neighbor average, in closed form
+                 f AS (SELECT k, w, r, c, hole,
+                              CASE WHEN hole THEN
+                                CAST((k*7 + (r-1)*13 + c*5) % 251
+                                   + (k*7 + (r+1)*13 + c*5) % 251
+                                   + (k*7 + r*13 + (c-1)*5) % 251
+                                   + (k*7 + r*13 + (c+1)*5) % 251 AS DOUBLE) / 4.0
+                              ELSE CAST(v AS DOUBLE) END AS fv
+                       FROM hq),
+                 q4 AS (SELECT k, w, r, c, hole,
+                               CAST(FLOOR(fv*10000.0 + 0.5) AS BIGINT) AS v4
+                        FROM f)
+            SELECT 'n' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   CAST(SUM(CASE WHEN hole THEN 1 ELSE 0 END) AS BIGINT) AS n_holes,
+                   CAST(SUM(v4) AS BIGINT) AS sum_fill4,
+                   {cksum('v4', 'r*w + c')} AS cksum
+            FROM q4 GROUP BY k, w
+        """,
         "q_zonal_lattice": f"""
             WITH j AS ({pip_join_sql})
             SELECT s_suppkey % 8 AS category,
@@ -531,14 +608,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM supplier),
                  c AS (SELECT c_custkey, s_suppkey,
                               CAST(FLOOR((qx - x0) / 2.0) AS BIGINT) AS ix,
-                              CAST(FLOOR((y0 - qy) / 2.0) AS BIGINT) AS iy
+                              CAST(FLOOR((y0 - qy) / 2.0) AS BIGINT) AS iy,
+                              (qx - x0) / 2.0 AS px,
+                              (y0 - qy) / 2.0 AS py
                        FROM q, i
                        WHERE qx >= x0 AND qx <= x0 + 80
-                         AND qy >= y0 - 60 AND qy <= y0)
+                         AND qy >= y0 - 60 AND qy <= y0),
+                 -- bilinear arm (gdallocationinfo -r bilinear,
+                 -- alg/gdal_interpolateatpoint.h:37): pixel-center sample,
+                 -- edge-clamped; lattice coords are dyadic so wx, wy are
+                 -- exactly 0 or 0.5
+                 b AS (SELECT *,
+                              LEAST(GREATEST(px - 0.5, 0.0), 39.0) AS fx,
+                              LEAST(GREATEST(py - 0.5, 0.0), 29.0) AS fy
+                       FROM c),
+                 b2 AS (SELECT *,
+                               CAST(FLOOR(fx) AS BIGINT) AS xb0,
+                               CAST(FLOOR(fy) AS BIGINT) AS yb0,
+                               fx - FLOOR(fx) AS wx, fy - FLOOR(fy) AS wy
+                        FROM b),
+                 b3 AS (SELECT *,
+                               LEAST(xb0 + 1, 39) AS xb1,
+                               LEAST(yb0 + 1, 29) AS yb1
+                        FROM b2)
             SELECT 'q' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS query_id,
                    'i' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS image_id,
-                   CAST((s_suppkey + 3*iy + 5*ix) % 251 AS INTEGER) AS value
-            FROM c WHERE ix >= 0 AND ix < 40 AND iy >= 0 AND iy < 30
+                   CAST((s_suppkey + 3*iy + 5*ix) % 251 AS INTEGER) AS value,
+                   ROUND((((s_suppkey + 3*yb0 + 5*xb0) % 251)*(1.0 - wx)
+                          + ((s_suppkey + 3*yb0 + 5*xb1) % 251)*wx)*(1.0 - wy)
+                         + (((s_suppkey + 3*yb1 + 5*xb0) % 251)*(1.0 - wx)
+                            + ((s_suppkey + 3*yb1 + 5*xb1) % 251)*wx)*wy,
+                         6) AS value_bi
+            FROM b3 WHERE ix >= 0 AND ix < 40 AND iy >= 0 AND iy < 30
         """,
         "q1_pricing_summary": """
             -- money columns quantized per row to integer 1e-4 units

@@ -29,6 +29,7 @@ from gdal_ray.geo.geomops import _orient, clip_ring_convex, ring_area
 
 __all__ = [
     "triangulate_ring",
+    "make_valid_ring",
     "polygon_intersection",
     "polygon_difference",
     "polygon_union",
@@ -44,11 +45,91 @@ def _open_ccw(ring: np.ndarray) -> np.ndarray:
     return np.asarray(pts, dtype=np.float64)
 
 
-def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+def _segment_crossing(p1, p2, p3, p4):
+    """Proper interior crossing of segments p1p2 and p3p4 -> (t, u, point)
+    with both parameters strictly inside (0, 1), else None."""
+    d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
+    d2x, d2y = p4[0] - p3[0], p4[1] - p3[1]
+    denom = d1x * d2y - d1y * d2x
+    if denom == 0:
+        return None
+    t = ((p3[0] - p1[0]) * d2y - (p3[1] - p1[1]) * d2x) / denom
+    u = ((p3[0] - p1[0]) * d1y - (p3[1] - p1[1]) * d1x) / denom
+    eps = 1e-12
+    if eps < t < 1 - eps and eps < u < 1 - eps:
+        return t, u, (p1[0] + t * d1x, p1[1] + t * d1y)
+    return None
+
+
+def make_valid_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """MakeValid-lite (ref ``ogr/ogr_geometry.h:592`` MakeValid; GEOS
+    'structure' method, simplified): split a self-intersecting ring at its
+    edge-edge crossing points into SIMPLE closed sub-rings.
+
+    The walk is augmented with every proper crossing point (sorted along
+    each edge), then decomposed into loops: whenever a point recurs on the
+    walk, the enclosed span pops off as one sub-ring (the classic bowtie
+    ABXCDX -> XBX-loop + XDX-loop untwist). Near-zero-area slivers are
+    dropped. Already-simple rings come back unchanged (one piece)."""
+    pts = _open_ccw(ring)
+    n = len(pts)
+    if n < 3:
+        return []
+    # crossings per edge, ordered along the edge
+    per_edge: list[list[tuple[float, tuple[float, float]]]] = [[] for _ in range(n)]
+    for i in range(n):
+        a1, a2 = pts[i], pts[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue  # adjacent edges share a vertex, not a crossing
+            hit = _segment_crossing(a1, a2, pts[j], pts[(j + 1) % n])
+            if hit is not None:
+                t, u, p = hit
+                per_edge[i].append((t, p))
+                per_edge[j].append((u, p))
+    if not any(per_edge):
+        return [np.vstack([pts, pts[:1]])]
+    walk: list[tuple[float, float]] = []
+    for i in range(n):
+        walk.append((float(pts[i][0]), float(pts[i][1])))
+        for _, p in sorted(per_edge[i], key=lambda e: e[0]):
+            walk.append((round(p[0], 9), round(p[1], 9)))
+    # loop extraction: recurring point closes the span since its last visit
+    out: list[np.ndarray] = []
+    path: list[tuple[float, float]] = []
+    seen: dict[tuple[float, float], int] = {}
+    for p in walk:
+        key = (round(p[0], 9), round(p[1], 9))
+        if key in seen:
+            j = seen[key]
+            loop = path[j:] + [path[j]]
+            if len(loop) >= 4:
+                arr = np.asarray(loop, dtype=np.float64)
+                if abs(ring_area(arr)) > 1e-12:
+                    out.append(arr)
+            for q in path[j + 1 :]:
+                seen.pop((round(q[0], 9), round(q[1], 9)), None)
+            path = path[: j + 1]
+        else:
+            seen[key] = len(path)
+            path.append(p)
+    if len(path) >= 3:
+        arr = np.asarray(path + [path[0]], dtype=np.float64)
+        if abs(ring_area(arr)) > 1e-12:
+            out.append(arr)
+    return out
+
+
+def triangulate_ring(ring: np.ndarray, repair: bool = True) -> list[np.ndarray]:
     """Ear-clipping triangulation of a simple ring -> list of (3, 2) arrays.
 
     O(n^2); collinear vertices are dropped, degenerate remainders are
     fan-filled (zero-area ears contribute nothing to any boolean result).
+    Self-intersecting input (detected by the exact ear-area identity below)
+    is REPAIRED via ``make_valid_ring`` when ``repair`` is set — bowties
+    degrade to their simple pieces instead of killing the stage (reference
+    MakeValid, ``ogr/ogr_geometry.h:592``); pass ``repair=False`` to get
+    the hard failure back.
     """
     pts = _open_ccw(ring)
     n = len(pts)
@@ -101,6 +182,13 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
     total = sum(abs(ring_area(np.vstack([t, t[:1]]))) for t in tris)
     want = abs(ring_area(np.vstack([pts, pts[:1]])))
     if abs(total - want) > 1e-6 * max(1.0, want, total):
+        if repair:
+            pieces = make_valid_ring(np.vstack([pts, pts[:1]]))
+            if len(pieces) > 1:  # genuinely split: triangulate each piece
+                tris = []
+                for p in pieces:
+                    tris.extend(triangulate_ring(p, repair=False))
+                return tris
         raise ValueError(
             f"ring is not a simple polygon (ear area {total:.6g} != ring area {want:.6g})"
         )

@@ -50,6 +50,8 @@ __all__ = [
     "q_tin_lattice",
     "q_conic_lattice",
     "q_line_lattice",
+    "q_union_lattice",
+    "q_symdiff_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -778,3 +780,83 @@ def q_line_lattice(sf_dir: str):
     return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# Layer algebra Union / SymDifference through the REAL cell-partitioned
+# layer op (geo/layerops.py; ref ogrlayer.cpp:3763 Union, :4300 SymDiff)
+# --------------------------------------------------------------------------
+
+def _rect_wkb(cx, cy, hx, hy):
+    from gdal_ray.geo import wkb as W
+
+    ring = np.array(
+        [
+            [cx - hx, cy - hy],
+            [cx + hx, cy - hy],
+            [cx + hx, cy + hy],
+            [cx - hx, cy + hy],
+            [cx - hx, cy - hy],
+        ],
+        dtype=np.float64,
+    )
+    return W.encode_polygon([ring])
+
+
+def _boolean_layers(sf_dir: str):
+    """Two supplier-keyed rectangle layers on a 300 m tile lattice.
+
+    Tile (k%256, k//256) isolates each key's geometry: A_k is centered
+    130 m into its tile with half-extents <= 96 m, B_k (EVEN keys only —
+    odd keys exercise the intersects-nothing passthrough) is A_k's center
+    shifted by <=48 m with half-extents <= 106 m, so A and B of the same
+    key ALWAYS overlap while nothing crosses a tile boundary into another
+    key's A (B-B contact is irrelevant to the op). The SQL twin is the
+    closed-form axis-aligned rectangle algebra."""
+
+    def mk_a(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        fids, wkbs = [], []
+        for k in ks:
+            k = int(k)
+            ox, oy = (k % 256) * 300 + 130, (k // 256) * 300 + 130
+            fids.append(f"a{k:06d}")
+            wkbs.append(_rect_wkb(ox, oy, 60 + k % 37, 60 + k % 41))
+        return pa.table({"fid": pa.array(fids, pa.string()), "wkb": pa.array(wkbs, pa.binary())})
+
+    def mk_b(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        ks = ks[ks % 2 == 0]
+        fids, wkbs = [], []
+        for k in ks:
+            k = int(k)
+            ox, oy = (k % 256) * 300 + 130, (k // 256) * 300 + 130
+            dx = (k * 40503) % 97 - 48
+            dy = (k * 65521) % 89 - 44
+            fids.append(f"b{k:06d}")
+            wkbs.append(_rect_wkb(ox + dx, oy + dy, 60 + k % 43, 60 + k % 47))
+        return pa.table({"fid": pa.array(fids, pa.string()), "wkb": pa.array(wkbs, pa.binary())})
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey"])
+    return (
+        sup.map_batches(mk_a, batch_format="pyarrow"),
+        sup.map_batches(mk_b, batch_format="pyarrow"),
+    )
+
+
+def q_union_lattice(sf_dir: str):
+    """Layer Union (ogrlayer.cpp:3763): A∩B pair features + both reduced
+    sides, through the cell-partitioned layer op."""
+    from gdal_ray.geo.layerops import layer_boolean_areas
+
+    a, b = _boolean_layers(sf_dir)
+    return layer_boolean_areas(a, b, "union", level=16)
+
+
+def q_symdiff_lattice(sf_dir: str):
+    """Layer SymDifference (ogrlayer.cpp:4300): each side minus all its
+    intersecting partners, through the cell-partitioned layer op."""
+    from gdal_ray.geo.layerops import layer_boolean_areas
+
+    a, b = _boolean_layers(sf_dir)
+    return layer_boolean_areas(a, b, "symdifference", level=16)

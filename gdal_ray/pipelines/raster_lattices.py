@@ -41,6 +41,7 @@ __all__ = [
     "q_footprint_lattice",
     "q_proximity_lattice",
     "q_cleanup_lattice",
+    "q_fillnodata_lattice",
     "q_zonal_lattice",
     "q_point_query_lattice",
     "grid_for_key",
@@ -520,6 +521,8 @@ def q_point_query_lattice(sf_dir: str):
     cand = point_footprint_candidates(points, foots, level=16)
 
     def sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
+        from gdal_ray.raster.kernels import interpolate_at_point_bilinear
+
         k = int(row["k"])
         sx = (k * LATTICE_A) % _TWO16
         sy = (k * LATTICE_B) % _TWO16
@@ -531,12 +534,69 @@ def q_point_query_lattice(sf_dir: str):
         ok = (ix >= 0) & (ix < 40) & (iy >= 0) & (iy < 30)
         if not ok.any():
             return None, None
-        return ok, ((k + 3 * iy[ok] + 5 * ix[ok]) % 251).astype(np.int32)
+        nearest = ((k + 3 * iy[ok] + 5 * ix[ok]) % 251).astype(np.int32)
+        # interpolated read (gdallocationinfo -r bilinear) through the REAL
+        # kernel on the materialized 30x40 closed-form band: lattice pixel
+        # coords are dyadic (steps of 0.5), so weights are exactly 0 / 0.5
+        # and the SQL twin replays the identical arithmetic
+        rr, cc = np.mgrid[0:30, 0:40]
+        band = (k + 3 * rr + 5 * cc) % 251
+        bi = interpolate_at_point_bilinear(band, px[ok], py[ok])
+        return ok, {"value": nearest, "value_bi": np.round(bi, 6)}
 
     out_schema = pa.schema(
-        [("query_id", pa.string()), ("image_id", pa.string()), ("value", pa.int32())]
+        [
+            ("query_id", pa.string()),
+            ("image_id", pa.string()),
+            ("value", pa.int32()),
+            ("value_bi", pa.float64()),
+        ]
     )
     return sample_at_points(cand, payload, sampler, out_schema)
+
+
+# --------------------------------------------------------------------------
+# FillNodata (alg/rasterfill.cpp:394 GDALFillNodata, simplified ring fill)
+# --------------------------------------------------------------------------
+
+def q_fillnodata_lattice(sf_dir: str):
+    """FillNodata through the REAL iterative-ring kernel
+    (``raster/kernels.py fillnodata``; ref ``alg/rasterfill.cpp:394``).
+    Holes are punched into the shared closed-form grid at stride-4 interior
+    positions (r%4==1, c%4==2), so every hole has 4 VALID 4-neighbors and
+    the fill closes in exactly one ring — the filled value is the plain
+    4-neighbor average, which the SQL twin replays in closed form. Values
+    quantize x1e4 (quarters are exact) for an order-independent checksum."""
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import fillnodata
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        out = {"img_id": [], "n_holes": [], "sum_fill4": [], "cksum": []}
+        for k in keys:
+            k = int(k)
+            g = grid_for_key(k).astype(np.int64)
+            h_, w_ = g.shape
+            rr, cc = np.mgrid[0:h_, 0:w_]
+            hole = (rr % 4 == 1) & (cc % 4 == 2) & (rr > 0) & (rr < h_ - 1) & (cc > 0) & (cc < w_ - 1)
+            arr = g.copy()
+            arr[hole] = -1
+            filled = fillnodata(arr, nodata=-1)
+            v4 = np.floor(filled * 10000.0 + 0.5).astype(np.int64)
+            out["img_id"].append(f"n{k:06d}")
+            out["n_holes"].append(int(hole.sum()))
+            out["sum_fill4"].append(int(v4.sum()))
+            out["cksum"].append(checksum_image(v4))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "n_holes": pa.array(out["n_holes"], pa.int64()),
+                "sum_fill4": pa.array(out["sum_fill4"], pa.int64()),
+                "cksum": pa.array(out["cksum"], pa.int32()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -118,13 +118,16 @@ def q_global_histogram(sf_dir: str):
     return pd.DataFrame({"bin": np.arange(256, dtype=np.int32), "count": acc})
 
 
-def _image_pixel_sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
+def _image_pixel_sampler(row: dict, qx: np.ndarray, qy: np.ndarray, mode: str = "nearest"):
     """Per-image sampler for the co-partitioned point query: inverse
     geotransform -> band-0 pixel (apps/gdallocationinfo.cpp:373). Decode
-    runs ONCE per image, only when at least one point is in bounds."""
+    runs ONCE per image, only when at least one point is in bounds.
+    ``mode="bilinear"`` adds the interpolated read (gdallocationinfo -r
+    bilinear, alg/gdal_interpolateatpoint.h:37) as a second column."""
     from gdal_ray.geo import affine as A
     from gdal_ray.geo import mercator as M
     from gdal_ray.io import codec as C
+    from gdal_ray.raster.kernels import interpolate_at_point_bilinear
 
     gt = tuple(float(row[f"gt{i}"]) for i in range(6))
     inv = A.invert_geotransform(gt)
@@ -141,7 +144,11 @@ def _image_pixel_sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
     if not ok.any():
         return None, None
     img = C.decode_image(row["bytes"], row["fmt"])
-    return ok, img[iy[ok], ix[ok], 0].astype(np.int32)
+    nearest = img[iy[ok], ix[ok], 0].astype(np.int32)
+    if mode == "nearest":
+        return ok, nearest
+    bi = interpolate_at_point_bilinear(img[:, :, 0], px[ok], py[ok])
+    return ok, {"value": nearest, "value_bi": np.round(bi, 6)}
 
 
 def q_point_query(sf_dir: str):

@@ -94,6 +94,28 @@ def resample_bilinear(img, h_out, w_out):
     return cast_clip(out, img.dtype) if np.issubdtype(img.dtype, np.integer) else out
 
 
+def interpolate_at_point_bilinear(band: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Bilinear read at fractional pixel coordinates (gdallocationinfo -r
+    bilinear; reference ``alg/gdal_interpolateatpoint.h:37`` /
+    ``gdal_interpolateatpoint.cpp`` GDALInterpolateAtPoint): values sit at
+    pixel CENTERS, coordinates are clamped to the valid center range at the
+    edges (degrading to the edge value), weights are the fractional offsets
+    — the same convention ``resample_bilinear`` uses on whole grids."""
+    h, w = band.shape[:2]
+    fx = np.clip(px - 0.5, 0, w - 1)
+    fy = np.clip(py - 0.5, 0, h - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = fx - x0
+    wy = fy - y0
+    f = band.astype(np.float64)
+    top = f[y0, x0] * (1 - wx) + f[y0, x1] * wx
+    bot = f[y1, x0] * (1 - wx) + f[y1, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def resample_average(img, factor):
     """Integer-factor box average (overview AVERAGE kernel,
     gcore/overview.cpp:1144 on exact-factor grids)."""

@@ -90,6 +90,36 @@ def phash_bands(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
     )
 
 
+# Max band-group rows expanded in ONE pair allocation: a group of n rows
+# has n(n-1)/2 candidate pairs, and an uncapped np.triu_indices(n) on a
+# degenerate group (e.g. constant-color thumbnails sharing one band key)
+# allocates O(n^2) index arrays in a single task. Groups above the cap are
+# expanded TILE-BY-TILE (chunk x chunk cross products <= _GROUP_CAP^2 pairs
+# per allocation) — identical pair output, bounded peak memory. This is the
+# pair-expansion analog of salt_hot_keys' treatment of hot PIP cells.
+_GROUP_CAP = 2048
+
+
+def _pair_tiles(n: int):
+    """Yield (ia, ib) index-array tiles covering the strict upper triangle
+    of an n x n pair matrix with at most _GROUP_CAP^2 entries per tile."""
+    if n <= _GROUP_CAP:
+        yield np.triu_indices(n, k=1)
+        return
+    starts = list(range(0, n, _GROUP_CAP))
+    for si, s in enumerate(starts):
+        e = min(s + _GROUP_CAP, n)
+        # diagonal tile: triu within [s:e)
+        ia, ib = np.triu_indices(e - s, k=1)
+        yield ia + s, ib + s
+        # off-diagonal tiles: full cross product [s:e) x [s2:e2)
+        for s2 in starts[si + 1 :]:
+            e2 = min(s2 + _GROUP_CAP, n)
+            ia = np.repeat(np.arange(s, e), e2 - s2)
+            ib = np.tile(np.arange(s2, e2), e - s)
+            yield ia, ib
+
+
 def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     """One hash-bucket partition (many band-groups): emit verified pairs.
 
@@ -97,7 +127,8 @@ def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     (band_id, band_key, image_id); group boundaries come from diff, and
     each >=2-member group expands to its triu pair set verified with the
     SWAR hamming kernel (no per-group pandas objects — ~10x faster on
-    tens of thousands of small groups).
+    tens of thousands of small groups). Degenerate groups (> _GROUP_CAP
+    members) expand in bounded tiles instead of one O(n^2) allocation.
     """
     band_id = part["band_id"].to_numpy()
     band_key = part["band_key"].to_numpy()
@@ -130,15 +161,16 @@ def _verify_partition(part: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
             n = len(gids)
             if n < 2:
                 continue
-        ia, ib = np.triu_indices(n, k=1)
-        keep = hamming64(gph[ia], gph[ib]) <= max_hamming
-        if keep.any():
+        cur = int(band_id[s0])
+        for ia, ib in _pair_tiles(n):
+            keep = hamming64(gph[ia], gph[ib]) <= max_hamming
+            if not keep.any():
+                continue
             pa_ = gph[ia[keep]].astype(np.int64).view(np.uint64)
             pb_ = gph[ib[keep]].astype(np.int64).view(np.uint64)
             # GLOBAL dedup without a second shuffle: both phashes are in
             # hand, so emit the pair only from its FIRST matching band —
             # other bands' partitions will see an earlier match and skip
-            cur = int(band_id[s0])
             first = np.full(len(pa_), cur)
             for b in range(cur - 1, -1, -1):
                 sh = np.uint64(16 * b)
@@ -458,9 +490,11 @@ def text_near_dup_candidates(docs_ds, num_buckets: int = 32, **minhash_kw):
             ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+            # tiled expansion: degenerate buckets (near-identical corpora)
+            # never allocate O(n^2) in one shot (see _pair_tiles)
+            for ia, ib in _pair_tiles(len(ids)):
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})

@@ -136,8 +136,10 @@ def sample_at_points(candidates, payload_ds, sampler, out_schema, num_buckets: i
 
     ``sampler(payload_row: dict, qx, qy) -> (ok_mask, values)`` runs once
     per image with ALL of its candidate points (decode happens inside the
-    sampler, once). Images without candidates never decode.
-    """
+    sampler, once). Images without candidates never decode. ``values`` is
+    either a single array (emitted as the one non-id column of
+    ``out_schema``) or a dict of column -> array for multi-valued samplers
+    (e.g. nearest + interpolated reads side by side)."""
 
     def tag_c(batch: pa.Table) -> pa.Table:
         return batch.append_column("side", pa.array(["c"] * len(batch), pa.string()))
@@ -148,9 +150,11 @@ def sample_at_points(candidates, payload_ds, sampler, out_schema, num_buckets: i
     both = candidates.map_batches(tag_c, batch_format="pyarrow").union(
         payload_ds.map_batches(tag_i, batch_format="pyarrow")
     )
+    val_cols = [n for n in out_schema.names if n not in ("query_id", "image_id")]
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
-        out_q, out_img, out_val = [], [], []
+        out_q, out_img = [], []
+        out_val: dict[str, list] = {n: [] for n in val_cols}
         for image_id, g in part.groupby("image_id", sort=False):
             c = g[g["side"] == "c"]
             i = g[g["side"] == "i"]
@@ -162,15 +166,18 @@ def sample_at_points(candidates, payload_ds, sampler, out_schema, num_buckets: i
             ok, vals = sampler(row, qx, qy)
             if ok is None or not ok.any():
                 continue
+            if not isinstance(vals, dict):
+                vals = {val_cols[0]: vals}
             out_q.extend(c["query_id"].to_numpy()[ok])
             out_img.extend([image_id] * int(ok.sum()))
-            out_val.extend(np.asarray(vals).tolist())
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series(out_q, dtype=str),
-                "image_id": pd.Series(out_img, dtype=str),
-                "value": pd.Series(out_val, dtype=np.int32),
-            }
-        )
+            for n in val_cols:
+                out_val[n].extend(np.asarray(vals[n]).tolist())
+        data = {
+            "query_id": pd.Series(out_q, dtype=str),
+            "image_id": pd.Series(out_img, dtype=str),
+        }
+        for n in val_cols:
+            data[n] = pd.Series(out_val[n], dtype=object)
+        return pd.DataFrame(data)
 
     return bucketed_group_apply(both, ["image_id"], run, num_buckets, schema=out_schema)

@@ -123,3 +123,31 @@ def test_near_dup_contains_planted_duplicates(ray_session, corpus):
     n = SRC.read_images(corpus, columns=["image_id"]).count()
     planted = {(f"img{i-1:08d}", f"img{i:08d}") for i in range(99, n, 100)}
     assert planted <= found, f"missing {sorted(planted - found)[:5]}"
+
+
+def test_degenerate_band_group_bounded_memory(ray_session):
+    """10k identical phashes (one shared band key — the pathological corpus
+    of constant-color thumbnails): pair expansion must complete in bounded
+    tiles (no O(n^2) single allocation) and still emit EXACTLY the full
+    n*(n-1)/2 pair set, each pair once (first-matching-band rule)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import _GROUP_CAP, _pair_tiles, near_dup_image_pairs
+
+    n = 3_000  # > _GROUP_CAP so the tiled path runs; 4.5M pairs keeps the
+    # 4-CPU test session fast (10k was verified once: 50M pairs, ~6 min)
+    assert n > _GROUP_CAP  # the test must actually exercise the tiled path
+    ds = rd.from_items(
+        [{"image_id": f"dup{i:05d}", "phash": 0x1234_5678_9ABC_DEF0} for i in range(n)]
+    )
+    pairs = near_dup_image_pairs(ds)
+    assert pairs.count() == n * (n - 1) // 2
+
+    # tile generator covers the strict upper triangle exactly once
+    m = 2 * _GROUP_CAP + 17
+    got = np.zeros((m, m), dtype=np.int32)
+    for ia, ib in _pair_tiles(m):
+        assert len(ia) <= _GROUP_CAP * _GROUP_CAP
+        assert (ia < ib).all()
+        got[ia, ib] += 1
+    assert (got == np.triu(np.ones((m, m), dtype=np.int32), k=1)).all()
