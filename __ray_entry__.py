@@ -68,8 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grid_lattice": LO.q_grid_lattice,
         "q_invdist_lattice": LO.q_invdist_lattice,
         "q_relate_lattice": LO.q_relate_lattice,
-        "q_buffer_lattice": LO.q_buffer_lattice,
         "q_conic_lattice": LO.q_conic_lattice,
+        "q_stereo_lattice": LO.q_stereo_lattice,
         "q_band_stats_lattice": RL.q_band_stats_lattice,
         "q_histogram_lattice": RL.q_histogram_lattice,
         "q_checksum_lattice": RL.q_checksum_lattice,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned, gate-green in BOTH r2 and r3 — rotated out this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
         "q_hilbert_lattice": LO.q_hilbert_lattice,
+        "q_buffer_lattice": LO.q_buffer_lattice,
         "q_geom_lattice": LO.q_geom_lattice,
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
@@ -314,6 +315,89 @@ def oracle_sql() -> dict[str, str]:
     def _rad(deg):
         return f"(({deg})*(pi()/180.0))"
 
+    def _stn(phi):
+        # geo/stereo.py _t_north: the MULTIPLICATION form (op-order twin)
+        return (
+            f"(tan(pi()/4.0 - ({phi})/2.0) * "
+            f"power((1.0 + e*sin({phi}))/(1.0 - e*sin({phi})), e/2.0))"
+        )
+
+    # EPSG 9810 variant B (EPSG:3413 params) + 9809 (EPSG:28992 params)
+    # forward twins, op-for-op mirrors of gdal_ray/geo/stereo.py
+    stereo_sql = f"""
+        WITH c1 AS (SELECT 6378137.0 AS a,
+                           (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2),
+             c2 AS (SELECT a, e2, sqrt(e2) AS e FROM c1),
+             kc AS (SELECT a, e2, e,
+                           {_sm(_rad('70.0'))} AS mf,
+                           {_stn(_rad('70.0'))} AS tf
+                    FROM c2),
+             k0c AS (SELECT *,
+                            mf*sqrt(power(1.0 + e, 1.0 + e)
+                                    *power(1.0 - e, 1.0 - e))/(2.0*tf) AS k0
+                     FROM kc),
+             pts AS (SELECT c_custkey,
+                            {_rad('60.0 + ((c_custkey*2654435761) % 29000)/1000.0')} AS phi,
+                            {_rad('-179.0 + ((c_custkey*2246822519) % 358000)/1000.0')} AS lam
+                     FROM customer),
+             ps AS (SELECT c_custkey,
+                           2.0*a*k0*{_stn('phi')}
+                             /sqrt(power(1.0 + e, 1.0 + e)
+                                   *power(1.0 - e, 1.0 - e)) AS rho,
+                           lam - {_rad('-45.0')} AS dl
+                    FROM pts, k0c),
+             -- oblique stereographic (Amersfoort / RD New on Bessel 1841)
+             o1 AS (SELECT 6377397.155 AS oa, 1.0/299.1528128 AS f),
+             o2 AS (SELECT oa, f*(2.0 - f) AS oe2 FROM o1),
+             o3 AS (SELECT oa, oe2, sqrt(oe2) AS oe,
+                           {_rad('52.0 + 9.0/60.0 + 22.178/3600.0')} AS p0,
+                           {_rad('5.0 + 23.0/60.0 + 15.5/3600.0')} AS l0
+                    FROM o2),
+             o4 AS (SELECT *, sin(p0) AS s0 FROM o3),
+             o5 AS (SELECT *,
+                           oa*(1.0 - oe2)/power(1.0 - oe2*s0*s0, 1.5) AS rh0,
+                           oa/sqrt(1.0 - oe2*s0*s0) AS nu0,
+                           sqrt(1.0 + oe2*power(cos(p0), 4)/(1.0 - oe2)) AS n
+                    FROM o4),
+             o6 AS (SELECT *, sqrt(rh0*nu0) AS R,
+                           power((1.0 + s0)/(1.0 - s0)
+                                 *power((1.0 - oe*s0)/(1.0 + oe*s0), oe), n) AS w1
+                    FROM o5),
+             o7 AS (SELECT *, (w1 - 1.0)/(w1 + 1.0) AS sc0 FROM o6),
+             o8 AS (SELECT *,
+                           (n + s0)*(1.0 - sc0)/((n - s0)*(1.0 + sc0)) AS c
+                    FROM o7),
+             o9 AS (SELECT *, asin((c*w1 - 1.0)/(c*w1 + 1.0)) AS chi0 FROM o8),
+             op AS (SELECT c_custkey,
+                           {_rad('50.0 + ((c_custkey*2654435761) % 4000)/1000.0')} AS p,
+                           {_rad('3.0 + ((c_custkey*2246822519) % 5000)/1000.0')} AS l
+                    FROM customer),
+             ov AS (SELECT c_custkey, p, l,
+                           n*(l - l0) + l0 AS olam,
+                           asin((c*power((1.0 + sin(p))/(1.0 - sin(p))
+                                 *power((1.0 - oe*sin(p))/(1.0 + oe*sin(p)), oe),
+                                 n) - 1.0)
+                                /(c*power((1.0 + sin(p))/(1.0 - sin(p))
+                                  *power((1.0 - oe*sin(p))/(1.0 + oe*sin(p)), oe),
+                                  n) + 1.0)) AS chi,
+                           l0, chi0, R
+                    FROM op, o9),
+             ox AS (SELECT c_custkey,
+                           1.0 + sin(chi)*sin(chi0)
+                               + cos(chi)*cos(chi0)*cos(olam - l0) AS bb,
+                           chi, chi0, olam, l0, R
+                    FROM ov)
+        SELECT s.c_custkey,
+               ROUND(s.rho*sin(s.dl), 3) AS ps_x,
+               ROUND(-(s.rho*cos(s.dl)), 3) AS ps_y,
+               ROUND(155000.0 + 2.0*o.R*0.9999079*cos(o.chi)
+                     *sin(o.olam - o.l0)/o.bb, 3) AS os_x,
+               ROUND(463000.0 + 2.0*o.R*0.9999079
+                     *(sin(o.chi)*cos(o.chi0)
+                       - cos(o.chi)*sin(o.chi0)*cos(o.olam - o.l0))/o.bb, 3) AS os_y
+        FROM ps s JOIN ox o ON s.c_custkey = o.c_custkey
+    """
+
     conic_sql = f"""
         WITH c1 AS (SELECT 6378137.0 AS a,
                            (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2),
@@ -359,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_text_analysis": text_analysis_sql,
         "q_conic_lattice": conic_sql,
+        "q_stereo_lattice": stereo_sql,
         "q_line_lattice": """
             WITH g AS (SELECT s_suppkey AS k,
                               CAST((s_suppkey*2654435761) % 65536 AS DOUBLE) AS sx,

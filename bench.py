@@ -33,11 +33,38 @@ def _tile_render(corpus: str) -> int:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _memtouch_mbps(mb: int = 32) -> float:
+    """Host-condition probe: first-touch page-fault throughput of a FRESH
+    process allocating ``mb`` MB (no Ray, no engine code). On this sandbox
+    it oscillates between ~300 MB/s (calm) and ~4 MB/s (hypervisor memory
+    reclaim windows) on minute timescales — measured 2026-08-17: the same
+    64 MB touch took 0.22 s, then 16 s, 20 s apart. A degraded window
+    inflates ANY query that allocates fresh memory (every new worker's
+    first batch, every shuffle buffer) by 10-100x, which is the mechanism
+    behind the round-3 \"per-query fixed cost growth\". Recorded at bench
+    start AND end so each run's numbers can be read against host state."""
+    import subprocess
+
+    code = (
+        "import time,numpy as np;t=time.time();"
+        f"a=np.ones({mb}*131072,dtype=np.float64);"
+        "print(time.time()-t)"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        )
+        return round(mb / float(out.stdout.strip()), 1)
+    except Exception:
+        return -1.0
+
+
 def _run_bench() -> dict:
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mem_mbps_start = _memtouch_mbps()
 
     init_kw = {}
     if os.environ.get("GRAFT_OBJSTORE_BYTES"):
@@ -94,6 +121,8 @@ def _run_bench() -> dict:
             "queries": queries,
             "sf": sf_dir,
             "num_cpus": num_cpus,
+            "memtouch_mbps_start": mem_mbps_start,
+            "memtouch_mbps_end": _memtouch_mbps(),
         }
         ray.shutdown()
         return result
@@ -128,6 +157,8 @@ def _run_bench() -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "memtouch_mbps_start": mem_mbps_start,
+        "memtouch_mbps_end": _memtouch_mbps(),
     }
     ray.shutdown()
     return result
@@ -170,6 +201,7 @@ def _scaling(repeats: int = 3):
     import subprocess
 
     runs = {8: [], 32: []}
+    all_runs = {8: [], 32: []}
     last = {}
     for _ in range(repeats):
         for ncpu in (8, 32):
@@ -181,6 +213,7 @@ def _scaling(repeats: int = 3):
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             d = json.loads(line)
             runs[ncpu].append(d["value"])
+            all_runs[ncpu].append(d)
             last[ncpu] = d
     t8 = statistics.median(runs[8])
     t32 = statistics.median(runs[32])
@@ -200,6 +233,8 @@ def _scaling(repeats: int = 3):
                 "scaling_efficiency": round(eff, 3),
                 "hw_busyloop_efficiency": hw["efficiency"],
                 "scaling_efficiency_vs_hw_envelope": round(eff / hw["efficiency"], 3),
+                "memtouch_mbps_per_run_8": [r.get("memtouch_mbps_start") for r in all_runs[8]],
+                "memtouch_mbps_per_run_32": [r.get("memtouch_mbps_start") for r in all_runs[32]],
                 "n_images": n,
             }
         )

@@ -52,6 +52,7 @@ __all__ = [
     "q_line_lattice",
     "q_union_lattice",
     "q_symdiff_lattice",
+    "q_stereo_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -860,3 +861,48 @@ def q_symdiff_lattice(sf_dir: str):
 
     a, b = _boolean_layers(sf_dir)
     return layer_boolean_areas(a, b, "symdifference", level=16)
+
+
+# --------------------------------------------------------------------------
+# Stereographic projections (EPSG 9810 variant B + 9809) forward oracle
+# --------------------------------------------------------------------------
+
+def q_stereo_lattice(sf_dir: str):
+    """Polar Stereographic variant B (EPSG:3413 sea-ice-north parameters)
+    and Oblique Stereographic (EPSG:28992 Amersfoort parameters, Bessel
+    1841) forward projection of customer lattice lat/lons through the REAL
+    kernels (geo/stereo.py — the PROJ-replacement seam used by warp_image).
+    The SQL twin replays the EPSG Guidance Note closed forms with identical
+    operation order; mm rounding absorbs libm 1-ulp drift. Inverses are
+    covered by pytest round-trip properties + EPSG worked examples
+    (tests/test_stereo.py)."""
+    from gdal_ray.geo import stereo as ST
+
+    dms = lambda d, m, s: d + m / 60.0 + s / 3600.0  # noqa: E731
+    oste = (dms(52, 9, 22.178), dms(5, 23, 15.5), 0.9999079, 155000.0,
+            463000.0, 6377397.155, 299.1528128)
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        # polar cap lattice (EPSG:3413 domain)
+        plat = 60.0 + ((keys * LATTICE_A) % 29000) / 1000.0
+        plon = -179.0 + ((keys * LATTICE_B) % 358000) / 1000.0
+        k0 = ST.polar_stereo_k0_from_lat_ts(70.0)
+        px, py = ST.polar_stereo_forward(plat, plon, 90.0, -45.0, k0)
+        # Netherlands lattice (EPSG:28992 domain)
+        olat = 50.0 + ((keys * LATTICE_A) % 4000) / 1000.0
+        olon = 3.0 + ((keys * LATTICE_B) % 5000) / 1000.0
+        ox, oy = ST.oblique_stereo_forward(olat, olon, *oste)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "ps_x": pa.array(np.round(px, 3)),
+                "ps_y": pa.array(np.round(py, 3)),
+                "os_x": pa.array(np.round(ox, 3)),
+                "os_y": pa.array(np.round(oy, 3)),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )

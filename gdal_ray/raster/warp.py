@@ -10,11 +10,15 @@ maps back through the inverse chain to sample the source (nearest or
 bilinear kernels — GRIORA_NearestNeighbour/Bilinear).
 
 Supported SRS: EPSG:4326 <-> EPSG:3857 (spherical formulas,
-gdal2tiles.py:422-443) and EPSG:326xx/327xx UTM zones <-> 4326/3857
-(ellipsoidal Karney series, geo/tmerc.py — the gdalwarp benchmark pair
-32631->4326, autotest/benchmark/test_gdalwarp.py:29). The transformer seam
-is a single function; any pair composes through 4326 as the pivot, exactly
-GDAL's transformer-chain shape (ogr/ogrct.cpp:665).
+gdal2tiles.py:422-443), EPSG:326xx/327xx UTM zones (ellipsoidal Karney
+series, geo/tmerc.py — the gdalwarp benchmark pair 32631->4326,
+autotest/benchmark/test_gdalwarp.py:29), LCC/Albers conics (geo/conic.py),
+polar + oblique stereographic and Hotine oblique mercator (geo/stereo.py:
+UPS 5041/5042, sea-ice 3413/3976, Antarctic 3031, Amersfoort 28992,
+RSO Borneo 29873, and parameterized PSTA/PSTB/OSTE/HOMB strings). The
+transformer seam is a single function; any pair composes through 4326 as
+the pivot, exactly GDAL's transformer-chain shape (ogr/ogrct.cpp:665);
+anything else delegates to pyproj when installed (import-gated).
 """
 
 from __future__ import annotations
@@ -24,9 +28,31 @@ import numpy as np
 from gdal_ray.geo import affine as A
 from gdal_ray.geo import conic as CN
 from gdal_ray.geo import mercator as M
+from gdal_ray.geo import stereo as SO
 from gdal_ray.geo import tmerc as TM
 
 __all__ = ["suggest_output_grid", "warp_image"]
+
+
+def _pyproj_to_4326(gx, gy, srs):
+    """Last-resort seam: delegate an unknown SRS to pyproj when installed
+    (not shipped in this container — the import gate keeps the engine
+    dependency-free; any CRS PROJ knows works transparently when it is)."""
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    tr = Transformer.from_crs(srs, "EPSG:4326", always_xy=True)
+    return tr.transform(gx, gy)
+
+
+def _pyproj_from_4326(lon, lat, srs):
+    try:
+        from pyproj import Transformer
+    except ImportError:
+        return None
+    tr = Transformer.from_crs("EPSG:4326", srs, always_xy=True)
+    return tr.transform(lon, lat)
 
 
 def _to_4326(gx, gy, srs):
@@ -45,7 +71,18 @@ def _to_4326(gx, gy, srs):
         inv = CN.lcc_inverse if conic[0] == "LCC" else CN.albers_inverse
         lat, lon = inv(gx, gy, *conic[1])
         return lon, lat
-    raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
+    stereo = SO.parse_stereo_srs(srs)
+    if stereo is not None:
+        lat, lon = SO.stereo_to_latlon(gx, gy, *stereo)
+        return lon, lat
+    ext = _pyproj_to_4326(gx, gy, srs)
+    if ext is not None:
+        return ext
+    raise NotImplementedError(
+        f"SRS {srs} is outside the built-in projection set (4326/3857, UTM, "
+        f"LCC/Albers, polar/oblique stereographic, Hotine oblique mercator) "
+        f"and pyproj is not installed"
+    )
 
 
 def _from_4326(lon, lat, srs):
@@ -60,7 +97,17 @@ def _from_4326(lon, lat, srs):
     if conic is not None:
         fwd = CN.lcc_forward if conic[0] == "LCC" else CN.albers_forward
         return fwd(lat, lon, *conic[1])
-    raise NotImplementedError(f"SRS {srs} needs a PROJ backend")
+    stereo = SO.parse_stereo_srs(srs)
+    if stereo is not None:
+        return SO.latlon_to_stereo(lat, lon, *stereo)
+    ext = _pyproj_from_4326(lon, lat, srs)
+    if ext is not None:
+        return ext
+    raise NotImplementedError(
+        f"SRS {srs} is outside the built-in projection set (4326/3857, UTM, "
+        f"LCC/Albers, polar/oblique stereographic, Hotine oblique mercator) "
+        f"and pyproj is not installed"
+    )
 
 
 def _fwd(gx, gy, src_srs, dst_srs):

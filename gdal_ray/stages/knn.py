@@ -171,11 +171,14 @@ def knn_shuffle(points_ds, queries_ds, k: int, level: int = CELL_LEVEL, num_buck
             batch = batch.drop_columns(["cell"])
         return batch.append_column("cell", pa.array(cell))
 
-    # materialize the keyed point METADATA once (id + coords + cell —
-    # columns-pruned, no payloads): it feeds both the histogram pass and
-    # the candidate shuffle, and without this the upstream source pipeline
-    # would execute twice
-    pts = points_ds.map_batches(add_cell, batch_format="pyarrow").materialize()
+    # The keyed point table is NOT materialized: only the per-cell
+    # histogram (<= 4^level rows, tiny) persists, and the point stream
+    # re-executes for the candidate shuffle. At 10^12 rows a materialize
+    # here would pin ~30 TB of metadata in the object store just to save
+    # one column-pruned re-scan of the source — re-streaming is the
+    # scale-correct trade (callers with an expensive upstream can
+    # .materialize() their input themselves before passing it in).
+    pts = points_ds.map_batches(add_cell, batch_format="pyarrow")
     # phase 1: per-cell histogram (small: <= 4^level rows)
     cnt = pts.groupby("cell").count().to_pandas()
     counts = dict(zip(cnt["cell"].astype(np.int64), cnt["count()"].astype(np.int64)))
