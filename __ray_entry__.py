@@ -65,11 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_lattice": LO.q_pip_lattice,
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
-        "q_grid_lattice": LO.q_grid_lattice,
         "q_invdist_lattice": LO.q_invdist_lattice,
-        "q_relate_lattice": LO.q_relate_lattice,
+        "q_ogrsql": EQ.q_ogrsql,
         "q_conic_lattice": LO.q_conic_lattice,
         "q_stereo_lattice": LO.q_stereo_lattice,
+        "q_gcp_lattice": LO.q_gcp_lattice,
         "q_band_stats_lattice": RL.q_band_stats_lattice,
         "q_histogram_lattice": RL.q_histogram_lattice,
         "q_checksum_lattice": RL.q_checksum_lattice,
@@ -100,7 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned, gate-green in BOTH r2 and r3 — rotated out this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
         "q_hilbert_lattice": LO.q_hilbert_lattice,
+        "q_relate_lattice": LO.q_relate_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
+        "q_grid_lattice": LO.q_grid_lattice,
         "q_geom_lattice": LO.q_geom_lattice,
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
@@ -620,6 +622,24 @@ def oracle_sql() -> dict[str, str]:
                    {cksum('v', 'r*w + c')} AS cksum
             FROM px GROUP BY k, w
         """,
+        "q_gcp_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              1000 + s_suppkey AS a0,
+                              2 + s_suppkey % 3 AS a1,
+                              -(1 + s_suppkey % 2) AS a2,
+                              2000 - s_suppkey AS b0,
+                              1 + s_suppkey % 5 AS b1,
+                              3 + s_suppkey % 7 AS b2
+                       FROM supplier)
+            SELECT 'g' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
+                   ROUND(CAST(a0 + a1*10 + a2*5 AS DOUBLE), 3) AS p1x,
+                   ROUND(CAST(b0 + b1*10 + b2*5 AS DOUBLE), 3) AS p1y,
+                   ROUND(CAST(a0 + a1*33 + a2*27 AS DOUBLE), 3) AS p2x,
+                   ROUND(CAST(b0 + b1*33 + b2*27 AS DOUBLE), 3) AS p2y,
+                   ROUND(CAST(a0 + a1*10 + a2*5 AS DOUBLE), 3) AS t1x,
+                   ROUND(CAST(b0 + b1*10 + b2*5 AS DOUBLE), 3) AS t1y
+            FROM g
+        """,
         "q_symdiff_lattice": f"""
             {_boolean_rect_sql}
             SELECT 'a' || lpad(CAST(k AS VARCHAR), 6, '0') AS fid, 'A' AS src,
@@ -1069,6 +1089,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n.s_suppkey, 0) AS BIGINT) AS nearest_key
             FROM agg a LEFT JOIN (SELECT * FROM nr WHERE rn = 1) n
               ON a.row_ = n.row_ AND a.col_ = n.col_
+        """,
+        "q_ogrsql": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(SUM(p_size) AS BIGINT) AS sum_size,
+                   CAST(MIN(p_size) AS BIGINT) AS min_size,
+                   CAST(MAX(p_size) AS BIGINT) AS max_size
+            FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
+            GROUP BY p_brand ORDER BY p_brand
         """,
         "q_sample_lattice": """
             -- key reduced mod 2^32 then multiplied in UBIGINT: matches the

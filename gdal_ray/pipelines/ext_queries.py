@@ -81,3 +81,21 @@ def q_audio_features(sf_dir: str):
         return batch[["clip_id", "hot_band", "centroid_err"]]
 
     return feats.map_batches(finish, batch_format="pandas")
+
+
+def q_ogrsql(sf_dir: str):
+    """Parsed OGR-SQL entry point (GDALDataset::ExecuteSQL analogue,
+    ogr/swq.cpp + ogr_gensql.cpp): the SQL text below goes through the
+    engine's own tokenizer/parser/compiler (gdal_ray/sql.py) into a Ray
+    plan — filter+stage fused with the read, distributed groupby
+    aggregate, sort. The driver twin is the same logical query (with the
+    DuckDB BIGINT cast on SUM)."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(
+        "SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size, "
+        "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
+        "FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44 "
+        "GROUP BY p_brand ORDER BY p_brand",
+        sf_dir,
+    )

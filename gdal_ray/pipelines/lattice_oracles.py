@@ -53,6 +53,7 @@ __all__ = [
     "q_union_lattice",
     "q_symdiff_lattice",
     "q_stereo_lattice",
+    "q_gcp_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -904,5 +905,62 @@ def q_stereo_lattice(sf_dir: str):
         )
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# GCP polynomial + TPS transforms (alg/gdal_crs.c, alg/gdal_tps.cpp)
+# --------------------------------------------------------------------------
+
+def q_gcp_lattice(sf_dir: str):
+    """GCP transforms through the REAL fit/solve kernels (geo/gcp.py):
+    per supplier key, 6 GCPs sampled from an INTEGER affine map feed an
+    order-1 polynomial least-squares fit and an exact thin-plate-spline
+    solve; both transforms evaluate two integer probe points. Because the
+    underlying map is affine with integer outputs, the fitted transforms
+    reproduce integers to ~1e-7 and mm rounding makes the SQL twin (the
+    closed-form affine) exact."""
+    from gdal_ray.geo.gcp import GCPPolynomial, ThinPlateSpline
+
+    gcp_px = np.array([0.0, 40.0, 0.0, 40.0, 20.0, 7.0])
+    gcp_py = np.array([0.0, 0.0, 30.0, 30.0, 10.0, 23.0])
+    probes = np.array([[10.0, 5.0], [33.0, 27.0]])
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        out = {"img_id": [], "p1x": [], "p1y": [], "p2x": [], "p2y": [],
+               "t1x": [], "t1y": []}
+        for k in keys:
+            k = int(k)
+            a0, a1, a2 = 1000 + k, 2 + k % 3, -(1 + k % 2)
+            b0, b1, b2 = 2000 - k, 1 + k % 5, 3 + k % 7
+            gx = a0 + a1 * gcp_px + a2 * gcp_py
+            gy = b0 + b1 * gcp_px + b2 * gcp_py
+            g = np.stack([gcp_px, gcp_py, gx, gy], axis=1)
+            poly = GCPPolynomial(g, order=1)
+            tps = ThinPlateSpline(g)
+            fx, fy = poly.forward(probes[:, 0], probes[:, 1])
+            tx, ty = tps.forward(probes[:1, 0], probes[:1, 1])
+            out["img_id"].append(f"g{k:06d}")
+            out["p1x"].append(round(float(fx[0]), 3))
+            out["p1y"].append(round(float(fy[0]), 3))
+            out["p2x"].append(round(float(fx[1]), 3))
+            out["p2y"].append(round(float(fy[1]), 3))
+            out["t1x"].append(round(float(tx[0]), 3))
+            out["t1y"].append(round(float(ty[0]), 3))
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "p1x": pa.array(out["p1x"], pa.float64()),
+                "p1y": pa.array(out["p1y"], pa.float64()),
+                "p2x": pa.array(out["p2x"], pa.float64()),
+                "p2y": pa.array(out["p2y"], pa.float64()),
+                "t1x": pa.array(out["t1x"], pa.float64()),
+                "t1y": pa.array(out["t1y"], pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
     )

@@ -118,3 +118,25 @@ class MDArray:
         """Axis reduction over the materialized view (mean/max/min/sum)."""
         fn = {"mean": np.mean, "max": np.max, "min": np.min, "sum": np.sum}[op]
         return fn(self.read(), axis=axis)
+
+    def resampled(self, new_h: int, new_w: int, resampling: str = "nearest") -> "MDArray":
+        """GetResampled analogue (``gcore/gdalmultidim.cpp``
+        GDALMDArray::GetResampled): resample the LAST TWO dims of the view
+        to (new_h, new_w) with the shared raster kernels (nearest /
+        bilinear — GRIORA pixel-center rules, ``raster/kernels.py``).
+        Leading dims are preserved (each leading slice resamples
+        independently). Returns a fresh MDArray over the resampled pixels
+        (the reference's is lazy per-read; a read materializes identically,
+        and composing further views/transposes on the result is free)."""
+        from gdal_ray.raster.kernels import resample_bilinear, resample_nearest
+
+        if len(self.shape) < 2:
+            raise ValueError("GetResampled needs at least 2 dims")
+        fn = {"nearest": resample_nearest, "bilinear": resample_bilinear}.get(resampling)
+        if fn is None:
+            raise ValueError(f"unsupported resampling {resampling!r}")
+        arr = self.read()
+        lead = arr.shape[:-2]
+        flat = arr.reshape((-1,) + arr.shape[-2:])
+        out = np.stack([fn(flat[i], new_h, new_w) for i in range(flat.shape[0])])
+        return MDArray(out.reshape(lead + (new_h, new_w)))

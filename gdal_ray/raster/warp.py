@@ -31,7 +31,7 @@ from gdal_ray.geo import mercator as M
 from gdal_ray.geo import stereo as SO
 from gdal_ray.geo import tmerc as TM
 
-__all__ = ["suggest_output_grid", "warp_image"]
+__all__ = ["suggest_output_grid", "warp_image", "warp_image_transform"]
 
 
 def _pyproj_to_4326(gx, gy, srs):
@@ -143,6 +143,62 @@ def suggest_output_grid(src_gt, w, h, src_srs, dst_srs, dst_size=None):
     res_x = (maxx - minx) / dst_w
     res_y = (maxy - miny) / dst_h
     return (minx, res_x, 0.0, maxy, 0.0, -res_y), dst_w, dst_h
+
+
+def warp_image_transform(img, transform, dst_gt=None, dst_w=None, dst_h=None,
+                         resampling="nearest", fill=0):
+    """Warp one image georeferenced by a GCP/TPS/RPC ``transform`` (an
+    object with ``forward(px, py) -> (gx, gy)`` and ``inverse(gx, gy) ->
+    (px, py)``, see ``geo/gcp.py``) onto an axis-aligned grid in the
+    transform's geo space. The reference shape: gdalwarp with -gcp/-tps/
+    -rpc sources goes through GDALCreateGenImgProjTransformer's GCP arm
+    instead of the SRS chain; SRS changes compose by wrapping ``transform``
+    with the ``_fwd`` seam externally. Returns (dst_img, dst_gt)."""
+    h, w = img.shape[:2]
+    if dst_gt is None:
+        edge = np.concatenate(
+            [
+                np.stack([np.linspace(0, w, 21), np.zeros(21)], axis=1),
+                np.stack([np.linspace(0, w, 21), np.full(21, h)], axis=1),
+                np.stack([np.zeros(21), np.linspace(0, h, 21)], axis=1),
+                np.stack([np.full(21, w), np.linspace(0, h, 21)], axis=1),
+            ]
+        )
+        gx, gy = transform.forward(edge[:, 0], edge[:, 1])
+        minx, maxx = float(np.min(gx)), float(np.max(gx))
+        miny, maxy = float(np.min(gy)), float(np.max(gy))
+        dst_w, dst_h = (dst_w or w), (dst_h or h)
+        dst_gt = (minx, (maxx - minx) / dst_w, 0.0, maxy, 0.0, -(maxy - miny) / dst_h)
+    cols, rows = np.meshgrid(np.arange(dst_w) + 0.5, np.arange(dst_h) + 0.5)
+    dx, dy = A.apply_geotransform(dst_gt, cols, rows)
+    px, py = transform.inverse(dx, dy)
+    shape = (dst_h, dst_w) + img.shape[2:]
+    out = np.full(shape, fill, dtype=img.dtype)
+    if resampling == "nearest":
+        ix = np.floor(px).astype(np.int64)
+        iy = np.floor(py).astype(np.int64)
+        ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        out[ok] = img[iy[ok], ix[ok]]
+    elif resampling == "bilinear":
+        from gdal_ray.raster.kernels import interpolate_at_point_bilinear
+
+        inside = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        if img.ndim == 3:
+            for b in range(img.shape[2]):
+                vals = interpolate_at_point_bilinear(img[:, :, b], px[inside], py[inside])
+                if np.issubdtype(img.dtype, np.integer):
+                    vals = np.clip(np.floor(vals + 0.5), np.iinfo(img.dtype).min,
+                                   np.iinfo(img.dtype).max)
+                out[..., b][inside] = vals.astype(img.dtype)
+        else:
+            vals = interpolate_at_point_bilinear(img, px[inside], py[inside])
+            if np.issubdtype(img.dtype, np.integer):
+                vals = np.clip(np.floor(vals + 0.5), np.iinfo(img.dtype).min,
+                               np.iinfo(img.dtype).max)
+            out[inside] = vals.astype(img.dtype)
+    else:
+        raise ValueError(resampling)
+    return out, dst_gt
 
 
 def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=None,

@@ -87,3 +87,32 @@ def test_mosaic_paint_order():
     b = np.full((1, 1), 7)
     assert mosaic_arrays((1, 1), [a, b], [(0, 0), (0, 0)])[0, 0] == 7
     assert mosaic_arrays((1, 1), [b, a], [(0, 0), (0, 0)])[0, 0] == 5
+
+
+def test_mdim_resampled_matches_kernels():
+    """GetResampled analogue: last-2-dim resample per leading slice, equal
+    to the shared raster kernels; composes with transpose/view lazily."""
+    import numpy as np
+
+    from gdal_ray.raster.kernels import resample_bilinear, resample_nearest
+    from gdal_ray.raster.mdim import MDArray
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 251, (3, 12, 16)).astype(np.int64)
+    md = MDArray(base)
+    rs = md.resampled(6, 8, "nearest")
+    assert rs.shape == (3, 6, 8)
+    for t in range(3):
+        assert (rs.read()[t] == resample_nearest(base[t], 6, 8)).all()
+    rb = md.resampled(24, 32, "bilinear")
+    assert rb.shape == (3, 24, 32)
+    assert (rb.read()[1] == resample_bilinear(base[1], 24, 32)).all()
+    # composes: slice a view first, resample the window, transpose after
+    win = md.view(slice(1, 3), slice(2, 10), slice(4, 12)).resampled(4, 4)
+    assert win.shape == (2, 4, 4)
+    assert (win.transpose((1, 0, 2)).read() ==
+            np.transpose(win.read(), (1, 0, 2))).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        md.resampled(4, 4, "sinc")

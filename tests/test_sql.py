@@ -1,0 +1,76 @@
+"""Parsed OGR-SQL entry point (gdal_ray/sql.py) vs DuckDB on the testdata."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _run_both(sql, con, ray_session):
+    from gdal_ray.sql import execute_sql
+
+    got = execute_sql(sql, SF).to_pandas().reset_index(drop=True)
+    want = con.sql(sql).df().reset_index(drop=True)
+    assert [c.lower() for c in got.columns] == [c.lower() for c in want.columns]
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(np.asarray(w).dtype, np.number):
+            assert np.allclose(np.asarray(g, dtype=np.float64),
+                               np.asarray(w, dtype=np.float64), rtol=1e-12), c
+        else:
+            assert (g.astype(str) == w.astype(str)).all(), c
+    return got
+
+
+QUERIES = [
+    "SELECT p_brand, COUNT(*) AS n, AVG(p_size) AS a FROM part "
+    "WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 5 AND 40 "
+    "GROUP BY p_brand ORDER BY p_brand",
+    "SELECT o_orderkey, o_totalprice * 2 + 1 AS dbl FROM orders "
+    "WHERE o_totalprice > 100000 ORDER BY dbl DESC, o_orderkey ASC LIMIT 7",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+    "ORDER BY l_returnflag, l_linestatus",
+    "SELECT COUNT(*) AS n, AVG(c_acctbal) AS avg_bal, MIN(c_custkey) AS mn "
+    "FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "SELECT n_name FROM nation WHERE n_regionkey = 2 AND NOT n_name LIKE 'A%' "
+    "ORDER BY n_name",
+    "SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 3 "
+    "ORDER BY s_suppkey LIMIT 5",
+    "SELECT r_name FROM region WHERE r_name IS NOT NULL ORDER BY r_name",
+    # hidden ORDER BY column (not in the select list)
+    "SELECT c_name FROM customer WHERE c_custkey <= 20 ORDER BY c_acctbal DESC",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_sql_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
+def test_select_star(con, ray_session):
+    got = _run_both("SELECT * FROM region ORDER BY r_regionkey", con, ray_session)
+    assert list(got.columns) == ["r_regionkey", "r_name"]
+
+
+def test_parser_rejects_unsupported(ray_session):
+    from gdal_ray.sql import SQLError, execute_sql
+
+    for bad, msg in [
+        ("SELECT a FROM nowhere", "unknown table"),
+        ("SELECT n_name FROM nation JOIN region", "trailing tokens"),
+        ("SELECT COUNT(*) FROM nation HAVING 1", "HAVING"),
+        ("SELECT missing_col FROM nation", "unknown column"),
+    ]:
+        with pytest.raises(SQLError, match=msg):
+            execute_sql(bad, SF).to_pandas()
