@@ -2,9 +2,17 @@
 
 GDAL stores layer geometry as WKB in Arrow binary columns
 (``ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp`` — geometry = binary WKB);
-our tables do the same. Supported: Point (1), LineString (2), Polygon (3),
-MultiPoint (4), MultiLineString (5), MultiPolygon (6), 2-D, either byte
-order on read, little-endian on write.
+our tables do the same. Supported on read: Point (1), LineString (2),
+Polygon (3), MultiPoint (4), MultiLineString (5), MultiPolygon (6),
+CircularString (8), CompoundCurve (9), CurvePolygon (10), MultiCurve (11),
+MultiSurface (12); each in 2-D, ISO Z/M/ZM (type+1000/2000/3000,
+``ogr/ogr_core.h`` wkb25DBit successors) and PostGIS EWKB flag forms
+(0x80000000 Z / 0x40000000 M / 0x20000000 SRID), either byte order.
+Z/M ordinates are parsed and DROPPED (the engine's kernels are 2-D, the
+same 2.5D flattening most OGR operations apply); curve types LINEARIZE via
+the arc stroking rule of ``OGRGeometryFactory::curveToLineString``
+(``ogr/ogrgeometryfactory.cpp``) with the reference's 4-degree default
+step. Writes are little-endian 2-D.
 """
 
 from __future__ import annotations
@@ -19,9 +27,11 @@ __all__ = [
     "encode_multilinestring",
     "encode_polygon",
     "encode_multipolygon",
+    "encode_circularstring",
     "decode_polygons",
     "decode_lines",
     "decode_points",
+    "linearize_arc",
     "wkb_envelope",
 ]
 
@@ -31,6 +41,15 @@ _WKB_POLYGON = 3
 _WKB_MULTIPOINT = 4
 _WKB_MULTILINESTRING = 5
 _WKB_MULTIPOLYGON = 6
+_WKB_CIRCULARSTRING = 8
+_WKB_COMPOUNDCURVE = 9
+_WKB_CURVEPOLYGON = 10
+_WKB_MULTICURVE = 11
+_WKB_MULTISURFACE = 12
+
+# default max angle step for arc stroking, degrees
+# (OGRGeometryFactory::curveToLineString dfMaxAngleStepSizeDegrees -> 4)
+_ARC_STEP_DEG = 4.0
 
 
 def encode_point(x, y):
@@ -52,26 +71,24 @@ def encode_multilinestring(lines):
 
 
 def decode_lines(buf):
-    """WKB LineString/MultiLineString -> list of (M, 2) float64 arrays."""
-    little, gtype, off = _decode_geom(buf, 0)
-    dt = "<f8" if little else ">f8"
-
-    def one(off, little, dt):
-        npts, off = _rd_u32(buf, off, little)
-        arr = np.frombuffer(buf, dtype=dt, count=npts * 2, offset=off).reshape(npts, 2)
-        return arr.astype(np.float64, copy=False), off + npts * 16
-
+    """WKB LineString/MultiLineString/CircularString/CompoundCurve/
+    MultiCurve -> list of (M, 2) float64 arrays (curves linearized,
+    Z/M dropped)."""
+    little, gtype, extra, off = _decode_geom(buf, 0)
     if gtype == _WKB_LINESTRING:
-        pts, _ = one(off, little, dt)
+        pts, _ = _read_pts(buf, off, little, extra)
         return [pts]
-    if gtype == _WKB_MULTILINESTRING:
+    if gtype == _WKB_CIRCULARSTRING:
+        pts, _ = _read_pts(buf, off, little, extra)
+        return [_linearize_circular(pts)]
+    if gtype == _WKB_COMPOUNDCURVE:
+        pts, _ = _decode_curve(buf, 0)
+        return [pts]
+    if gtype in (_WKB_MULTILINESTRING, _WKB_MULTICURVE):
         ngeom, off = _rd_u32(buf, off, little)
         out = []
         for _ in range(ngeom):
-            little2, gtype2, off = _decode_geom(buf, off)
-            if gtype2 != _WKB_LINESTRING:
-                raise ValueError(f"unexpected member type {gtype2} in MultiLineString")
-            pts, off = one(off, little2, "<f8" if little2 else ">f8")
+            pts, off = _decode_curve(buf, off)
             out.append(pts)
         return out
     raise ValueError(f"not a linear WKB geometry (type {gtype})")
@@ -99,56 +116,174 @@ def encode_multipolygon(polys):
     return b"".join(parts)
 
 
+def encode_circularstring(pts):
+    """pts: (2k+1, 2) control points (arc triples sharing endpoints)."""
+    pts = np.asarray(pts, dtype="<f8")
+    return struct.pack("<BII", 1, _WKB_CIRCULARSTRING, pts.shape[0]) + pts.tobytes()
+
+
 def _rd_u32(buf, off, little):
     return struct.unpack_from("<I" if little else ">I", buf, off)[0], off + 4
 
 
-def _decode_polygon_body(buf, off, little):
+def linearize_arc(p0, p1, p2, max_step_deg: float = _ARC_STEP_DEG) -> np.ndarray:
+    """Stroke the circular arc through (p0, p1, p2) into line vertices
+    (``OGRGeometryFactory::curveToLineString`` stroking: uniform angular
+    steps bounded by the max step, exact endpoints). Collinear control
+    points degrade to the two straight segments. Returns (M, 2) including
+    both endpoints."""
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    # circumcenter via perpendicular bisectors
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return np.stack([p0, p1, p2])
+    ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+          + (cx * cx + cy * cy) * (ay - by)) / d
+    uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+          + (cx * cx + cy * cy) * (bx - ax)) / d
+    r = float(np.hypot(ax - ux, ay - uy))
+    a0 = np.arctan2(ay - uy, ax - ux)
+    a1 = np.arctan2(by - uy, bx - ux)
+    a2 = np.arctan2(cy - uy, cx - ux)
+    # orientation from the sign of the control triangle (p1 between p0, p2)
+    ccw = d > 0
+    if ccw:
+        s01 = (a1 - a0) % (2.0 * np.pi)
+        s02 = (a2 - a0) % (2.0 * np.pi)
+    else:
+        s01 = -((a0 - a1) % (2.0 * np.pi))
+        s02 = -((a0 - a2) % (2.0 * np.pi))
+    # p1 must lie on the path; if wraps disagree, go the long way
+    if abs(s01) > abs(s02):
+        s02 = s02 + (2.0 * np.pi if ccw else -2.0 * np.pi)
+    n = max(2, int(np.ceil(abs(s02) / np.deg2rad(max_step_deg))))
+    ang = a0 + s02 * np.linspace(0.0, 1.0, n + 1)
+    out = np.stack([ux + r * np.cos(ang), uy + r * np.sin(ang)], axis=1)
+    out[0] = p0
+    out[-1] = p2
+    return out
+
+
+def _read_pts(buf, off, little, extra):
+    """Read an npts-prefixed coordinate run with ``extra`` Z/M ordinates;
+    returns (M, 2) xy (Z/M parsed and dropped)."""
+    npts, off = _rd_u32(buf, off, little)
+    dims = 2 + extra
+    dt = "<f8" if little else ">f8"
+    arr = np.frombuffer(buf, dtype=dt, count=npts * dims, offset=off).reshape(npts, dims)
+    return arr[:, :2].astype(np.float64, copy=False), off + npts * dims * 8
+
+
+def _linearize_circular(pts: np.ndarray) -> np.ndarray:
+    """CircularString control points -> stroked vertices."""
+    if len(pts) < 3:
+        return pts
+    segs = [pts[:1]]
+    for i in range(0, len(pts) - 2, 2):
+        segs.append(linearize_arc(pts[i], pts[i + 1], pts[i + 2])[1:])
+    return np.vstack(segs)
+
+
+def _decode_curve(buf, off):
+    """Any curve-typed member -> linearized (M, 2) vertex array."""
+    little, gtype, extra, off = _decode_geom(buf, off)
+    if gtype == _WKB_LINESTRING:
+        return _read_pts(buf, off, little, extra)
+    if gtype == _WKB_CIRCULARSTRING:
+        pts, off = _read_pts(buf, off, little, extra)
+        return _linearize_circular(pts), off
+    if gtype == _WKB_COMPOUNDCURVE:
+        nseg, off = _rd_u32(buf, off, little)
+        parts = []
+        for i in range(nseg):
+            pts, off = _decode_curve(buf, off)
+            parts.append(pts if i == 0 else pts[1:])  # segments share endpoints
+        return np.vstack(parts) if parts else np.empty((0, 2)), off
+    raise ValueError(f"unsupported curve member type {gtype}")
+
+
+def _decode_polygon_body(buf, off, little, extra=0):
     nrings, off = _rd_u32(buf, off, little)
     rings = []
-    dt = "<f8" if little else ">f8"
     for _ in range(nrings):
-        npts, off = _rd_u32(buf, off, little)
-        arr = np.frombuffer(buf, dtype=dt, count=npts * 2, offset=off).reshape(npts, 2)
-        rings.append(arr.astype(np.float64, copy=False))
-        off += npts * 16
+        pts, off = _read_pts(buf, off, little, extra)
+        rings.append(pts)
+    return rings, off
+
+
+def _decode_curvepolygon(buf, off, little):
+    nrings, off = _rd_u32(buf, off, little)
+    rings = []
+    for _ in range(nrings):
+        pts, off = _decode_curve(buf, off)
+        # close the linearized ring if the curve did not
+        if len(pts) >= 2 and (pts[0] != pts[-1]).any():
+            pts = np.vstack([pts, pts[:1]])
+        rings.append(pts)
     return rings, off
 
 
 def _decode_geom(buf, off):
+    """Header -> (little, base_type, n_extra_ordinates, offset past header).
+    Handles ISO Z/M/ZM (type + 1000/2000/3000) and PostGIS EWKB flag bits
+    (0x80000000 Z, 0x40000000 M, 0x20000000 SRID — the SRID int is
+    skipped)."""
     little = buf[off] == 1
     off += 1
     gtype, off = _rd_u32(buf, off, little)
-    gtype = gtype & 0xFF  # strip 2.5D / SRID flags conservatively
-    return little, gtype, off
+    extra = 0
+    if gtype & 0x80000000:
+        extra += 1
+    if gtype & 0x40000000:
+        extra += 1
+    if gtype & 0x20000000:
+        off += 4  # EWKB SRID
+    gtype &= 0x1FFFFFFF
+    iso = gtype // 1000
+    if iso in (1, 2, 3):
+        extra += 2 if iso == 3 else 1
+        gtype %= 1000
+    return little, gtype, extra, off
 
 
 def decode_polygons(buf):
-    """WKB -> list of polygons, each a list of (M,2) rings (outer first)."""
-    little, gtype, off = _decode_geom(buf, 0)
+    """WKB -> list of polygons, each a list of (M,2) rings (outer first).
+    CurvePolygon/MultiSurface rings linearize; Z/M ordinates drop."""
+    little, gtype, extra, off = _decode_geom(buf, 0)
     if gtype == _WKB_POLYGON:
-        rings, _ = _decode_polygon_body(buf, off, little)
+        rings, _ = _decode_polygon_body(buf, off, little, extra)
         return [rings]
-    if gtype == _WKB_MULTIPOLYGON:
+    if gtype == _WKB_CURVEPOLYGON:
+        rings, _ = _decode_curvepolygon(buf, off, little)
+        return [rings]
+    if gtype in (_WKB_MULTIPOLYGON, _WKB_MULTISURFACE):
         ngeom, off = _rd_u32(buf, off, little)
         out = []
         for _ in range(ngeom):
-            little2, gtype2, off = _decode_geom(buf, off)
-            if gtype2 != _WKB_POLYGON:
+            little2, gtype2, extra2, off = _decode_geom(buf, off)
+            if gtype2 == _WKB_POLYGON:
+                rings, off = _decode_polygon_body(buf, off, little2, extra2)
+            elif gtype2 == _WKB_CURVEPOLYGON:
+                rings, off = _decode_curvepolygon(buf, off, little2)
+            else:
                 raise ValueError(f"unexpected member type {gtype2} in MultiPolygon")
-            rings, off = _decode_polygon_body(buf, off, little2)
             out.append(rings)
         return out
     raise ValueError(f"not a polygonal WKB geometry (type {gtype})")
 
 
 def decode_points(bufs):
-    """Vector of WKB Points -> (x, y) float64 arrays."""
+    """Vector of WKB Points -> (x, y) float64 arrays (Z/M dropped)."""
     n = len(bufs)
     xs = np.empty(n, dtype=np.float64)
     ys = np.empty(n, dtype=np.float64)
     for i, buf in enumerate(bufs):
-        little, gtype, off = _decode_geom(buf, 0)
+        little, gtype, extra, off = _decode_geom(buf, 0)
         if gtype != _WKB_POINT:
             raise ValueError(f"not a WKB point (type {gtype})")
         fmt = "<dd" if little else ">dd"
