@@ -50,13 +50,14 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)"
     r"|(?P<str>'(?:[^']|'')*')"
     r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<op><>|<=|>=|!=|[(),*+\-/%<>=]))"
+    r"|(?P<op><>|<=|>=|!=|[(),.*+\-/%<>=]))"
 )
 
 _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "order", "limit",
     "as", "and", "or", "not", "like", "in", "between", "is", "null", "asc",
     "desc", "count", "sum", "avg", "min", "max", "having", "join", "union",
+    "left", "on",
 }
 
 
@@ -210,8 +211,12 @@ class _Parser:
             self.expect("op", ")")
             return ("agg", tok[1], arg)
         if tok[0] == "id":
+            if self.peek() == ("op", ".") and self.peek(1)[0] == "id":
+                self.next()
+                col = self.next()[1]
+                return ("qcol", tok[1], col)
             return ("col", tok[1])
-        if tok[0] == "kw" and tok[1] in ("join", "union", "having"):
+        if tok[0] == "kw" and tok[1] in ("union", "having"):
             raise SQLError(f"OGR SQL subset: {tok[1].upper()} is not supported")
         raise SQLError(f"unexpected token {tok}")
 
@@ -240,6 +245,26 @@ def parse(sql: str) -> dict:
     table = p.expect("id")[1]
     if table not in _TABLES:
         raise SQLError(f"unknown table {table!r}; expected one of {_TABLES}")
+    join = None
+    if p.accept("kw", "left"):
+        p.expect("kw", "join")
+        join = True
+    elif p.accept("kw", "join"):
+        join = True
+    if join:
+        # OGR SQL's single secondary-table join: ON t1.f1 = t2.f2
+        # (the dialect's JOIN is a left join — ogr_sql.html, ogr_gensql.cpp)
+        jtable = p.expect("id")[1]
+        if jtable not in _TABLES:
+            raise SQLError(f"unknown join table {jtable!r}")
+        p.expect("kw", "on")
+        lhs = p.expr()
+        if lhs[0] != "cmp" or lhs[1] != "=" or lhs[2][0] != "qcol" or lhs[3][0] != "qcol":
+            raise SQLError("JOIN condition must be <t1>.<col> = <t2>.<col>")
+        sides = {lhs[2][1]: lhs[2][2], lhs[3][1]: lhs[3][2]}
+        if set(sides) != {table, jtable}:
+            raise SQLError(f"JOIN condition must reference {table} and {jtable}")
+        join = {"table": jtable, "left_col": sides[table], "right_col": sides[jtable]}
     where = group_by = None
     order_by = []
     limit = None
@@ -270,8 +295,8 @@ def parse(sql: str) -> dict:
         raise SQLError(f"trailing tokens at {p.peek()}")
     return {
         "select": select, "star": star, "distinct": distinct, "table": table,
-        "where": where, "group_by": group_by, "order_by": order_by,
-        "limit": limit,
+        "join": join, "where": where, "group_by": group_by,
+        "order_by": order_by, "limit": limit,
     }
 
 
@@ -347,6 +372,9 @@ def _columns_of(node, acc: set):
         return acc
     if node[0] == "col":
         acc.add(node[1])
+    if node[0] == "qcol":
+        acc.add(node[2])
+        return acc
     for ch in node[1:]:
         if isinstance(ch, tuple):
             _columns_of(ch, acc)
@@ -354,6 +382,25 @@ def _columns_of(node, acc: set):
             for c in ch:
                 _columns_of(c, acc)
     return acc
+
+
+def _dequalify(node, valid_tables: set):
+    """Rewrite ("qcol", t, c) -> ("col", c), validating the qualifier."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "qcol":
+        if node[1] not in valid_tables:
+            raise SQLError(f"unknown table qualifier {node[1]!r}")
+        return ("col", node[2])
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_dequalify(ch, valid_tables))
+        elif isinstance(ch, list):
+            out.append([_dequalify(c, valid_tables) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
 
 
 def _find_aggs(node, acc: list):
@@ -380,8 +427,18 @@ def execute_sql(sql: str, sf_dir: str):
     from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
     q = parse(sql)
+    valid_tables = {q["table"]} | ({q["join"]["table"]} if q["join"] else set())
+    q["select"] = [(_dequalify(e, valid_tables), a) for e, a in q["select"]]
+    if q["where"] is not None:
+        q["where"] = _dequalify(q["where"], valid_tables)
+
     ds = _rpt(os.path.join(sf_dir, f"{q['table']}.parquet"))
     avail = list(ds.schema().names)
+    ds2 = avail2 = None
+    if q["join"]:
+        ds2 = _rpt(os.path.join(sf_dir, f"{q['join']['table']}.parquet"))
+        avail2 = list(ds2.schema().names)
+        avail = avail + [c for c in avail2 if c not in avail]
     if q["star"]:
         q["select"] = [(("col", c), None) for c in avail]
     # data columns (select expressions, WHERE, GROUP BY) must exist in the
@@ -405,9 +462,25 @@ def execute_sql(sql: str, sf_dir: str):
             needed.add(c)
         elif c not in out_names:
             raise SQLError(f"unknown ORDER BY column {c!r}")
-    cols = sorted(needed & set(avail))
-    if cols:
-        ds = ds.select_columns(cols)
+    if q["join"]:
+        from gdal_ray.ops.shuffle import adaptive_partitions
+
+        lkey, rkey = q["join"]["left_col"], q["join"]["right_col"]
+        lcols = sorted(((needed | {lkey}) & set(ds.schema().names)))
+        rcols = sorted(((needed | {rkey}) & set(avail2)) - set(lcols))
+        if rkey not in rcols:
+            rcols = sorted(set(rcols) | {rkey})
+        ds = ds.select_columns(lcols).join(
+            ds2.select_columns(rcols),
+            join_type="left_outer",
+            num_partitions=adaptive_partitions(),
+            on=(lkey,),
+            right_on=(rkey,),
+        )
+    else:
+        cols = sorted(needed & set(avail))
+        if cols:
+            ds = ds.select_columns(cols)
     # ORDER BY columns that are real table columns but not selected ride
     # along hidden through the projection and drop after the sort
     hidden = [

@@ -63,12 +63,28 @@ def test_select_star(con, ray_session):
     assert list(got.columns) == ["r_regionkey", "r_name"]
 
 
+JOIN_QUERIES = [
+    "SELECT n_name, r_name FROM nation LEFT JOIN region "
+    "ON nation.n_regionkey = region.r_regionkey ORDER BY n_name",
+    "SELECT r_name, COUNT(*) AS n FROM nation LEFT JOIN region "
+    "ON nation.n_regionkey = region.r_regionkey GROUP BY r_name ORDER BY r_name",
+    "SELECT c_name, n_name FROM customer LEFT JOIN nation "
+    "ON customer.c_nationkey = nation.n_nationkey "
+    "WHERE customer.c_custkey <= 25 ORDER BY c_name",
+]
+
+
+@pytest.mark.parametrize("sql", JOIN_QUERIES)
+def test_sql_join_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
 def test_parser_rejects_unsupported(ray_session):
     from gdal_ray.sql import SQLError, execute_sql
 
     for bad, msg in [
         ("SELECT a FROM nowhere", "unknown table"),
-        ("SELECT n_name FROM nation JOIN region", "trailing tokens"),
+        ("SELECT n_name FROM nation JOIN region ON bad", "JOIN condition"),
         ("SELECT COUNT(*) FROM nation HAVING 1", "HAVING"),
         ("SELECT missing_col FROM nation", "unknown column"),
     ]:
