@@ -130,7 +130,7 @@ def _run_bench() -> dict:
     timed("near_dup", lambda: CQ.q_near_dup_images(sf_dir).count())
     timed("raster_roundtrip", lambda: CQ.q_raster_roundtrip(sf_dir).count())
     timed("q1_pricing", lambda: R.q1_pricing_summary(sf_dir).count())
-    timed("join_segment", lambda: R.q_join_segment_revenue(sf_dir).count())
+    timed("join_segment", lambda: len(R.q_join_segment_revenue(sf_dir)))
     timed("sim_topk", lambda: R.q_sim_topk(sf_dir).count())
 
     from gdal_ray.pipelines import rasterq as RQ

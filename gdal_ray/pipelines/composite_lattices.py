@@ -27,6 +27,15 @@ families that previously had no SQL-checked driver query —
   interpolates even counts exactly like ``np.median``).
 - multidim views (``raster/mdim.MDArray`` GetView slice + transpose +
   axis reduce; the twin replays the index arithmetic in SQL).
+
+SCALE NOTE: the per-key Python loops here are GATE forms — they exist to
+drive the kernels over ~100-row closed-form lattices the DuckDB twin can
+replay. They are NOT the production path: corpus-scale warp / stats /
+pansharpen / overview run through ``fused_image_apply``
+(``pipelines/flagship.py``) inside the row-group read task (see
+``pipelines/rasterq.py`` q_warp_*, q_resample_roundtrip, q_pansharpen),
+where the payload never enters the object store and the batch loop is
+one vectorized kernel call per image.
 """
 
 from __future__ import annotations

@@ -142,15 +142,22 @@ def q_join_segment_revenue(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("n", alias_name="n_orders"), Sum("rev4", alias_name="rev4")
+
+    # per-block partial combine: the join output collapses to <= 5 segment
+    # rows per block, so the global aggregate is a driver-side sum of a
+    # few dozen partial rows — no second shuffle, no aggregator actors
+    # (the Aggregate operator alone cost ~8 s of actor spin-up for 5
+    # groups; at any scale the partial row count is blocks x segments)
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment").aggregate([("n", "sum"), ("rev4", "sum")])
+        return g.rename_columns(["c_mktsegment", "n", "rev4"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("n", "sum"), rev4=("rev4", "sum")
     )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["rev4"] / 10000.0
-        return batch[["c_mktsegment", "n_orders", "revenue"]]
-
-    return agg.map_batches(finish, batch_format="pandas")
+    out["revenue"] = out["rev4"] / 10000.0
+    return out[["c_mktsegment", "n_orders", "revenue"]]
 
 
 def q_topk_orders(sf_dir: str):
