@@ -9,12 +9,16 @@ core (single input layer):
   [WHERE <expr>] [GROUP BY <cols>] [ORDER BY <col> [ASC|DESC], ...]
   [LIMIT n]
 
-Expressions: column refs, numeric/string literals, + - * / % and unary -,
-comparisons (= != <> < <= > >=), AND / OR / NOT, LIKE (OGR's %/_
-wildcards), IN (...), BETWEEN a AND b, IS [NOT] NULL, parentheses.
+Expressions: column refs (optionally table-qualified), numeric/string
+literals, + - * / % and unary -, comparisons (= != <> < <= > >=),
+AND / OR / NOT, LIKE (OGR's %/_ wildcards), IN (...), BETWEEN a AND b,
+IS [NOT] NULL, parentheses, CAST(x AS integer/float/character) — float->
+integer TRUNCATES like swq's C cast (DuckDB rounds) — and the swq string
+functions CONCAT / SUBSTR (1-based) / UPPER / LOWER / LENGTH / TRIM.
 Aggregates: COUNT(*) / COUNT(x), SUM, AVG, MIN, MAX (swq_op registry,
-ogr/swq_parser.y). Not implemented: JOIN secondary tables, HAVING,
-subqueries, UNION (each raises with a clear message).
+ogr/swq_parser.y). One secondary-table [LEFT] JOIN ... ON t1.a = t2.b
+(the dialect's join is a left join). Not implemented: HAVING, subqueries,
+UNION (each raises with a clear message).
 
 Compilation is Ray-Data-native: WHERE/projections become ONE vectorized
 pandas ``map_batches`` (fused with the parquet read), aggregates go
@@ -57,8 +61,11 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "order", "limit",
     "as", "and", "or", "not", "like", "in", "between", "is", "null", "asc",
     "desc", "count", "sum", "avg", "min", "max", "having", "join", "union",
-    "left", "on",
+    "left", "on", "cast",
 }
+
+# OGR SQL scalar string functions (swq_op_registrar, ogr/swq_op_general.cpp)
+_STR_FUNCS = {"concat", "substr", "upper", "lower", "length", "trim"}
 
 
 def _tokenize(sql: str):
@@ -210,7 +217,29 @@ class _Parser:
             arg = self.expr()
             self.expect("op", ")")
             return ("agg", tok[1], arg)
+        if tok == ("kw", "cast"):
+            # CAST(expr AS type[(n)]) — swq CAST (ogr/swq_op_general.cpp)
+            self.expect("op", "(")
+            arg = self.expr()
+            self.expect("kw", "as")
+            ty = self.next()
+            if ty[0] not in ("id", "kw"):
+                raise SQLError(f"bad CAST type {ty}")
+            if self.accept("op", "("):  # character(n) width — parsed, ignored
+                self.expect("num")
+                self.expect("op", ")")
+            self.expect("op", ")")
+            return ("cast", arg, ty[1])
         if tok[0] == "id":
+            if tok[1] in _STR_FUNCS and self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return ("fn", tok[1], args)
             if self.peek() == ("op", ".") and self.peek(1)[0] == "id":
                 self.next()
                 col = self.next()[1]
@@ -362,6 +391,46 @@ def _eval(node, df: pd.DataFrame):
         return (v >= _eval(node[2], df)) & (v <= _eval(node[3], df))
     if kind == "isnull":
         return _eval(node[1], df).isna()
+    if kind == "cast":
+        v = _eval(node[1], df)
+        ty = node[2]
+        if not isinstance(v, pd.Series):
+            v = pd.Series(np.repeat(v, len(df)), index=df.index)
+        if ty in ("integer", "int", "bigint"):
+            return v.astype(np.int64)
+        if ty in ("float", "double", "numeric", "real"):
+            return v.astype(np.float64)
+        if ty in ("character", "varchar", "string", "text"):
+            return v.astype(str)
+        raise SQLError(f"unsupported CAST type {ty!r}")
+    if kind == "fn":
+        name, args = node[1], [_eval(a, df) for a in node[2]]
+
+        def _s(v):
+            return v.astype(str) if isinstance(v, pd.Series) else str(v)
+
+        if name == "concat":
+            out = _s(args[0])
+            for a in args[1:]:
+                out = out + _s(a)
+            return out
+        if name == "upper":
+            return _s(args[0]).str.upper()
+        if name == "lower":
+            return _s(args[0]).str.lower()
+        if name == "length":
+            return _s(args[0]).str.len().astype(np.int64)
+        if name == "trim":
+            return _s(args[0]).str.strip()
+        if name == "substr":
+            # OGR SUBSTR is 1-based (swq_op_general.cpp SUBSTR)
+            s = _s(args[0])
+            start = args[1] - 1 if not isinstance(args[1], pd.Series) else args[1] - 1
+            if len(node[2]) >= 3:
+                ln = args[2]
+                return s.str.slice(int(start), int(start) + int(ln))
+            return s.str.slice(int(start))
+        raise SQLError(f"unknown function {name!r}")
     if kind == "agg":
         raise SQLError("aggregate used outside the SELECT list")
     raise SQLError(f"bad node {node!r}")

@@ -58,6 +58,22 @@ def test_sql_matches_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
 
 
+STRFN_QUERIES = [
+    "SELECT UPPER(n_name) AS u, LENGTH(n_name) AS l FROM nation ORDER BY u",
+    "SELECT CONCAT(r_name, '-', CAST(r_regionkey AS VARCHAR)) AS tag "
+    "FROM region ORDER BY tag",
+    "SELECT SUBSTR(c_name, 1, 8) AS pre FROM customer "
+    "WHERE c_custkey <= 10 ORDER BY pre",
+    "SELECT CAST(o_orderkey AS FLOAT) AS p FROM orders "
+    "WHERE o_orderkey <= 32 ORDER BY p",
+]
+
+
+@pytest.mark.parametrize("sql", STRFN_QUERIES)
+def test_sql_string_functions(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
 def test_select_star(con, ray_session):
     got = _run_both("SELECT * FROM region ORDER BY r_regionkey", con, ray_session)
     assert list(got.columns) == ["r_regionkey", "r_name"]
@@ -90,3 +106,18 @@ def test_parser_rejects_unsupported(ray_session):
     ]:
         with pytest.raises(SQLError, match=msg):
             execute_sql(bad, SF).to_pandas()
+
+
+def test_cast_float_to_int_truncates_like_ogr(ray_session):
+    """OGR's swq CAST(float AS integer) is a C truncation, not a round
+    (unlike DuckDB, which rounds) — pin the OGR semantics."""
+    from gdal_ray.sql import execute_sql
+
+    got = execute_sql(
+        "SELECT CAST(o_totalprice AS INTEGER) AS p FROM orders "
+        "WHERE o_orderkey <= 6 ORDER BY p", SF
+    ).to_pandas()
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    want = sorted(int(v) for v in df[df["o_orderkey"] <= 6]["o_totalprice"])
+    assert got["p"].tolist() == want
