@@ -59,13 +59,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize_events": R.q_sessionize_events,
         "q_string_expr": R.q_string_expr,
         "q_tile_assign": DG.q_tile_assign,
-        "q_cell_hist": DG.q_cell_hist,
+        "q_curation_pipeline": CQ.q_curation_pipeline,
         "q_bbox_join": DG.q_bbox_join,
         "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
-        "q_invdist_lattice": LO.q_invdist_lattice,
+        "q_hll_distinct": EQ.q_hll_distinct,
         "q_ogrsql": EQ.q_ogrsql,
         "q_conic_lattice": LO.q_conic_lattice,
         "q_stereo_lattice": LO.q_stereo_lattice,
@@ -100,9 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned, gate-green in BOTH r2 and r3 — rotated out this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
         "q_hilbert_lattice": LO.q_hilbert_lattice,
+        "q_cell_hist": DG.q_cell_hist,
         "q_relate_lattice": LO.q_relate_lattice,
         "q_buffer_lattice": LO.q_buffer_lattice,
         "q_grid_lattice": LO.q_grid_lattice,
+        "q_invdist_lattice": LO.q_invdist_lattice,
         "q_geom_lattice": LO.q_geom_lattice,
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
@@ -443,6 +445,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "q_curation_pipeline": f"""
+            WITH ta AS ({text_analysis_sql}),
+                 keep AS (SELECT doc_id FROM (
+                     SELECT doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) AS rn
+                     FROM documents) WHERE rn = 1),
+                 gated AS (SELECT ta.lang_pred, ta.n_tokens,
+                                  CAST(FLOOR(ta.quality*10000.0 + 0.5) AS BIGINT) AS q4
+                           FROM ta JOIN keep USING (doc_id)
+                           WHERE CAST(FLOOR(ta.quality*10000.0 + 0.5) AS BIGINT) >= 5000)
+            SELECT lang_pred, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(q4) AS BIGINT) AS sum_q4
+            FROM gated GROUP BY lang_pred
+        """,
         "q_text_analysis": text_analysis_sql,
         "q_conic_lattice": conic_sql,
         "q_stereo_lattice": stereo_sql,
@@ -1097,6 +1115,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
             GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_hll_distinct": """
+            WITH h AS (SELECT xor(CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT)) >> 31) AS h
+                       FROM orders),
+                 b AS (SELECT h >> 52 AS bucket,
+                              h & ((1::UBIGINT << 52) - 1) AS suffix
+                       FROM h),
+                 r AS (SELECT bucket,
+                              CASE WHEN suffix = 0 THEN 53
+                                   ELSE 52 - length(bin(suffix)) + 1 END AS rho
+                       FROM b)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(rho) AS BIGINT) AS register
+            FROM r GROUP BY bucket
         """,
         "q_sample_lattice": """
             -- key reduced mod 2^32 then multiplied in UBIGINT: matches the

@@ -143,3 +143,40 @@ def q_minhash_pairs(sf_dir: str):
         cand, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"]), 8,
         schema=pair_schema,
     )
+
+
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END training-data curation composition (the 100-TB shape):
+    exact dedup (md5 -> min doc_id) -> language-ID + quality scoring
+    (actor-pool stages) -> quality gate (on the QUANTIZED int, so the SQL
+    twin has no float-boundary fragility) -> per-language survivor stats.
+    Every stage is the same kernel its standalone query uses, so the twin
+    composes the proven q_dedup_docs + q_text_analysis SQL bodies."""
+    from gdal_ray.stages.dedup import add_md5, exact_dedup
+    from gdal_ray.stages.text import LangId, TextStats
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"))
+    ds = ds.map_batches(add_md5, batch_format="pyarrow")
+    ds = exact_dedup(ds, "md5", "doc_id")
+    ds = ds.map_batches(TextStats, batch_format="pandas", batch_size=4096,
+                        concurrency=(1, 4))
+    ds = ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
+                        concurrency=(1, 4))
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["q4"] = np.floor(df["quality"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+        df = df[df["q4"] >= 5000]
+        return df[["doc_id", "lang_pred", "n_tokens", "q4"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(gate, batch_format="pandas")
+        .groupby("lang_pred")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Sum("q4", alias_name="sum_q4"),
+        )
+    )

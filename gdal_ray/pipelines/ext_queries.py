@@ -99,3 +99,20 @@ def q_ogrsql(sf_dir: str):
         "GROUP BY p_brand ORDER BY p_brand",
         sf_dir,
     )
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch over orders.o_custkey (engine
+    addition, stages/sketch.py): per-block register partials, associative
+    max-combine, final register TABLE (integer-exact — the DuckDB twin
+    replays splitmix64 + the leading-zero rank via length(bin(x))). The
+    ESTIMATE (bias-corrected + linear-counting) is pinned by pytest
+    against the true distinct count."""
+    import os
+
+    from gdal_ray.sources.corpus import read_parquet_tight as _rpt
+    from gdal_ray.stages.sketch import hll_registers
+
+    ds = _rpt(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    table, _ = hll_registers(ds, "o_custkey")
+    return table

@@ -1,0 +1,83 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+
+Engine addition beyond GDAL (SURVEY §2.7 family — "a novel sketch" for
+training-data pipelines): COUNT(DISTINCT) over 10^12 keys without a
+shuffle. Each block maps to a 2^p-register partial (vectorized numpy:
+splitmix64 hash, bucket = top p bits, rho = leading-zero rank of the
+suffix), partials combine by elementwise max — associative and tiny
+(4 KB at p=12), so the reduce is a driver-side fold over block partials
+(the same small-result consumption the histogram pipelines use). The
+register TABLE is integer-exact and SQL-twinnable (bit_length via
+frexp == DuckDB length(bin(x))); the estimate applies the standard
+bias-corrected formula with linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hll_partial", "hll_registers", "hll_estimate"]
+
+_P = 12  # 4096 registers
+_M = 1 << _P
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def hll_partial(values: np.ndarray, p: int = _P) -> np.ndarray:
+    """int64/uint64 key array -> uint8 register partial of size 2^p."""
+    h = _splitmix64(np.asarray(values).astype(np.uint64))
+    m = 1 << p
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h & np.uint64((1 << (64 - p)) - 1)
+    # rho = (64-p) - bit_length(suffix) + 1; bit_length via frexp exponent
+    # (exact for suffix < 2^53; suffixes are < 2^52 after the shift below)
+    # Keep 52 bits so the float64 conversion in frexp stays exact.
+    suffix = suffix >> np.uint64(64 - p - 52)
+    _, exp = np.frexp(suffix.astype(np.float64))
+    rho = np.where(suffix == 0, 53, 52 - exp + 1).astype(np.int64)
+    reg = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(reg, bucket, rho.astype(np.uint8))
+    return reg
+
+
+def hll_registers(ds, column: str, p: int = _P):
+    """Dataset + integer column -> final (bucket, register) arrow table
+    with register > 0 rows only (integer-exact, oracle-checkable)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        reg = hll_partial(np.asarray(batch[column], dtype=np.int64), p)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    acc = np.zeros(1 << p, dtype=np.uint8)
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["reg"].to_pylist():
+            acc = np.maximum(acc, np.frombuffer(blob, dtype=np.uint8))
+    nz = np.flatnonzero(acc)
+    return pa.table(
+        {
+            "bucket": pa.array(nz.astype(np.int64)),
+            "register": pa.array(acc[nz].astype(np.int64)),
+        }
+    ), acc
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the linear-counting small-range
+    correction (the canonical formula; registers uint8 of size m)."""
+    m = len(registers)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = np.sum(np.exp2(-registers.astype(np.float64)))
+    e = alpha * m * m / s
+    zeros = int((registers == 0).sum())
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)
