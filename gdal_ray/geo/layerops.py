@@ -132,13 +132,16 @@ def layer_boolean_areas(layer_a, layer_b, op: str, level: int = CELL_LEVEL, num_
       - ``"union"`` (ogrlayer.cpp:3763): SymDifference rows PLUS one A∩B
         feature per intersecting pair (src='AB', fid='fid_a|fid_b');
       - ``"identity"`` (ogrlayer.cpp:4743): A∩B pairs + reduced A features
-        (B side not emitted).
+        (B side not emitted);
+      - ``"erase"`` (ogrlayer.cpp:5806): reduced A features only (A \\ B);
+      - ``"update"`` (ogrlayer.cpp:5148): reduced A features + every B
+        feature UNREDUCED (method features replace overlapped input area).
 
     Returns (fid, src in {'A','B','AB'}, area) rows; fully-consumed
     features emit area 0.0 (callers filter per OGR's skip-empty rule when
     materializing geometries).
     """
-    if op not in ("union", "symdifference", "identity"):
+    if op not in ("union", "symdifference", "identity", "erase", "update"):
         raise ValueError(f"unsupported layer op: {op!r}")
     emit_inter = op in ("union", "identity")
     reduce_b = op in ("union", "symdifference")
@@ -189,7 +192,10 @@ def layer_boolean_areas(layer_a, layer_b, op: str, level: int = CELL_LEVEL, num_
     rows_ds = cand.map_batches(expand, batch_format="pyarrow").union(
         layer_a.map_batches(feats("a"), batch_format="pyarrow")
     )
-    if reduce_b:
+    if reduce_b or op == "update":
+        # update: B features ride through with NO candidate partners, so
+        # the reduce emits them at full area (method features replace the
+        # overlapped input area — ogrlayer.cpp:5148)
         rows_ds = rows_ds.union(layer_b.map_batches(feats("b"), batch_format="pyarrow"))
 
     def reduce_group(part: pd.DataFrame) -> pd.DataFrame:

@@ -74,3 +74,26 @@ def test_identity_emits_only_a_side(ray_session):
     areas = dict(zip(got["fid"], got["area"]))
     assert areas["a1"] == pytest.approx(6400)
     assert areas["a0|b0"] == pytest.approx(3000)
+
+
+def test_erase_and_update(ray_session):
+    from gdal_ray.geo.layerops import layer_boolean_areas
+
+    a, b = _layers(ray_session)
+    erase = layer_boolean_areas(a, b, "erase", level=16).to_pandas()
+    assert set(erase["src"]) == {"A"}
+    ea = dict(zip(erase["fid"], erase["area"]))
+    assert ea["a0"] == pytest.approx(10000 - 3000 - 1600)
+    assert ea["a1"] == pytest.approx(6400)
+    assert ea["a2"] == pytest.approx(0.0)
+
+    upd = layer_boolean_areas(a, b, "update", level=16).to_pandas()
+    ua = dict(zip(upd["fid"], upd["area"]))
+    # A side reduced exactly like erase; B features at FULL area
+    assert ua["a0"] == pytest.approx(10000 - 3000 - 1600)
+    assert ua["b0"] == pytest.approx(3600)
+    assert ua["b1"] == pytest.approx(1600)
+    assert ua["b2"] == pytest.approx(3600)
+    # total equals area(A ∪ B) with B winning overlaps — which for a
+    # partition is just sum(A\B) + sum(B)
+    assert upd["area"].sum() == pytest.approx((10000 - 4600) + 6400 + 0 + 3600 + 1600 + 3600)
