@@ -28,6 +28,8 @@ __all__ = [
     "q_decode_stats",
     "q_text_analysis",
     "q_minhash_pairs",
+    "q_curation_pipeline",
+    "q_image_embed_topk",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -124,9 +126,12 @@ def q_minhash_pairs(sf_dir: str):
             ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+            # tiled expansion bounds degenerate buckets (see dedup._pair_tiles)
+            from gdal_ray.stages.dedup import _pair_tiles
+
+            for ia, ib in _pair_tiles(len(ids)):
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
         if not out_a:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
@@ -180,3 +185,34 @@ def q_curation_pipeline(sf_dir: str):
             Sum("q4", alias_name="sum_q4"),
         )
     )
+
+
+def q_image_embed_topk(sf_dir: str):
+    """Image -> deterministic feature embedding -> exact cosine top-k
+    (the multimodal-to-ANN bridge: decode fused into the read, embeddings
+    feed the same simsearch operators the embeddings table uses). Query
+    vectors are the embeddings of the first 4 images, so each query's
+    rank-0 hit is itself with score 1 (pinned in pytest)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from gdal_ray.io import codec as C
+    from gdal_ray.stages.imgfeat import image_embeddings, image_features
+    from gdal_ray.stages.simsearch import topk_cosine
+
+    d = corpus_for_sf(sf_dir)
+    qids = [f"img{i:08d}" for i in range(4)]
+    # query vectors: 4 images read via a parquet row filter and embedded
+    # driver-side (the broadcast-query-matrix pattern of topk_cosine)
+    tbl = pads.dataset(os.path.join(d, "images.parquet")).to_table(
+        columns=["image_id", "bytes", "fmt"],
+        filter=pads.field("image_id").isin(qids),
+    )
+    order = np.argsort(np.asarray(tbl["image_id"]))
+    queries = np.stack(
+        [
+            image_features(C.decode_image(tbl["bytes"][int(i)].as_py(), tbl["fmt"][int(i)].as_py()))
+            for i in order
+        ]
+    )
+    return topk_cosine(image_embeddings(d), queries, k=5, id_col="image_id")
