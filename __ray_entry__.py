@@ -38,67 +38,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # NOTE on ordering: the driver's correctness gate hash-checks only the
     # FIRST 50 entries; later entries get a rows-only check. All SQL-twinned
-    # queries therefore compete for the first 50 slots, rotated per round so
-    # every twin is driver-verified at least once: round 4 pulls the eight
-    # twins that sat beyond the cap in r3 (q_phash/viewshed/minhash/
-    # text_analysis/sim_ivf/simhash/jaccard/embed_near_dup) INTO the window
-    # and rotates out eight lattices that were gate-green in both r2 and r3
-    # (their twins remain registered below the cap + exact pytest oracles).
+    # queries compete for the first 50 slots, rotated per round so every
+    # twin is driver-verified at least once and nothing stays parked two
+    # rounds in a row. Round 5: the 16 twins parked in r4 (last driver-
+    # checked in r3, PRE-dtype-strict) rotate back IN; the 21 entries first
+    # gate-green in r4 stay for a second driver check; q_ogrsql2 /
+    # q_polygonize_lattice are NEW; q_point_query_lattice (cubic arm) and
+    # q_contour_lattice (polygon arm) changed this round so they stay.
+    # 18 twins green in r2+r3+r4 park below the cap for ONE round.
     return {
         # ---- gate window (first 50): SQL-twinned, dtype-strict-verified ----
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q_filter_parts": R.q_filter_parts,
-        "q_join_segment_revenue": R.q_join_segment_revenue,
-        "q_topk_orders": R.q_topk_orders,
-        "q_distinct_flags": R.q_distinct_flags,
-        "q_window_events_hourly": R.q_window_events_hourly,
-        "q_dedup_docs": R.q_dedup_docs,
-        "q_token_stats": R.q_token_stats,
-        "q_sim_topk": R.q_sim_topk,
-        "q_semi_anti_customers": R.q_semi_anti_customers,
-        "q_sessionize_events": R.q_sessionize_events,
-        "q_string_expr": R.q_string_expr,
-        "q_tile_assign": DG.q_tile_assign,
-        "q_curation_pipeline": CQ.q_curation_pipeline,
-        "q_bbox_join": DG.q_bbox_join,
-        "q_knn_lattice": LO.q_knn_lattice,
-        "q_pip_lattice": LO.q_pip_lattice,
-        "q_union_lattice": LO.q_union_lattice,
-        "q_symdiff_lattice": LO.q_symdiff_lattice,
-        "q_hll_distinct": EQ.q_hll_distinct,
-        "q_ogrsql": EQ.q_ogrsql,
-        "q_conic_lattice": LO.q_conic_lattice,
-        "q_stereo_lattice": LO.q_stereo_lattice,
-        "q_gcp_lattice": LO.q_gcp_lattice,
-        "q_band_stats_lattice": RL.q_band_stats_lattice,
-        "q_histogram_lattice": RL.q_histogram_lattice,
-        "q_checksum_lattice": RL.q_checksum_lattice,
-        "q_translate_lattice": RL.q_translate_lattice,
-        "q_pixelfn_lattice": RL.q_pixelfn_lattice,
-        "q_dem_lattice": RL.q_dem_lattice,
-        "q_contour_lattice": RL.q_contour_lattice,
-        "q_footprint_lattice": RL.q_footprint_lattice,
-        "q_proximity_lattice": RL.q_proximity_lattice,
-        "q_cleanup_lattice": RL.q_cleanup_lattice,
-        "q_fillnodata_lattice": RL.q_fillnodata_lattice,
-        "q_zonal_lattice": RL.q_zonal_lattice,
-        "q_point_query_lattice": RL.q_point_query_lattice,
-        "q_warp_merc_lattice": CO.q_warp_merc_lattice,
-        "q_overview_lattice": CO.q_overview_lattice,
-        "q_mosaic_lattice": CO.q_mosaic_lattice,
-        "q_pansharpen_lattice": CO.q_pansharpen_lattice,
-        "q_mdim_lattice": CO.q_mdim_lattice,
-        "q_phash_lattice": CO.q_phash_lattice,
-        "q_viewshed_lattice": CO.q_viewshed_lattice,
-        "q_minhash_pairs": CQ.q_minhash_pairs,
-        "q_text_analysis": CQ.q_text_analysis,
-        "q_sim_ivf": RQ.q_sim_ivf,
-        "q_simhash_docs": RQ.q_simhash_docs,
-        "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
-        "q_embed_near_dup": RQ.q_embed_near_dup,
-        # ---- below the 50-entry gate cap ----
-        # SQL-twinned, gate-green in BOTH r2 and r3 — rotated out this round
-        # (still value-checked by scripts/check_oracle.py + pytest oracles):
+        # rotated back in (parked during r4, green in r2 and r3):
         "q_hilbert_lattice": LO.q_hilbert_lattice,
         "q_cell_hist": DG.q_cell_hist,
         "q_relate_lattice": LO.q_relate_lattice,
@@ -115,6 +65,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pipeline_chain": EQ.q_pipeline_chain,
         "q_rat_lattice": CO.q_rat_lattice,
         "q_stack_lattice": CO.q_stack_lattice,
+        # new or changed in round 5:
+        "q_ogrsql2": EQ.q_ogrsql2,
+        "q_polygonize_lattice": RL.q_polygonize_lattice,
+        "q_point_query_lattice": RL.q_point_query_lattice,
+        "q_contour_lattice": RL.q_contour_lattice,
+        # first gate-green in r4 — kept for a second driver check:
+        "q_union_lattice": LO.q_union_lattice,
+        "q_symdiff_lattice": LO.q_symdiff_lattice,
+        "q_hll_distinct": EQ.q_hll_distinct,
+        "q_ogrsql": EQ.q_ogrsql,
+        "q_stereo_lattice": LO.q_stereo_lattice,
+        "q_gcp_lattice": LO.q_gcp_lattice,
+        "q_fillnodata_lattice": RL.q_fillnodata_lattice,
+        "q_curation_pipeline": CQ.q_curation_pipeline,
+        "q_mosaic_lattice": CO.q_mosaic_lattice,
+        "q_overview_lattice": CO.q_overview_lattice,
+        "q_warp_merc_lattice": CO.q_warp_merc_lattice,
+        "q_pansharpen_lattice": CO.q_pansharpen_lattice,
+        "q_mdim_lattice": CO.q_mdim_lattice,
+        "q_phash_lattice": CO.q_phash_lattice,
+        "q_viewshed_lattice": CO.q_viewshed_lattice,
+        "q_minhash_pairs": CQ.q_minhash_pairs,
+        "q_text_analysis": CQ.q_text_analysis,
+        "q_sim_ivf": RQ.q_sim_ivf,
+        "q_simhash_docs": RQ.q_simhash_docs,
+        "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
+        "q_embed_near_dup": RQ.q_embed_near_dup,
+        # stable multi-round-green twins retained in-window:
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_window_events_hourly": R.q_window_events_hourly,
+        "q_sessionize_events": R.q_sessionize_events,
+        "q_sim_topk": R.q_sim_topk,
+        "q_knn_lattice": LO.q_knn_lattice,
+        "q_pip_lattice": LO.q_pip_lattice,
+        "q_zonal_lattice": RL.q_zonal_lattice,
+        "q_dem_lattice": RL.q_dem_lattice,
+        "q_conic_lattice": LO.q_conic_lattice,
+        # ---- below the 50-entry gate cap ----
+        # SQL-twinned, gate-green in r2 AND r3 AND r4 — parked this round
+        # (still value-checked by scripts/check_oracle.py + pytest oracles):
+        "q_filter_parts": R.q_filter_parts,
+        "q_join_segment_revenue": R.q_join_segment_revenue,
+        "q_topk_orders": R.q_topk_orders,
+        "q_distinct_flags": R.q_distinct_flags,
+        "q_dedup_docs": R.q_dedup_docs,
+        "q_token_stats": R.q_token_stats,
+        "q_semi_anti_customers": R.q_semi_anti_customers,
+        "q_string_expr": R.q_string_expr,
+        "q_tile_assign": DG.q_tile_assign,
+        "q_bbox_join": DG.q_bbox_join,
+        "q_band_stats_lattice": RL.q_band_stats_lattice,
+        "q_histogram_lattice": RL.q_histogram_lattice,
+        "q_checksum_lattice": RL.q_checksum_lattice,
+        "q_translate_lattice": RL.q_translate_lattice,
+        "q_pixelfn_lattice": RL.q_pixelfn_lattice,
+        "q_footprint_lattice": RL.q_footprint_lattice,
+        "q_proximity_lattice": RL.q_proximity_lattice,
+        "q_cleanup_lattice": RL.q_cleanup_lattice,
         # --- image-corpus pipelines (rows-only here; exact-match in pytest) ---
         "q_flagship_tiles": CQ.q_flagship_tiles,
         "q_pip_join": CQ.q_pip_join,
@@ -592,15 +600,25 @@ def oracle_sql() -> dict[str, str]:
                  t AS (SELECT k, w, h, m,
                               m * ((w - 1) / 2.0) + 0.25 * m AS lvl
                        FROM g),
-                 t2 AS (SELECT *, CAST(FLOOR(lvl / m) AS BIGINT) AS c0 FROM t)
+                 t2 AS (SELECT *, CAST(FLOOR(lvl / m) AS BIGINT) AS c0 FROM t),
+                 -- polygon arm: crossing x of the two band levels; x2 is
+                 -- exactly x1 + 1 on the ramp (same interpolation t)
+                 t3 AS (SELECT *,
+                              (c0 + 0.5) + (lvl - m*c0) / (m*(c0+1) - m*c0) AS x1
+                        FROM t2)
             SELECT 'c' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
                    lvl AS level,
                    CAST(1 AS INTEGER) AS n_lines,
                    CAST(h AS BIGINT) AS n_points,
-                   ROUND((c0 + 0.5) + (lvl - m*c0) / (m*(c0+1) - m*c0), 6) AS x0,
+                   ROUND(x1, 6) AS x0,
                    0.5 AS ymin,
-                   CAST(h AS DOUBLE) - 0.5 AS ymax
-            FROM t2
+                   CAST(h AS DOUBLE) - 0.5 AS ymax,
+                   ROUND((x1 - 0.5) * (h - 1), 6) AS area_lo,
+                   ROUND(CAST(h - 1 AS DOUBLE), 6) AS area_mid,
+                   ROUND((CAST(w AS DOUBLE) - 0.5 - (x1 + 1.0)) * (h - 1), 6)
+                       AS area_hi,
+                   CAST(3 AS INTEGER) AS n_band_rings
+            FROM t3
         """,
         "q_footprint_lattice": """
             SELECT 'f' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS img_id,
@@ -640,6 +658,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 's' || lpad(CAST(k AS VARCHAR), 6, '0') AS img_id,
                    {cksum('v', 'r*w + c')} AS cksum
             FROM px GROUP BY k, w
+        """,
+        # GDALPolygonize twin (alg/polygonize.cpp): stripes of width sw
+        # (values cycle 1,2,3) + a value-7 rect strictly inside stripe 0;
+        # region/ring counts and integer areas in closed form
+        "q_polygonize_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              16 + s_suppkey % 7 AS w,
+                              12 + s_suppkey % 5 AS h,
+                              3 + s_suppkey % 3 AS sw
+                       FROM supplier),
+                 t AS (SELECT *,
+                              (w + sw - 1) // sw AS nst,
+                              (sw - 2) * 3 AS hole
+                       FROM g),
+                 st AS (SELECT t.k,
+                               ((i.i % 3) + 1)
+                                 * (LEAST(t.sw*(i.i+1), t.w) - t.sw*i.i)
+                                 * t.h AS wpart
+                        FROM t, generate_series(0, 7) i(i)
+                        WHERE i.i < t.nst),
+                 ws AS (SELECT k, CAST(SUM(wpart) AS BIGINT) AS base
+                        FROM st GROUP BY k)
+            SELECT 'z' || lpad(CAST(t.k AS VARCHAR), 6, '0') AS img_id,
+                   CAST(t.nst + 1 AS INTEGER) AS n_polys,
+                   CAST(t.nst + 2 AS INTEGER) AS n_rings,
+                   CAST(ws.base + 6*t.hole AS BIGINT) AS wsum,
+                   CAST(t.sw*t.h - t.hole AS BIGINT) AS area_first
+            FROM t JOIN ws ON ws.k = t.k
         """,
         "q_gcp_lattice": """
             WITH g AS (SELECT s_suppkey AS k,
@@ -754,7 +800,24 @@ def oracle_sql() -> dict[str, str]:
                  b3 AS (SELECT *,
                                LEAST(xb0 + 1, 39) AS xb1,
                                LEAST(yb0 + 1, 29) AS yb1
-                        FROM b2)
+                        FROM b2),
+                 -- cubic arm (gdallocationinfo -r cubic, Keys a=-0.5 4x4
+                 -- taps): dyadic wx, wy are exactly 0 or 0.5, where the
+                 -- kernel weights are (0,1,0,0) / (-.0625,.5625,.5625,-.0625)
+                 cu AS (SELECT *,
+                               GREATEST(xb0 - 1, 0) AS xm1,
+                               LEAST(xb0 + 2, 39) AS xp2,
+                               GREATEST(yb0 - 1, 0) AS ym1,
+                               LEAST(yb0 + 2, 29) AS yp2,
+                               CASE WHEN wx = 0 THEN 0.0 ELSE -0.0625 END AS cx0,
+                               CASE WHEN wx = 0 THEN 1.0 ELSE 0.5625 END AS cx1,
+                               CASE WHEN wx = 0 THEN 0.0 ELSE 0.5625 END AS cx2,
+                               CASE WHEN wx = 0 THEN 0.0 ELSE -0.0625 END AS cx3,
+                               CASE WHEN wy = 0 THEN 0.0 ELSE -0.0625 END AS cy0,
+                               CASE WHEN wy = 0 THEN 1.0 ELSE 0.5625 END AS cy1,
+                               CASE WHEN wy = 0 THEN 0.0 ELSE 0.5625 END AS cy2,
+                               CASE WHEN wy = 0 THEN 0.0 ELSE -0.0625 END AS cy3
+                        FROM b3)
             SELECT 'q' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS query_id,
                    'i' || lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS image_id,
                    CAST((s_suppkey + 3*iy + 5*ix) % 251 AS INTEGER) AS value,
@@ -762,8 +825,26 @@ def oracle_sql() -> dict[str, str]:
                           + ((s_suppkey + 3*yb0 + 5*xb1) % 251)*wx)*(1.0 - wy)
                          + (((s_suppkey + 3*yb1 + 5*xb0) % 251)*(1.0 - wx)
                             + ((s_suppkey + 3*yb1 + 5*xb1) % 251)*wx)*wy,
-                         6) AS value_bi
-            FROM b3 WHERE ix >= 0 AND ix < 40 AND iy >= 0 AND iy < 30
+                         6) AS value_bi,
+                   ROUND(
+                     cy0*(cx0*((s_suppkey + 3*ym1 + 5*xm1) % 251)
+                        + cx1*((s_suppkey + 3*ym1 + 5*xb0) % 251)
+                        + cx2*((s_suppkey + 3*ym1 + 5*xb1) % 251)
+                        + cx3*((s_suppkey + 3*ym1 + 5*xp2) % 251))
+                   + cy1*(cx0*((s_suppkey + 3*yb0 + 5*xm1) % 251)
+                        + cx1*((s_suppkey + 3*yb0 + 5*xb0) % 251)
+                        + cx2*((s_suppkey + 3*yb0 + 5*xb1) % 251)
+                        + cx3*((s_suppkey + 3*yb0 + 5*xp2) % 251))
+                   + cy2*(cx0*((s_suppkey + 3*yb1 + 5*xm1) % 251)
+                        + cx1*((s_suppkey + 3*yb1 + 5*xb0) % 251)
+                        + cx2*((s_suppkey + 3*yb1 + 5*xb1) % 251)
+                        + cx3*((s_suppkey + 3*yb1 + 5*xp2) % 251))
+                   + cy3*(cx0*((s_suppkey + 3*yp2 + 5*xm1) % 251)
+                        + cx1*((s_suppkey + 3*yp2 + 5*xb0) % 251)
+                        + cx2*((s_suppkey + 3*yp2 + 5*xb1) % 251)
+                        + cx3*((s_suppkey + 3*yp2 + 5*xp2) % 251)),
+                     6) AS value_cu
+            FROM cu WHERE ix >= 0 AND ix < 40 AND iy >= 0 AND iy < 30
         """,
         "q1_pricing_summary": """
             -- money columns quantized per row to integer 1e-4 units
@@ -1117,6 +1198,9 @@ def oracle_sql() -> dict[str, str]:
             FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
             GROUP BY p_brand ORDER BY p_brand
         """,
+        # identical text runs through the engine's parser AND DuckDB
+        # (chained LEFT JOINs + IN-subqueries + HAVING, round-5 surface)
+        "q_ogrsql2": _ogrsql2_text(),
         "q_hll_distinct": """
             WITH h AS (SELECT xor(CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT)) >> 31) AS h
                        FROM orders),
@@ -1231,3 +1315,9 @@ def _minhash_oracle() -> str:
     from gdal_ray.stages.dedup import minhash_pairs_oracle_sql
 
     return minhash_pairs_oracle_sql()
+
+
+def _ogrsql2_text() -> str:
+    from gdal_ray.pipelines.ext_queries import OGRSQL2_TEXT
+
+    return OGRSQL2_TEXT

@@ -39,6 +39,7 @@ __all__ = [
     "q_dem_lattice",
     "q_contour_lattice",
     "q_footprint_lattice",
+    "q_polygonize_lattice",
     "q_proximity_lattice",
     "q_cleanup_lattice",
     "q_fillnodata_lattice",
@@ -312,13 +313,18 @@ def q_dem_lattice(sf_dir: str):
 def q_contour_lattice(sf_dir: str):
     """Marching-squares contour (alg/contour.cpp:568) of the ramp
     v = m*c at level m*((w-1)/2) + 0.25*m: exactly one vertical polyline
-    whose crossing x replays the engine's (L - v0)/(v1 - v0) interpolation."""
-    from gdal_ray.raster.contour import contour_lines
+    whose crossing x replays the engine's (L - v0)/(v1 - v0) interpolation.
+    Round-5 polygon arm (alg/contour.cpp:568 polygonize branch +
+    marching_squares/polygon_ring_appender.h): iso-BANDS at [level,
+    level + m] — on the ramp the three band areas are (x1-0.5)*(h-1),
+    (h-1) and (w-0.5-x2)*(h-1), all dyadic-exact."""
+    from gdal_ray.raster.contour import contour_lines, contour_polygons
 
     def per_key(batch: pa.Table) -> pa.Table:
         out = {
             "img_id": [], "level": [], "n_lines": [], "n_points": [],
             "x0": [], "ymin": [], "ymax": [],
+            "area_lo": [], "area_mid": [], "area_hi": [], "n_band_rings": [],
         }
         for k in batch["s_suppkey"].to_pylist():
             k = int(k)
@@ -330,6 +336,8 @@ def q_contour_lattice(sf_dir: str):
             level = m * ((w - 1) / 2.0) + 0.25 * m
             lines = contour_lines(arr, [level])
             coords = np.concatenate([ln["coords"] for ln in lines], axis=0)
+            bands = contour_polygons(arr, [level, level + m])
+            assert len(bands) == 3, "ramp must yield 3 iso-bands"
             out["img_id"].append(f"c{k:06d}")
             out["level"].append(float(level))
             out["n_lines"].append(len(lines))
@@ -337,6 +345,10 @@ def q_contour_lattice(sf_dir: str):
             out["x0"].append(round(float(coords[0, 0]), 6))
             out["ymin"].append(float(coords[:, 1].min()))
             out["ymax"].append(float(coords[:, 1].max()))
+            out["area_lo"].append(round(bands[0]["area"], 6))
+            out["area_mid"].append(round(bands[1]["area"], 6))
+            out["area_hi"].append(round(bands[2]["area"], 6))
+            out["n_band_rings"].append(sum(len(b["rings"]) for b in bands))
         return pa.table(
             {
                 "img_id": pa.array(out["img_id"], pa.string()),
@@ -346,6 +358,10 @@ def q_contour_lattice(sf_dir: str):
                 "x0": pa.array(out["x0"], pa.float64()),
                 "ymin": pa.array(out["ymin"], pa.float64()),
                 "ymax": pa.array(out["ymax"], pa.float64()),
+                "area_lo": pa.array(out["area_lo"], pa.float64()),
+                "area_mid": pa.array(out["area_mid"], pa.float64()),
+                "area_hi": pa.array(out["area_hi"], pa.float64()),
+                "n_band_rings": pa.array(out["n_band_rings"], pa.int32()),
             }
         )
 
@@ -384,6 +400,54 @@ def q_footprint_lattice(sf_dir: str):
                 "n_parts": pa.array(out["n_parts"], pa.int32()),
                 "n_rings": pa.array(out["n_rings"], pa.int32()),
                 "area_px": pa.array(out["area_px"], pa.float64()),
+            }
+        )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Polygonize (value-image region tracing, alg/polygonize.cpp:73-488)
+# --------------------------------------------------------------------------
+
+def q_polygonize_lattice(sf_dir: str):
+    """GDALPolygonize (alg/polygonize.cpp + polygonize_polygonizer.cpp
+    two-arm tracer) on a striped value image with an interior hole: value
+    = (c // sw) % 3 + 1 in vertical stripes of width sw, plus a value-7
+    rectangle strictly inside stripe 0. Closed forms: ceil(w/sw) stripe
+    regions + the rectangle; stripe 0 carries the one interior ring; the
+    value-weighted pixel area and the ring-traced area of the first
+    scan-order polygon (outer minus hole) are exact integers."""
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.raster.polygonize import polygonize_array
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "n_polys": [], "n_rings": [], "wsum": [],
+               "area_first": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            w, h = grid_dims(k)
+            sw = 3 + k % 3
+            cc = np.arange(w)
+            arr = np.broadcast_to((cc // sw) % 3 + 1, (h, w)).astype(np.int32).copy()
+            arr[2:5, 1:sw - 1] = 7  # strictly interior to stripe 0
+            polys = polygonize_array(arr)
+            out["img_id"].append(f"z{k:06d}")
+            out["n_polys"].append(len(polys))
+            out["n_rings"].append(sum(len(p["rings"]) for p in polys))
+            out["wsum"].append(
+                int(sum(int(p["value"]) * p["pixel_count"] for p in polys))
+            )
+            out["area_first"].append(
+                int(round(GO.polygon_area(polys[0]["rings"])))
+            )
+        return pa.table(
+            {
+                "img_id": pa.array(out["img_id"], pa.string()),
+                "n_polys": pa.array(out["n_polys"], pa.int32()),
+                "n_rings": pa.array(out["n_rings"], pa.int32()),
+                "wsum": pa.array(out["wsum"], pa.int64()),
+                "area_first": pa.array(out["area_first"], pa.int64()),
             }
         )
 
@@ -521,7 +585,10 @@ def q_point_query_lattice(sf_dir: str):
     cand = point_footprint_candidates(points, foots, level=16)
 
     def sampler(row: dict, qx: np.ndarray, qy: np.ndarray):
-        from gdal_ray.raster.kernels import interpolate_at_point_bilinear
+        from gdal_ray.raster.kernels import (
+            interpolate_at_point_bilinear,
+            interpolate_at_point_cubic,
+        )
 
         k = int(row["k"])
         sx = (k * LATTICE_A) % _TWO16
@@ -535,14 +602,20 @@ def q_point_query_lattice(sf_dir: str):
         if not ok.any():
             return None, None
         nearest = ((k + 3 * iy[ok] + 5 * ix[ok]) % 251).astype(np.int32)
-        # interpolated read (gdallocationinfo -r bilinear) through the REAL
-        # kernel on the materialized 30x40 closed-form band: lattice pixel
-        # coords are dyadic (steps of 0.5), so weights are exactly 0 / 0.5
-        # and the SQL twin replays the identical arithmetic
+        # interpolated reads (gdallocationinfo -r bilinear / -r cubic,
+        # alg/gdal_interpolateatpoint.h:37) through the REAL kernels on the
+        # materialized 30x40 closed-form band: lattice pixel coords are
+        # dyadic (steps of 0.5), so weights are exactly {0,1} / {0.5625,
+        # -0.0625} and the SQL twin replays the identical arithmetic
         rr, cc = np.mgrid[0:30, 0:40]
         band = (k + 3 * rr + 5 * cc) % 251
         bi = interpolate_at_point_bilinear(band, px[ok], py[ok])
-        return ok, {"value": nearest, "value_bi": np.round(bi, 6)}
+        cu = interpolate_at_point_cubic(band, px[ok], py[ok])
+        return ok, {
+            "value": nearest,
+            "value_bi": np.round(bi, 6),
+            "value_cu": np.round(cu, 6),
+        }
 
     out_schema = pa.schema(
         [
@@ -550,6 +623,7 @@ def q_point_query_lattice(sf_dir: str):
             ("image_id", pa.string()),
             ("value", pa.int32()),
             ("value_bi", pa.float64()),
+            ("value_cu", pa.float64()),
         ]
     )
     return sample_at_points(cand, payload, sampler, out_schema)

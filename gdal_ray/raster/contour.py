@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["contour_segments", "stitch_polylines", "contour_lines"]
+__all__ = [
+    "contour_segments",
+    "stitch_polylines",
+    "contour_lines",
+    "contour_polygons",
+]
 
 
 def contour_segments(arr: np.ndarray, level: float):
@@ -140,4 +145,161 @@ def contour_lines(arr: np.ndarray, levels, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0)):
         for line in stitch_polylines(segs):
             gx, gy = apply_geotransform(gt, line[:, 0], line[:, 1])
             out.append({"level": float(level), "coords": np.stack([gx, gy], axis=1)})
+    return out
+
+
+# --------------------------------------------------------------------------
+# Polygon (iso-band) mode — alg/contour.cpp:568 polygonize=true +
+# alg/marching_squares/polygon_ring_appender.h
+# --------------------------------------------------------------------------
+
+def _clip_by_level(pts, keep_ge: bool, level: float):
+    """Sutherland-Hodgman clip of a value-carrying polygon [(x, y, v), ...]
+    by the half-space v >= level (or v <= level); crossing vertices are
+    linearly interpolated — the same per-edge interpolation marching
+    squares uses, so crossing points on a shared cell border are
+    bit-identical in both adjacent cells."""
+    out = []
+    n = len(pts)
+    for i in range(n):
+        x0, y0, v0 = pts[i]
+        x1, y1, v1 = pts[(i + 1) % n]
+        in0 = v0 >= level if keep_ge else v0 <= level
+        in1 = v1 >= level if keep_ge else v1 <= level
+        if in0:
+            out.append((x0, y0, v0))
+        if in0 != in1:
+            t = (level - v0) / (v1 - v0)
+            out.append((x0 + t * (x1 - x0), y0 + t * (y1 - y0), level))
+    return out
+
+
+def _ring_area_xy(ring) -> float:
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _merge_fragments(frags):
+    """Dissolve cell fragments into rings by cancelling opposite shared
+    edges and chaining the remainder. Endpoint keys are the exact floats
+    (shared-border crossings are computed from the same corner values in
+    both cells, so they match bit-for-bit)."""
+    from collections import defaultdict
+
+    edgecount: dict = {}
+    for poly in frags:
+        n = len(poly)
+        for i in range(n):
+            a = poly[i]
+            b = poly[(i + 1) % n]
+            if a == b:
+                continue
+            if edgecount.get((b, a), 0) > 0:
+                edgecount[(b, a)] -= 1
+                if edgecount[(b, a)] == 0:
+                    del edgecount[(b, a)]
+            else:
+                edgecount[(a, b)] = edgecount.get((a, b), 0) + 1
+    adj = defaultdict(list)
+    for (a, b), cnt in edgecount.items():
+        for _ in range(cnt):
+            adj[a].append(b)
+    rings = []
+    while adj:
+        a0 = next(iter(adj))
+        ring = [a0]
+        a = a0
+        while True:
+            nxts = adj[a]
+            b = nxts.pop()
+            if not nxts:
+                del adj[a]
+            if b == a0:
+                break
+            ring.append(b)
+            a = b
+        ring.append(a0)
+        rings.append(np.asarray(ring, dtype=np.float64))
+    return rings
+
+
+def contour_polygons(arr: np.ndarray, levels, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0)):
+    """Iso-band POLYGONS between consecutive levels (gdal_contour -p;
+    reference ``alg/contour.cpp:568`` polygonize branch +
+    ``alg/marching_squares/polygon_ring_appender.h``): bands are
+    (-inf, l0], [l0, l1], ..., [lN, +inf) over the pixel-center domain
+    [0.5, w-0.5] x [0.5, h-0.5]. Per 2x2 cell the band region is the cell
+    square clipped by the two band levels with per-edge linear
+    interpolation (the marching-squares field model); fragments dissolve
+    into rings by shared-edge cancellation. Saddle cells are cut straight
+    between crossings (the same approximation as the line tracer's
+    TABLE-driven segments).
+
+    Returns a list of dicts per non-empty band: {elev_min, elev_max,
+    rings (geo coords; holes have negative pixel-space shoelace area),
+    area (pixel^2, exact fragment sum)}.
+    """
+    from gdal_ray.geo.affine import apply_geotransform
+
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape
+    if h < 2 or w < 2:
+        return []
+    tl = a[:-1, :-1]
+    tr = a[:-1, 1:]
+    bl = a[1:, :-1]
+    br = a[1:, 1:]
+    cmin = np.minimum(np.minimum(tl, tr), np.minimum(bl, br))
+    cmax = np.maximum(np.maximum(tl, tr), np.maximum(bl, br))
+    bounds = [-np.inf] + [float(v) for v in levels] + [np.inf]
+    out = []
+    for bi in range(len(bounds) - 1):
+        lo, hi = bounds[bi], bounds[bi + 1]
+        inside = (cmin >= lo) & (cmax <= hi)
+        crossing = (cmax >= lo) & (cmin <= hi) & ~inside
+        frags = []
+        area = 0.0
+        ys, xs = np.nonzero(inside)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            cx, cy = x + 0.5, y + 0.5
+            frags.append([(cx, cy), (cx + 1.0, cy), (cx + 1.0, cy + 1.0),
+                          (cx, cy + 1.0)])
+        area += float(len(ys))
+        ys, xs = np.nonzero(crossing)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            cx, cy = x + 0.5, y + 0.5
+            pts = [
+                (cx, cy, float(tl[y, x])),
+                (cx + 1.0, cy, float(tr[y, x])),
+                (cx + 1.0, cy + 1.0, float(br[y, x])),
+                (cx, cy + 1.0, float(bl[y, x])),
+            ]
+            if np.isfinite(lo):
+                pts = _clip_by_level(pts, True, lo)
+            if len(pts) >= 3 and np.isfinite(hi):
+                pts = _clip_by_level(pts, False, hi)
+            if len(pts) < 3:
+                continue
+            ring = [(p[0], p[1]) for p in pts]
+            frag = np.asarray(ring + [ring[0]], dtype=np.float64)
+            fa = _ring_area_xy(frag)
+            if fa == 0.0:
+                continue
+            area += fa
+            frags.append(ring)
+        if not frags:
+            continue
+        geo_rings = []
+        for ring in _merge_fragments(frags):
+            gx, gy = apply_geotransform(gt, ring[:, 0], ring[:, 1])
+            geo_rings.append(np.stack([gx, gy], axis=1))
+        out.append(
+            {
+                "elev_min": lo,
+                "elev_max": hi,
+                "rings": geo_rings,
+                "area": area,
+            }
+        )
     return out

@@ -116,6 +116,35 @@ def interpolate_at_point_bilinear(band: np.ndarray, px: np.ndarray, py: np.ndarr
     return top * (1 - wy) + bot * wy
 
 
+def interpolate_at_point_cubic(band: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Cubic-convolution read at fractional pixel coordinates
+    (gdallocationinfo -r cubic; reference ``alg/gdal_interpolateatpoint.h:37``
+    lists near/bilinear/cubic): Keys a=-0.5 kernel (``_cubic_weight``) on a
+    4x4 tap window, pixel-center convention with the same edge clamping as
+    the bilinear arm (coordinates clipped to the center range, tap indices
+    clipped to the band). The kernel weights sum to exactly 1 at any
+    fractional offset, so no normalization is needed."""
+    h, w = band.shape[:2]
+    fx = np.clip(px - 0.5, 0, w - 1)
+    fy = np.clip(py - 0.5, 0, h - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    f = band.astype(np.float64)
+    acc = np.zeros_like(fx, dtype=np.float64)
+    for dy in range(-1, 3):
+        wyv = _cubic_weight(wy - dy)
+        iy = np.clip(y0 + dy, 0, h - 1)
+        row = np.zeros_like(fx, dtype=np.float64)
+        for dx in range(-1, 3):
+            wxv = _cubic_weight(wx - dx)
+            ix = np.clip(x0 + dx, 0, w - 1)
+            row = row + wxv * f[iy, ix]
+        acc = acc + wyv * row
+    return acc
+
+
 def resample_average(img, factor):
     """Integer-factor box average (overview AVERAGE kernel,
     gcore/overview.cpp:1144 on exact-factor grids)."""

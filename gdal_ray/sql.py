@@ -6,25 +6,39 @@ ogr_gensql.cpp`` executor). Supported subset — the dialect's documented
 core (single input layer):
 
   SELECT [DISTINCT] <expr [AS alias], ... | aggregates> FROM <table>
-  [WHERE <expr>] [GROUP BY <cols>] [ORDER BY <col> [ASC|DESC], ...]
-  [LIMIT n]
+  [[LEFT] JOIN <table2> ON t.a = t2.b]...
+  [WHERE <expr>] [GROUP BY <cols>] [HAVING <expr>]
+  [ORDER BY <col> [ASC|DESC], ...] [LIMIT n]
 
 Expressions: column refs (optionally table-qualified), numeric/string
 literals, + - * / % and unary -, comparisons (= != <> < <= > >=),
-AND / OR / NOT, LIKE (OGR's %/_ wildcards), IN (...), BETWEEN a AND b,
-IS [NOT] NULL, parentheses, CAST(x AS integer/float/character) — float->
-integer TRUNCATES like swq's C cast (DuckDB rounds) — and the swq string
-functions CONCAT / SUBSTR (1-based) / UPPER / LOWER / LENGTH / TRIM.
-Aggregates: COUNT(*) / COUNT(x), SUM, AVG, MIN, MAX (swq_op registry,
-ogr/swq_parser.y). One secondary-table [LEFT] JOIN ... ON t1.a = t2.b
-(the dialect's join is a left join). Not implemented: HAVING, subqueries,
-UNION (each raises with a clear message).
+AND / OR / NOT, LIKE (OGR's %/_ wildcards), IN (values or a single-column
+subquery), BETWEEN a AND b, IS [NOT] NULL, parentheses,
+CAST(x AS integer/float/character) — float->integer TRUNCATES like swq's
+C cast (DuckDB rounds) — and the swq string functions CONCAT / SUBSTR
+(1-based) / UPPER / LOWER / LENGTH / TRIM. Aggregates: COUNT(*) /
+COUNT(x) (NULLs skipped, like swq/DuckDB), SUM, AVG, MIN, MAX (swq_op
+registry, ogr/swq_parser.y). Any number of secondary-table [LEFT] JOIN
+... ON t1.a = t2.b clauses (the dialect's JOIN is a left join —
+ogr_gensql.cpp join machinery at ogr_gensql.cpp:1497); HAVING filters
+the aggregated rows and may use aggregates; IN (SELECT one_col FROM ...)
+runs the subquery first and broadcasts its value set to every filter
+task (the bounded-small-side pattern — the subquery result must fit on
+the driver, which matches OGR's executor materializing the secondary
+side). Not implemented: UNION (raises with a clear message).
+
+Documented deviation: string comparisons (=, <, IN, BETWEEN) are
+CASE-SENSITIVE here, matching DuckDB (the twin oracle) and this
+module's LIKE; the reference's swq_op_general.cpp:955ff uses strcasecmp
+for them. CAST(float AS integer) keeps OGR's truncation instead of
+DuckDB's rounding (pinned by tests/test_sql.py).
 
 Compilation is Ray-Data-native: WHERE/projections become ONE vectorized
-pandas ``map_batches`` (fused with the parquet read), aggregates go
+pandas ``map_batches`` (fused with the parquet read; conjuncts that only
+touch primary-table columns are pushed BELOW the joins), aggregates go
 through ``Dataset.groupby().aggregate()`` (distributed partial+final),
 ORDER BY is ``Dataset.sort`` and LIMIT streams. Nothing materializes on
-the driver.
+the driver except IN-subquery value sets.
 """
 
 from __future__ import annotations
@@ -163,11 +177,16 @@ class _Parser:
         elif tok == ("kw", "in"):
             self.next()
             self.expect("op", "(")
-            vals = [self._arith()]
-            while self.accept("op", ","):
-                vals.append(self._arith())
-            self.expect("op", ")")
-            node = ("in", node, vals)
+            if self.peek() == ("kw", "select"):
+                sub = self.select_stmt()
+                self.expect("op", ")")
+                node = ("insub", node, sub)
+            else:
+                vals = [self._arith()]
+                while self.accept("op", ","):
+                    vals.append(self._arith())
+                self.expect("op", ")")
+                node = ("in", node, vals)
         elif tok == ("kw", "between"):
             self.next()
             lo = self._arith()
@@ -245,88 +264,114 @@ class _Parser:
                 col = self.next()[1]
                 return ("qcol", tok[1], col)
             return ("col", tok[1])
-        if tok[0] == "kw" and tok[1] in ("union", "having"):
-            raise SQLError(f"OGR SQL subset: {tok[1].upper()} is not supported")
+        if tok == ("kw", "union"):
+            raise SQLError("OGR SQL subset: UNION is not supported")
         raise SQLError(f"unexpected token {tok}")
+
+    def select_stmt(self) -> dict:
+        """SELECT ... [joins] [WHERE] [GROUP BY] [HAVING] [ORDER BY]
+        [LIMIT] — stops at the first token it does not own (so it can be
+        used for parenthesized IN-subqueries)."""
+        p = self
+        p.expect("kw", "select")
+        distinct = p.accept("kw", "distinct")
+        select = []
+        star = False
+        if p.peek() == ("op", "*") and p.peek(1) == ("kw", "from"):
+            p.next()
+            star = True
+        else:
+            while True:
+                e = p.expr()
+                alias = None
+                if p.accept("kw", "as"):
+                    alias = p.expect("id")[1]
+                select.append((e, alias))
+                if not p.accept("op", ","):
+                    break
+        p.expect("kw", "from")
+        table = p.expect("id")[1]
+        if table not in _TABLES:
+            raise SQLError(f"unknown table {table!r}; expected one of {_TABLES}")
+        # OGR SQL secondary-table joins: each is ON t1.f1 = t2.f2 where one
+        # side names the NEW table and the other any table joined so far
+        # (the dialect's JOIN is a left join — ogr_sql.html, ogr_gensql.cpp)
+        joins = []
+        seen_tables = {table}
+        while True:
+            if p.accept("kw", "left"):
+                p.expect("kw", "join")
+            elif not p.accept("kw", "join"):
+                break
+            jtable = p.expect("id")[1]
+            if jtable not in _TABLES:
+                raise SQLError(f"unknown join table {jtable!r}")
+            if jtable in seen_tables:
+                raise SQLError(f"table {jtable!r} joined twice (no self-join)")
+            p.expect("kw", "on")
+            lhs = p.expr()
+            if lhs[0] != "cmp" or lhs[1] != "=" \
+                    or lhs[2][0] != "qcol" or lhs[3][0] != "qcol":
+                raise SQLError("JOIN condition must be <t1>.<col> = <t2>.<col>")
+            sides = {lhs[2][1]: lhs[2][2], lhs[3][1]: lhs[3][2]}
+            if jtable not in sides or not (set(sides) - {jtable}) <= seen_tables:
+                raise SQLError(
+                    f"JOIN condition must reference {jtable} and an "
+                    f"already-joined table ({sorted(seen_tables)})"
+                )
+            left_tab = next(t for t in sides if t != jtable)
+            joins.append({
+                "table": jtable,
+                "left_col": sides[left_tab],
+                "right_col": sides[jtable],
+            })
+            seen_tables.add(jtable)
+        where = group_by = having = None
+        order_by = []
+        limit = None
+        if p.accept("kw", "where"):
+            where = p.expr()
+        if p.accept("kw", "group"):
+            p.expect("kw", "by")
+            group_by = [p.expect("id")[1]]
+            while p.accept("op", ","):
+                group_by.append(p.expect("id")[1])
+        if p.accept("kw", "having"):
+            if group_by is None:
+                raise SQLError("HAVING requires GROUP BY")
+            having = p.expr()
+        if p.accept("kw", "order"):
+            p.expect("kw", "by")
+            while True:
+                col = p.expect("id")[1]
+                desc = False
+                if p.accept("kw", "desc"):
+                    desc = True
+                else:
+                    p.accept("kw", "asc")
+                order_by.append((col, desc))
+                if not p.accept("op", ","):
+                    break
+        if p.accept("kw", "limit"):
+            limit = int(p.expect("num")[1])
+        return {
+            "select": select, "star": star, "distinct": distinct,
+            "table": table, "joins": joins, "where": where,
+            "group_by": group_by, "having": having,
+            "order_by": order_by, "limit": limit,
+        }
 
 
 def parse(sql: str) -> dict:
-    """Parse a SELECT into {select, distinct, table, where, group_by,
-    order_by, limit}."""
+    """Parse a SELECT into {select, distinct, table, joins, where,
+    group_by, having, order_by, limit}."""
     p = _Parser(_tokenize(sql))
-    p.expect("kw", "select")
-    distinct = p.accept("kw", "distinct")
-    select = []
-    star = False
-    if p.peek() == ("op", "*") and p.peek(1) == ("kw", "from"):
-        p.next()
-        star = True
-    else:
-        while True:
-            e = p.expr()
-            alias = None
-            if p.accept("kw", "as"):
-                alias = p.expect("id")[1]
-            select.append((e, alias))
-            if not p.accept("op", ","):
-                break
-    p.expect("kw", "from")
-    table = p.expect("id")[1]
-    if table not in _TABLES:
-        raise SQLError(f"unknown table {table!r}; expected one of {_TABLES}")
-    join = None
-    if p.accept("kw", "left"):
-        p.expect("kw", "join")
-        join = True
-    elif p.accept("kw", "join"):
-        join = True
-    if join:
-        # OGR SQL's single secondary-table join: ON t1.f1 = t2.f2
-        # (the dialect's JOIN is a left join — ogr_sql.html, ogr_gensql.cpp)
-        jtable = p.expect("id")[1]
-        if jtable not in _TABLES:
-            raise SQLError(f"unknown join table {jtable!r}")
-        p.expect("kw", "on")
-        lhs = p.expr()
-        if lhs[0] != "cmp" or lhs[1] != "=" or lhs[2][0] != "qcol" or lhs[3][0] != "qcol":
-            raise SQLError("JOIN condition must be <t1>.<col> = <t2>.<col>")
-        sides = {lhs[2][1]: lhs[2][2], lhs[3][1]: lhs[3][2]}
-        if set(sides) != {table, jtable}:
-            raise SQLError(f"JOIN condition must reference {table} and {jtable}")
-        join = {"table": jtable, "left_col": sides[table], "right_col": sides[jtable]}
-    where = group_by = None
-    order_by = []
-    limit = None
-    if p.accept("kw", "where"):
-        where = p.expr()
-    if p.accept("kw", "group"):
-        p.expect("kw", "by")
-        group_by = [p.expect("id")[1]]
-        while p.accept("op", ","):
-            group_by.append(p.expect("id")[1])
-    if p.accept("kw", "having"):
-        raise SQLError("OGR SQL subset: HAVING is not supported")
-    if p.accept("kw", "order"):
-        p.expect("kw", "by")
-        while True:
-            col = p.expect("id")[1]
-            desc = False
-            if p.accept("kw", "desc"):
-                desc = True
-            else:
-                p.accept("kw", "asc")
-            order_by.append((col, desc))
-            if not p.accept("op", ","):
-                break
-    if p.accept("kw", "limit"):
-        limit = int(p.expect("num")[1])
+    q = p.select_stmt()
+    if p.peek() == ("kw", "union"):
+        raise SQLError("OGR SQL subset: UNION is not supported")
     if p.peek()[0] != "eof":
         raise SQLError(f"trailing tokens at {p.peek()}")
-    return {
-        "select": select, "star": star, "distinct": distinct, "table": table,
-        "join": join, "where": where, "group_by": group_by,
-        "order_by": order_by, "limit": limit,
-    }
+    return q
 
 
 # --------------------------------------------------------------------------
@@ -384,8 +429,27 @@ def _eval(node, df: pd.DataFrame):
         rx = _like_to_re(pat)
         return _eval(node[1], df).astype(str).str.match(rx)
     if kind == "in":
+        target = _eval(node[1], df)
         vals = [_eval(v, df) for v in node[2]]
+        if not any(isinstance(v, pd.Series) for v in vals):
+            return target.isin(vals)
+        # IN-list with column operands: OR of per-element equality
+        mask = target == vals[0]
+        for v in vals[1:]:
+            mask = mask | (target == v)
+        return mask
+    if kind == "inset":
+        # IN (SELECT ...) after subquery resolution: node[2] is either the
+        # value set itself or a ray.ObjectRef to it (broadcast once via
+        # ray.put; plasma-local ray.get per task)
+        vals = node[2]
+        if not isinstance(vals, (set, frozenset)):
+            import ray
+
+            vals = ray.get(vals)
         return _eval(node[1], df).isin(vals)
+    if kind == "pre":
+        return node[1]
     if kind == "between":
         v = _eval(node[1], df)
         return (v >= _eval(node[2], df)) & (v <= _eval(node[3], df))
@@ -423,11 +487,27 @@ def _eval(node, df: pd.DataFrame):
         if name == "trim":
             return _s(args[0]).str.strip()
         if name == "substr":
-            # OGR SUBSTR is 1-based (swq_op_general.cpp SUBSTR)
+            # OGR SUBSTR is 1-based (swq_op_general.cpp SUBSTR); start and
+            # length may themselves be column expressions (per-row bounds)
             s = _s(args[0])
-            start = args[1] - 1 if not isinstance(args[1], pd.Series) else args[1] - 1
-            if len(node[2]) >= 3:
-                ln = args[2]
+            start = args[1] - 1
+            ln = args[2] if len(node[2]) >= 3 else None
+            if isinstance(start, pd.Series) or isinstance(ln, pd.Series):
+                st = start if isinstance(start, pd.Series) else pd.Series(
+                    np.full(len(s), start), index=s.index
+                )
+                if ln is None:
+                    return pd.Series(
+                        [v[int(b):] for v, b in zip(s, st)], index=s.index
+                    )
+                lns = ln if isinstance(ln, pd.Series) else pd.Series(
+                    np.full(len(s), ln), index=s.index
+                )
+                return pd.Series(
+                    [v[int(b):int(b) + int(n)] for v, b, n in zip(s, st, lns)],
+                    index=s.index,
+                )
+            if ln is not None:
                 return s.str.slice(int(start), int(start) + int(ln))
             return s.str.slice(int(start))
         raise SQLError(f"unknown function {name!r}")
@@ -487,36 +567,106 @@ def _find_aggs(node, acc: list):
     return acc
 
 
+def _substitute_aggs(node, sub: dict):
+    """Replace each ("agg", ...) node by ("pre", series) from ``sub``
+    (keyed by id), so the full _eval grammar works over aggregated rows
+    (HAVING predicates, CAST/compare over aggregates, ...)."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "agg":
+        return ("pre", sub[id(node)])
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_substitute_aggs(ch, sub))
+        elif isinstance(ch, list):
+            out.append([_substitute_aggs(c, sub) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
+
+
+def _conjuncts(node) -> list:
+    """Split an expression into its top-level AND terms."""
+    if isinstance(node, tuple) and node[0] == "and":
+        return _conjuncts(node[1]) + _conjuncts(node[2])
+    return [node]
+
+
+def _and_all(terms: list):
+    node = terms[0]
+    for t in terms[1:]:
+        node = ("and", node, t)
+    return node
+
+
+def _resolve_subqueries(node, sf_dir: str):
+    """Run each ("insub", expr, subquery) and replace it with an
+    ("inset", expr, values) filter. The subquery must select exactly one
+    column; its result is materialized on the driver (bounded small side,
+    like OGR's executor) and broadcast via ray.put when large."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "insub":
+        sub = node[2]
+        if len(sub["select"]) != 1 or sub["star"]:
+            raise SQLError("IN-subquery must select exactly one column")
+        vals_df = _plan(sub, sf_dir).to_pandas()
+        vals = frozenset(vals_df.iloc[:, 0].dropna().tolist())
+        if len(vals) > 50_000:
+            import ray
+
+            return ("inset", _resolve_subqueries(node[1], sf_dir), ray.put(vals))
+        return ("inset", _resolve_subqueries(node[1], sf_dir), vals)
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_resolve_subqueries(ch, sf_dir))
+        elif isinstance(ch, list):
+            out.append([_resolve_subqueries(c, sf_dir) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
+
+
 def execute_sql(sql: str, sf_dir: str):
     """Run an OGR-SQL SELECT against the parquet tables under ``sf_dir``.
-    Returns a ray.data.Dataset (lazy until consumed)."""
+    Returns a ray.data.Dataset (lazy until consumed, except IN-subquery
+    value sets which resolve eagerly)."""
+    return _plan(parse(sql), sf_dir)
+
+
+def _plan(q: dict, sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
-    q = parse(sql)
-    valid_tables = {q["table"]} | ({q["join"]["table"]} if q["join"] else set())
+    valid_tables = {q["table"]} | {j["table"] for j in q["joins"]}
     q["select"] = [(_dequalify(e, valid_tables), a) for e, a in q["select"]]
-    if q["where"] is not None:
-        q["where"] = _dequalify(q["where"], valid_tables)
+    for key in ("where", "having"):
+        if q[key] is not None:
+            q[key] = _resolve_subqueries(_dequalify(q[key], valid_tables), sf_dir)
 
     ds = _rpt(os.path.join(sf_dir, f"{q['table']}.parquet"))
-    avail = list(ds.schema().names)
-    ds2 = avail2 = None
-    if q["join"]:
-        ds2 = _rpt(os.path.join(sf_dir, f"{q['join']['table']}.parquet"))
-        avail2 = list(ds2.schema().names)
-        avail = avail + [c for c in avail2 if c not in avail]
+    primary_cols = list(ds.schema().names)
+    avail = list(primary_cols)
+    join_scans = []  # (join spec, dataset, its columns)
+    for j in q["joins"]:
+        ds2 = _rpt(os.path.join(sf_dir, f"{j['table']}.parquet"))
+        cols2 = list(ds2.schema().names)
+        join_scans.append((j, ds2, cols2))
+        avail = avail + [c for c in cols2 if c not in avail]
     if q["star"]:
         q["select"] = [(("col", c), None) for c in avail]
-    # data columns (select expressions, WHERE, GROUP BY) must exist in the
-    # table; ORDER BY may also name an output alias
+    # data columns (select expressions, WHERE/HAVING, GROUP BY, join keys)
+    # must exist in some scanned table; ORDER BY may also name an alias
     data_cols: set = set()
     for e, _ in q["select"]:
         _columns_of(e, data_cols)
-    if q["where"] is not None:
-        _columns_of(q["where"], data_cols)
+    for key in ("where", "having"):
+        if q[key] is not None:
+            _columns_of(q[key], data_cols)
     for c in q["group_by"] or []:
         data_cols.add(c)
     out_names = [
@@ -531,21 +681,55 @@ def execute_sql(sql: str, sf_dir: str):
             needed.add(c)
         elif c not in out_names:
             raise SQLError(f"unknown ORDER BY column {c!r}")
-    if q["join"]:
+    for j, _, _ in join_scans:
+        needed.add(j["left_col"])
+        needed.add(j["right_col"])
+
+    # push WHERE conjuncts that only touch primary-table columns below the
+    # joins (left join keeps every primary row, so this is lossless)
+    where = q["where"]
+    pre_where = None
+    if where is not None and join_scans:
+        pre, post = [], []
+        for term in _conjuncts(where):
+            cols: set = set()
+            _columns_of(term, cols)
+            (pre if cols <= set(primary_cols) else post).append(term)
+        if pre:
+            pre_where = _and_all(pre)
+            where = _and_all(post) if post else None
+
+    if join_scans:
         from gdal_ray.ops.shuffle import adaptive_partitions
 
-        lkey, rkey = q["join"]["left_col"], q["join"]["right_col"]
-        lcols = sorted(((needed | {lkey}) & set(ds.schema().names)))
-        rcols = sorted(((needed | {rkey}) & set(avail2)) - set(lcols))
-        if rkey not in rcols:
-            rcols = sorted(set(rcols) | {rkey})
-        ds = ds.select_columns(lcols).join(
-            ds2.select_columns(rcols),
-            join_type="left_outer",
-            num_partitions=adaptive_partitions(),
-            on=(lkey,),
-            right_on=(rkey,),
-        )
+        lcols = sorted(needed & set(primary_cols))
+        ds = ds.select_columns(lcols)
+        if pre_where is not None:
+            pw = pre_where
+
+            def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+                return df[np.asarray(_eval(pw, df), dtype=bool)]
+
+            ds = ds.map_batches(prefilter, batch_format="pandas")
+        have = set(lcols)
+        for j, ds2, cols2 in join_scans:
+            lkey, rkey = j["left_col"], j["right_col"]
+            if lkey not in have:
+                raise SQLError(
+                    f"JOIN key {lkey!r} not available before joining "
+                    f"{j['table']!r}"
+                )
+            rcols = sorted(((needed | {rkey}) & set(cols2)) - have)
+            if rkey not in rcols:
+                rcols = sorted(set(rcols) | {rkey})
+            ds = ds.join(
+                ds2.select_columns(rcols),
+                join_type="left_outer",
+                num_partitions=adaptive_partitions(),
+                on=(lkey,),
+                right_on=(rkey,),
+            )
+            have |= set(rcols)
     else:
         cols = sorted(needed & set(avail))
         if cols:
@@ -559,9 +743,11 @@ def execute_sql(sql: str, sf_dir: str):
     aggs = []
     for e, _ in q["select"]:
         _find_aggs(e, aggs)
+    having = q["having"]
+    if having is not None:
+        _find_aggs(having, aggs)
     is_agg = bool(aggs) or q["group_by"] is not None
 
-    where = q["where"]
     select = q["select"]
 
     if not is_agg:
@@ -587,10 +773,13 @@ def execute_sql(sql: str, sf_dir: str):
             )
     else:
         group_by = q["group_by"] or []
-        # per-select-item plan: each aggregate lands in a staging column
-        agg_specs = []  # (staging_col, kind, argexpr)
+        # per-select-item plan: each aggregate lands in a staging column.
+        # COUNT(col) skips NULLs (swq + DuckDB): stage a notna int and SUM
+        # it; only COUNT(*) uses the plain row Count.
+        agg_specs = []  # (staging_col, kind, argexpr, count_star)
         for i, a in enumerate(aggs):
-            agg_specs.append((f"__agg{i}", a[1], a[2]))
+            star = a[1] == "count" and a[2] == ("lit", 1)
+            agg_specs.append((f"__agg{i}", a[1], a[2], star))
 
         def stage(df: pd.DataFrame) -> pd.DataFrame:
             if where is not None:
@@ -598,23 +787,28 @@ def execute_sql(sql: str, sf_dir: str):
             out = {}
             for g in group_by:
                 out[g] = df[g]
-            for cname, kind, arg in agg_specs:
+            for cname, kind, arg, star in agg_specs:
                 v = _eval(arg, df)
-                out[cname] = v if isinstance(v, pd.Series) else pd.Series(
-                    np.full(len(df), v), index=df.index
-                )
+                if not isinstance(v, pd.Series):
+                    v = pd.Series(np.full(len(df), v), index=df.index)
+                if kind == "count" and not star:
+                    v = v.notna().astype(np.int64)
+                out[cname] = v
             return pd.DataFrame(out)
 
         staged = ds.map_batches(stage, batch_format="pandas")
         ray_aggs = []
-        for cname, kind, _ in agg_specs:
-            ray_aggs.append(
-                {"count": Count, "sum": Sum, "avg": Mean, "min": Min, "max": Max}[kind](
-                    cname, alias_name=cname + "_r"
+        for cname, kind, _, star in agg_specs:
+            if kind == "count" and star:
+                ray_aggs.append(Count(alias_name=cname + "_r"))
+            elif kind == "count":
+                ray_aggs.append(Sum(cname, alias_name=cname + "_r"))
+            else:
+                ray_aggs.append(
+                    {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[kind](
+                        cname, alias_name=cname + "_r"
+                    )
                 )
-                if kind != "count"
-                else Count(alias_name=cname + "_r")
-            )
         agged = (
             staged.groupby(group_by or None).aggregate(*ray_aggs)
             if group_by
@@ -629,39 +823,31 @@ def execute_sql(sql: str, sf_dir: str):
                 pa.table({k: [v] for k, v in row.items()})
             )
 
-        # final projection: replace each agg node with its staged result
+        # final projection (and HAVING filter): replace each agg node with
+        # its staged result, then evaluate with the full expression grammar
         def finish(df: pd.DataFrame) -> pd.DataFrame:
-            sub = {id(aggs[i]): df[cname + "_r"] for i, (cname, _, _) in enumerate(agg_specs)}
-
-            def ev(node):
-                if node[0] == "agg":
-                    return sub[id(node)]
-                if node[0] == "col":
-                    return df[node[1]]
-                if node[0] == "lit":
-                    return node[1]
-                if node[0] == "neg":
-                    return -ev(node[1])
-                if node[0] == "bin":
-                    a, b = ev(node[2]), ev(node[3])
-                    if node[1] == "+":
-                        return a + b
-                    if node[1] == "-":
-                        return a - b
-                    if node[1] == "*":
-                        return a * b
-                    if node[1] == "/":
-                        return a / b
-                    return a % b
-                raise SQLError("unsupported expression over aggregates")
-
+            sub = {
+                id(aggs[i]): df[cname + "_r"]
+                for i, (cname, _, _, _) in enumerate(agg_specs)
+            }
+            if having is not None:
+                mask = _eval(_substitute_aggs(having, sub), df)
+                df = df[np.asarray(mask, dtype=bool)]
+                sub = {k: v[df.index] for k, v in sub.items()}
             out = {}
             for name, (e, _) in zip(out_names, select):
-                v = ev(e)
+                v = _eval(_substitute_aggs(e, sub), df)
                 out[name] = v if isinstance(v, pd.Series) else pd.Series(
-                    np.full(len(df), v)
+                    np.full(len(df), v), index=df.index
                 )
-            return pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            if len(res) == 0:
+                # 0-row object columns confuse Ray's block size estimator;
+                # pin them to a concrete string dtype (same Arrow schema)
+                for c in res.columns:
+                    if res[c].dtype == object:
+                        res[c] = res[c].astype("string")
+            return res
 
         ds = agged.map_batches(finish, batch_format="pandas")
 

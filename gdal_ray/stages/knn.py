@@ -187,39 +187,96 @@ def knn_shuffle(points_ds, queries_ds, k: int, level: int = CELL_LEVEL, num_buck
     world = 1 << level
 
     def replicate(batch: pa.Table) -> pa.Table:
+        # Fully vectorized ring-size selection (no per-query Python loop):
+        # queries sharing a cell share ring counts, so Chebyshev distances
+        # to the OCCUPIED cells (<= 4^level) are computed once per unique
+        # query cell; a cumsum over the distance-sorted counts yields the
+        # minimal radius h with >= k points, and the doubling search's
+        # answer is exactly the next power of two >= h. Replications are
+        # emitted with numpy repeat/tile per unique (cell, R) group.
         cmap = ray.get(counts_ref)
         qx = np.asarray(batch["cx"], dtype=np.float64)
         qy = np.asarray(batch["cy"], dtype=np.float64)
-        qid = batch["query_id"].to_pylist()
+        qid = np.asarray(batch["query_id"])
+        nq = len(qid)
         qk = (
             np.asarray(batch["k"], dtype=np.int64)
             if "k" in batch.column_names
-            else np.full(len(qid), k, dtype=np.int64)
+            else np.full(nq, k, dtype=np.int64)
         )
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "cx": pa.array([], pa.float64()),
+                "cy": pa.array([], pa.float64()),
+                "cell": pa.array([], pa.int64()),
+                "kq": pa.array([], pa.int64()),
+            }
+        )
+        if nq == 0 or not cmap:
+            return empty
         qcell = CL.cell_of_meters(qx, qy, level)
-        out = {"query_id": [], "cx": [], "cy": [], "cell": [], "kq": []}
-        for i in range(len(qid)):
-            kk = min(int(qk[i]), total)
-            r = 1
-            while r < world:
-                ring = CL.k_ring(int(qcell[i]), r)
-                if sum(cmap.get(int(c), 0) for c in ring) >= kk:
-                    break
-                r *= 2
-            R = min(world, int(np.ceil((r + 1) * np.sqrt(2.0))) + 1)
-            for c in CL.k_ring(int(qcell[i]), R):
-                out["query_id"].append(qid[i])
-                out["cx"].append(qx[i])
-                out["cy"].append(qy[i])
-                out["cell"].append(int(c))
-                out["kq"].append(int(qk[i]))
+        occ = np.fromiter(cmap.keys(), dtype=np.int64, count=len(cmap))
+        occ_cnt = np.fromiter(cmap.values(), dtype=np.int64, count=len(cmap))
+        _, ox, oy = CL.cell_to_xyz(occ)
+        ucell, uinv = np.unique(qcell, return_inverse=True)
+        zs, ux, uy = CL.cell_to_xyz(ucell)
+        n = world
+        kk = np.minimum(qk, total)
+        hmin = np.empty(nq, dtype=np.int64)
+        # chunk unique cells so the (chunk x occupied) distance matrix
+        # stays bounded regardless of batch/corpus shape
+        chunk = max(1, 4_000_000 // max(len(occ), 1))
+        for s in range(0, len(ucell), chunk):
+            e = min(s + chunk, len(ucell))
+            dx = np.abs(ox[None, :] - ux[s:e, None])
+            dx = np.minimum(dx, n - dx)  # x wraps at the antimeridian
+            cheb = np.maximum(dx, np.abs(oy[None, :] - uy[s:e, None]))
+            order = np.argsort(cheb, axis=1, kind="stable")
+            cheb_s = np.take_along_axis(cheb, order, axis=1)
+            csum = np.cumsum(
+                np.take_along_axis(
+                    np.broadcast_to(occ_cnt, cheb.shape), order, axis=1
+                ),
+                axis=1,
+            )
+            for u in range(s, e):
+                sel = uinv == u
+                if not sel.any():
+                    continue
+                idx = np.minimum(
+                    np.searchsorted(csum[u - s], kk[sel]), len(occ) - 1
+                )
+                hmin[sel] = cheb_s[u - s][idx]
+        # doubling search equivalent: first power of two >= max(hmin, 1)
+        r = (1 << np.ceil(np.log2(np.maximum(hmin, 1))).astype(np.int64))
+        R = np.minimum(world, np.ceil((r + 1) * np.sqrt(2.0)).astype(np.int64) + 1)
+        # emit replications grouped by identical (query cell, R): every
+        # query in a group shares the exact same ring
+        z0 = int(zs[0]) if len(zs) else level
+        gkey = uinv.astype(np.int64) * (4 * world + 8) + R
+        ukey, ginv = np.unique(gkey, return_inverse=True)
+        parts_idx, parts_cell = [], []
+        for g in range(len(ukey)):
+            members = np.flatnonzero(ginv == g)
+            u = int(uinv[members[0]])
+            Rg = int(R[members[0]])
+            xs = (int(ux[u]) + np.arange(-Rg, Rg + 1, dtype=np.int64)) % n
+            yy = int(uy[u]) + np.arange(-Rg, Rg + 1, dtype=np.int64)
+            yy = yy[(yy >= 0) & (yy < n)]
+            gx, gy = np.meshgrid(xs, yy)
+            ring = np.unique(CL.cell_id(z0, gx.ravel(), gy.ravel()))
+            parts_idx.append(np.repeat(members, len(ring)))
+            parts_cell.append(np.tile(ring, len(members)))
+        idx = np.concatenate(parts_idx)
+        cells = np.concatenate(parts_cell)
         return pa.table(
             {
-                "query_id": pa.array(out["query_id"], pa.string()),
-                "cx": pa.array(out["cx"], pa.float64()),
-                "cy": pa.array(out["cy"], pa.float64()),
-                "cell": pa.array(out["cell"], pa.int64()),
-                "kq": pa.array(out["kq"], pa.int64()),
+                "query_id": pa.array(qid[idx].astype(str), pa.string()),
+                "cx": pa.array(qx[idx], pa.float64()),
+                "cy": pa.array(qy[idx], pa.float64()),
+                "cell": pa.array(cells, pa.int64()),
+                "kq": pa.array(qk[idx], pa.int64()),
             }
         )
 
