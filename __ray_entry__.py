@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_poly_intersection_area": RQ.q_poly_intersection_area,
         "q_nearblack": RQ.q_nearblack,
         "q_pansharpen": RQ.q_pansharpen,
+        "q_mosaic": RQ.q_mosaic,
         "q_viewshed": RQ.q_viewshed,
         "q_audio_features": EQ.q_audio_features,
         "q_rat": RQ.q_rat,

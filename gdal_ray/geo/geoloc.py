@@ -78,10 +78,14 @@ class GeolocTransform:
         gy = np.asarray(gy, dtype=np.float64)
         flat_x = gx.ravel()
         flat_y = gy.ravel()
-        # coarse seed: nearest subsampled node (chunked to bound memory)
+        # coarse seed: nearest subsampled node. Chunk size scales inversely
+        # with the seed count so the (chunk x n_seeds) d2 matrix stays
+        # ~16M float64 elements (~128 MB) regardless of grid size — a fixed
+        # chunk would allocate chunk*n_seeds*8 bytes per concurrent task
+        # (e.g. 65536 x 4096 = 2 GB).
         r = np.empty(flat_x.shape, dtype=np.float64)
         c = np.empty(flat_x.shape, dtype=np.float64)
-        B = 65536
+        B = max(1, 16_000_000 // max(len(self._seed_x), 1))
         for s in range(0, len(flat_x), B):
             e = min(s + B, len(flat_x))
             d2 = (flat_x[s:e, None] - self._seed_x[None, :]) ** 2 + (

@@ -213,9 +213,14 @@ def layer_boolean_areas(layer_a, layer_b, op: str, level: int = CELL_LEVEL, num_
                 pring = W.decode_polygons(pwkb)[0][0]
                 if emit_inter and side == "a":
                     inter = pieces_area(polygon_intersection(ring, pring))
-                    out["fid"].append(f"{fid}|{pfid}")
-                    out["src"].append("AB")
-                    out["area"].append(round(inter, 6))
+                    # emit the A∩B pair feature only when the geometries
+                    # actually intersect (reference ogrlayer.cpp Union/
+                    # Identity skip non-intersecting candidates); envelope
+                    # overlap alone does not imply a real intersection
+                    if inter > 1e-12:
+                        out["fid"].append(f"{fid}|{pfid}")
+                        out["src"].append("AB")
+                        out["area"].append(round(inter, 6))
                 nxt = []
                 for p in pieces:
                     nxt.extend(polygon_difference(np.asarray(p), pring))

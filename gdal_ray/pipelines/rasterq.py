@@ -36,6 +36,7 @@ __all__ = [
     "q_poly_intersection_area",
     "q_nearblack",
     "q_pansharpen",
+    "q_mosaic",
     "q_viewshed",
     "q_rat",
     "q_stack_median",
@@ -874,6 +875,127 @@ def q_viewshed(sf_dir: str):
         )
 
     return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow", batch_size=8)
+
+
+def q_mosaic(sf_dir: str, level: int = 8, canvas: int = 64):
+    """Corpus-scale VRT mosaic (gdalbuildvrt / frmts/vrt/vrtsources.cpp
+    paint order) as a PRODUCTION fused pipeline — the scale-shaped sibling
+    of the gate's q_mosaic_lattice: per-image partial canvases are built
+    INSIDE the fused read task (decode + nearest-sample onto the target
+    tile grid; the payload never enters the object store), then ONE
+    bucketed shuffle on the target tile paints partials in image_id order
+    with last-wins-on-valid (kernels.mosaic_arrays semantics). Emits one
+    row per non-empty target tile: (z, x, y, n_sources, filled_px, cksum).
+    Uses the EPSG:3857 placement slice (the 4326 slice is exercised by
+    q_warp_4326_images)."""
+    import ray.data as rd
+
+    from gdal_ray.geo import mercator as M
+    from gdal_ray.io import codec as C
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+    from gdal_ray.pipelines.flagship import fused_image_apply
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.stages.geo import _gt_matrix
+
+    d = corpus_for_sf(sf_dir)
+    n = 1 << level
+    span = 2 * M.ORIGIN_SHIFT / n
+    res = span / canvas
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        rows = {"tile": [], "image_id": [], "part": []}
+        keep = [i for i, s in enumerate(batch["srs"].to_pylist())
+                if s == "EPSG:3857"]
+        if keep:
+            batch2 = batch.take(pa.array(keep))
+            gts = _gt_matrix(batch2)
+            blobs = batch2["bytes"].to_pylist()
+            fmts = batch2["fmt"].to_pylist()
+            ids = batch2["image_id"].to_pylist()
+            for i in range(len(ids)):
+                img = C.decode_image(blobs[i], fmts[i])
+                band = img[:, :, 0] if img.ndim == 3 else img
+                h, w = band.shape
+                x0, px, _, y0, _, npy = gts[i]
+                py = -npy
+                minx, maxx = x0, x0 + px * w
+                miny, maxy = y0 - py * h, y0
+                tx0 = int(np.floor((minx + M.ORIGIN_SHIFT) / span))
+                tx1 = int(np.floor((maxx + M.ORIGIN_SHIFT) / span))
+                ty0 = int(np.floor((miny + M.ORIGIN_SHIFT) / span))
+                ty1 = int(np.floor((maxy + M.ORIGIN_SHIFT) / span))
+                for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+                    for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                        bx0 = tx * span - M.ORIGIN_SHIFT
+                        by0 = ty * span - M.ORIGIN_SHIFT
+                        # target pixel centers inside this tile
+                        gx = bx0 + (np.arange(canvas) + 0.5) * res
+                        gy = by0 + (np.arange(canvas) + 0.5) * res
+                        sx = np.floor((gx - x0) / px).astype(np.int64)
+                        sy = np.floor((y0 - gy) / py).astype(np.int64)
+                        okx = (sx >= 0) & (sx < w)
+                        oky = (sy >= 0) & (sy < h)
+                        if not (okx.any() and oky.any()):
+                            continue
+                        part = np.zeros((canvas, canvas), dtype=np.int32)
+                        iy = np.flatnonzero(oky)
+                        ix = np.flatnonzero(okx)
+                        part[np.ix_(iy, ix)] = band[
+                            np.ix_(sy[iy], sx[ix])
+                        ].astype(np.int32)
+                        if not part.any():
+                            continue
+                        rows["tile"].append((ty << 32) | tx)
+                        rows["image_id"].append(ids[i])
+                        rows["part"].append(part.tobytes())
+        return pa.table(
+            {
+                "tile": pa.array(rows["tile"], pa.int64()),
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "part": pa.array(rows["part"], pa.binary()),
+            }
+        )
+
+    partials = fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=True
+    )
+
+    def paint(part_df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"z": [], "x": [], "y": [], "n_sources": [], "filled_px": [],
+                "cksum": []}
+        for tile, g in part_df.groupby("tile", sort=False):
+            g = g.sort_values("image_id", kind="mergesort")
+            out = np.zeros((canvas, canvas), dtype=np.int32)
+            for b in g["part"]:
+                src = np.frombuffer(b, dtype=np.int32).reshape(canvas, canvas)
+                m = src != 0
+                out[m] = src[m]
+            rows["z"].append(level)
+            rows["x"].append(int(tile) & 0xFFFFFFFF)
+            rows["y"].append(int(tile) >> 32)
+            rows["n_sources"].append(len(g))
+            rows["filled_px"].append(int((out != 0).sum()))
+            rows["cksum"].append(checksum_image(out))
+        return pd.DataFrame(
+            {
+                "z": pd.Series(rows["z"], dtype=np.int32),
+                "x": pd.Series(rows["x"], dtype=np.int64),
+                "y": pd.Series(rows["y"], dtype=np.int64),
+                "n_sources": pd.Series(rows["n_sources"], dtype=np.int64),
+                "filled_px": pd.Series(rows["filled_px"], dtype=np.int64),
+                "cksum": pd.Series(rows["cksum"], dtype=np.int32),
+            }
+        )
+
+    return bucketed_group_apply(
+        partials, ["tile"], paint, 16,
+        schema=pa.schema(
+            [("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+             ("n_sources", pa.int64()), ("filled_px", pa.int64()),
+             ("cksum", pa.int32())]
+        ),
+    )
 
 
 def q_rat(sf_dir: str):

@@ -72,8 +72,15 @@ def resample_nearest(img, h_out, w_out):
     return img[np.ix_(iy, ix)]
 
 
-def resample_bilinear(img, h_out, w_out):
-    """GRIORA_Bilinear."""
+def resample_bilinear(img, h_out, w_out, compute_dtype=np.float64):
+    """GRIORA_Bilinear.
+
+    ``compute_dtype=np.float32`` halves the intermediate memory traffic;
+    it is BIT-IDENTICAL to the float64 path whenever the scale factors are
+    exact powers of two and the input is an integer type of <= 16 bits:
+    the fractional weights are then dyadic (exactly representable) and
+    every product/sum stays within float32's 24-bit mantissa. Callers
+    (pansharpen) gate the fast path on exactly that condition."""
     h_in, w_in = img.shape[:2]
     ys, xs = _sample_grid(h_out, w_out, h_in, w_in)
     fy = np.clip(ys - 0.5, 0, h_in - 1)
@@ -82,12 +89,12 @@ def resample_bilinear(img, h_out, w_out):
     x0 = np.floor(fx).astype(np.int64)
     y1 = np.minimum(y0 + 1, h_in - 1)
     x1 = np.minimum(x0 + 1, w_in - 1)
-    wy = (fy - y0)[:, None]
-    wx = (fx - x0)[None, :]
+    wy = (fy - y0)[:, None].astype(compute_dtype)
+    wx = (fx - x0)[None, :].astype(compute_dtype)
     if img.ndim == 3:
         wy = wy[..., None]
         wx = wx[..., None]
-    f = img.astype(np.float64)
+    f = img.astype(compute_dtype)
     top = f[np.ix_(y0, x0)] * (1 - wx) + f[np.ix_(y0, x1)] * wx
     bot = f[np.ix_(y1, x0)] * (1 - wx) + f[np.ix_(y1, x1)] * wx
     out = top * (1 - wy) + bot * wy
@@ -413,43 +420,70 @@ def nearblack(img, threshold=15, set_value=0, white=False):
     ref = 255 if white else 0
     near = (np.abs(img.astype(np.int32) - ref) <= threshold).all(axis=2)
     h, w = near.shape
-    changed = 0
-    for y in range(h):
-        row = near[y]
-        x = 0
-        while x < w and row[x]:
-            x += 1
-        if x:
-            out[y, :x] = set_value
-            changed += x
-        r = w - 1
-        stop = max(x, 0)
-        while r >= stop and row[r]:
-            r -= 1
-        if r < w - 1:
-            out[y, r + 1 :] = set_value
-            changed += w - 1 - r
+    # vectorized collar runs (no per-row Python scan): left run = index of
+    # the first non-near pixel (w if the whole row is near); right run
+    # likewise on the mirrored row, clamped so the two runs never overlap
+    not_near = ~near
+    any_not = not_near.any(axis=1)
+    left = np.where(any_not, np.argmax(not_near, axis=1), w)
+    right = np.where(any_not, np.argmax(not_near[:, ::-1], axis=1), 0)
+    right = np.minimum(right, w - left)
+    cols = np.arange(w)
+    mask = (cols[None, :] < left[:, None]) | (cols[None, :] >= (w - right)[:, None])
+    changed = int(mask.sum())
+    if changed:
+        out[mask] = set_value
     return out, changed
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
 
 
 def pansharpen_brovey(ms, pan, weights=None, bit_depth=8):
     """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:1166 weighted
     algorithm): pseudo-pan = sum(w_i * ms_i) on the upsampled multispectral
     bands; each output band = ms_i * (pan / pseudo_pan), clipped to the
-    bit depth. ``ms`` is (h, w, b) at lower resolution, ``pan`` (H, W)."""
+    bit depth. ``ms`` is (h, w, b) at lower resolution, ``pan`` (H, W).
+
+    Memory-lean mixed precision (bit-identical to the all-float64 form,
+    pinned by tests/test_raster_kernels.py across 100 seeded images): the
+    upsample runs in float32 when the scale factors are exact powers of
+    two on a <=16-bit integer input (dyadic weights -> float32 is exact,
+    and the result is rounded back to the input dtype either way); the
+    division stays float64; and the final band multiplies run one band at
+    a time, so no H x W x b float64 temporary is ever materialized —
+    under 32-way memory-bandwidth contention this is the dominant cost."""
     import numpy as np
 
     H, W = pan.shape[:2]
-    b = ms.shape[2]
+    h, w, b = ms.shape
     if weights is None:
         weights = np.full(b, 1.0 / b)
     weights = np.asarray(weights, dtype=np.float64)
-    up = resample_bilinear(ms, H, W).astype(np.float64)
-    pseudo = (up * weights[None, None, :]).sum(axis=2)
+    exact_f32 = (
+        np.issubdtype(ms.dtype, np.integer)
+        and np.iinfo(ms.dtype).bits <= 16
+        and H % h == 0 and W % w == 0
+        and _is_pow2(H // h) and _is_pow2(W // w)
+    )
+    up = resample_bilinear(
+        ms, H, W, compute_dtype=np.float32 if exact_f32 else np.float64
+    )
+    # pseudo-pan and the ratio in float64 (a single rounded division each;
+    # `up` is already rounded back to the ms dtype, so the fast path feeds
+    # identical values here)
+    pseudo = np.zeros((H, W), dtype=np.float64)
+    for i in range(b):
+        pseudo += up[:, :, i].astype(np.float64) * weights[i]
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(pseudo > 0, pan.astype(np.float64) / pseudo, 0.0)
-    out = up * ratio[:, :, None]
-    return np.clip(out + 0.5, 0, (1 << bit_depth) - 1).astype(ms.dtype)
+    out = np.empty((H, W, b), dtype=ms.dtype)
+    lim = (1 << bit_depth) - 1
+    for i in range(b):
+        band = up[:, :, i].astype(np.float64) * ratio
+        out[:, :, i] = np.clip(band + 0.5, 0, lim).astype(ms.dtype)
+    return out
 
 
 def _cubic_weight(t, a=-0.5):

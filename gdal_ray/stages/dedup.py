@@ -476,6 +476,27 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def _char_ngram_rows(text: str, n: int = 5) -> np.ndarray:
+    """Sorted UNIQUE character n-grams as fixed-width void rows: UTF-32
+    codepoints windowed with stride tricks, so row equality is exactly
+    Python-string n-gram equality (no hash, no collisions). Texts shorter
+    than ``n`` contribute their single short shingle, padded with a
+    non-codepoint sentinel (0xFFFFFFFF) that can never match a real gram
+    — the same set ``ngram_jaccard`` builds."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < n:
+        cp = np.concatenate(
+            [cp, np.full(n - len(cp), 0xFFFFFFFF, dtype=np.uint32)]
+        )
+        w = cp[None, :]
+    else:
+        w = sliding_window_view(cp, n)
+    rows = np.ascontiguousarray(w).view(f"V{4 * n}").ravel()
+    return np.unique(rows)
+
+
 def text_near_dup_candidates(docs_ds, num_buckets: int = 32, **minhash_kw):
     """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
     Metadata-only: no document text moves through these shuffles."""
@@ -543,11 +564,30 @@ def verified_text_near_dups(docs_ds, jaccard_threshold: float = 0.8,
                  on=("id_b",), right_on=("_idb",))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # Exact-equality vectorized verify: per UNIQUE doc in the batch the
+        # sorted distinct 5-gram rows are built once (UTF-32 codepoint
+        # windows viewed as fixed-width void rows — identical semantics to
+        # Python string slicing, no hashing so no collision risk), and each
+        # pair is one C-speed sorted intersection. Docs repeat across LSH
+        # pairs, so the per-doc cache removes the old per-pair set builds.
+        cache: dict = {}
+
+        def grams(doc_id, text):
+            g = cache.get(doc_id)
+            if g is None:
+                g = _char_ngram_rows(text or "")
+                cache[doc_id] = g
+            return g
+
         out_a, out_b, out_j = [], [], []
         for ida, idb, ta, tb in zip(
             batch["id_a"], batch["id_b"], batch["text_a"], batch["text_b"]
         ):
-            j = ngram_jaccard(ta or "", tb or "")
+            ga = grams(int(ida), ta)
+            gb = grams(int(idb), tb)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            j = inter / union if union else 0.0
             if j >= jaccard_threshold:
                 out_a.append(int(ida))
                 out_b.append(int(idb))

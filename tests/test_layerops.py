@@ -76,6 +76,31 @@ def test_identity_emits_only_a_side(ray_session):
     assert areas["a0|b0"] == pytest.approx(3000)
 
 
+def test_union_skips_empty_intersections(ray_session):
+    """Envelope-overlapping candidates with an EMPTY true intersection must
+    not emit an AB pair row (reference ogrlayer.cpp Union/Identity emit a
+    pair feature only when the geometries actually intersect): a rectangle
+    sitting in the notch of an L-shape overlaps its envelope but not it."""
+    import ray.data as rd
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.geo.layerops import layer_boolean_areas
+
+    lshape = np.array(
+        [[0.0, 0.0], [100.0, 0.0], [100.0, 20.0], [20.0, 20.0],
+         [20.0, 100.0], [0.0, 100.0], [0.0, 0.0]])
+    a = rd.from_items([{"fid": "aL", "wkb": W.encode_polygon([lshape])}])
+    notch = np.array(
+        [[40.0, 40.0], [90.0, 40.0], [90.0, 90.0], [40.0, 90.0],
+         [40.0, 40.0]])
+    b = rd.from_items([{"fid": "bN", "wkb": W.encode_polygon([notch])}])
+    got = layer_boolean_areas(a, b, "union", level=16).to_pandas()
+    assert not (got["src"] == "AB").any()
+    areas = dict(zip(got["fid"], got["area"]))
+    assert areas["aL"] == pytest.approx(100 * 20 + 80 * 20)
+    assert areas["bN"] == pytest.approx(50 * 50)
+
+
 def test_erase_and_update(ray_session):
     from gdal_ray.geo.layerops import layer_boolean_areas
 

@@ -116,3 +116,72 @@ def test_mdim_resampled_matches_kernels():
 
     with pytest.raises(ValueError, match="unsupported"):
         md.resampled(4, 4, "sinc")
+
+
+def test_q_mosaic_matches_single_process_oracle(ray_session):
+    """The fused+shuffled corpus mosaic (rasterq.q_mosaic) must equal a
+    single-process replay: same tile partition, same image_id paint order,
+    same last-wins-on-valid semantics (frmts/vrt/vrtsources.cpp)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo import mercator as M
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+    from gdal_ray.pipelines.rasterq import q_mosaic
+    from gdal_ray.raster.checksum import checksum_image
+
+    sf = "/root/testdata/sf0.001"
+    level, canvas = 8, 64
+    got = q_mosaic(sf, level=level, canvas=canvas).to_pandas()
+    got = got.sort_values(["x", "y"]).reset_index(drop=True)
+
+    d = corpus_for_sf(sf)
+    imgs = pq.read_table(f"{d}/images.parquet",
+                         columns=["image_id", "bytes", "fmt"]).to_pydict()
+    plc = pq.read_table(f"{d}/placements.parquet").to_pydict()
+    gt_by_id = {i: g for i, g, s in zip(plc["image_id"], plc["gt"], plc["srs"])
+                if s == "EPSG:3857"}
+    n = 1 << level
+    span = 2 * M.ORIGIN_SHIFT / n
+    res = span / canvas
+    tiles = {}
+    order = sorted(range(len(imgs["image_id"])),
+                   key=lambda i: imgs["image_id"][i])
+    for i in order:
+        iid = imgs["image_id"][i]
+        if iid not in gt_by_id:
+            continue
+        x0, px, _, y0, _, npy = gt_by_id[iid]
+        py = -npy
+        band = C.decode_image(imgs["bytes"][i], imgs["fmt"][i])
+        band = band[:, :, 0] if band.ndim == 3 else band
+        h, w = band.shape
+        tx0 = int(np.floor((x0 + M.ORIGIN_SHIFT) / span))
+        tx1 = int(np.floor((x0 + px * w + M.ORIGIN_SHIFT) / span))
+        ty0 = int(np.floor((y0 - py * h + M.ORIGIN_SHIFT) / span))
+        ty1 = int(np.floor((y0 + M.ORIGIN_SHIFT) / span))
+        for ty in range(max(ty0, 0), min(ty1, n - 1) + 1):
+            for tx in range(max(tx0, 0), min(tx1, n - 1) + 1):
+                gx = tx * span - M.ORIGIN_SHIFT + (np.arange(canvas) + 0.5) * res
+                gy = ty * span - M.ORIGIN_SHIFT + (np.arange(canvas) + 0.5) * res
+                sx = np.floor((gx - x0) / px).astype(np.int64)
+                sy = np.floor((y0 - gy) / py).astype(np.int64)
+                iy = np.flatnonzero((sy >= 0) & (sy < h))
+                ix = np.flatnonzero((sx >= 0) & (sx < w))
+                if not (len(iy) and len(ix)):
+                    continue
+                part = np.zeros((canvas, canvas), dtype=np.int32)
+                part[np.ix_(iy, ix)] = band[np.ix_(sy[iy], sx[ix])].astype(np.int32)
+                if not part.any():
+                    continue
+                key = (tx, ty)
+                cv, srcs = tiles.get(key, (np.zeros((canvas, canvas), np.int32), 0))
+                m = part != 0
+                cv[m] = part[m]
+                tiles[key] = (cv, srcs + 1)
+    assert len(got) == len(tiles)
+    for _, row in got.iterrows():
+        cv, srcs = tiles[(row["x"], row["y"])]
+        assert row["n_sources"] == srcs
+        assert row["filled_px"] == int((cv != 0).sum())
+        assert row["cksum"] == checksum_image(cv)

@@ -421,3 +421,97 @@ def test_warp_cutline_checksum_parity():
                 expect[r, c] = img[r, c]
     assert checksum_image(out) == checksum_image(expect)
     assert (out == expect).all()
+
+
+def test_pansharpen_f32_fast_path_checksum_parity():
+    """The float32 upsample fast path (power-of-two factors, uint8) must be
+    BIT-IDENTICAL to the all-float64 reference across 100 seeded images:
+    dyadic bilinear weights are exact in float32 and the result is rounded
+    back to uint8 before the float64 division (kernels.pansharpen_brovey)."""
+    import numpy as np
+
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.kernels import pansharpen_brovey, resample_bilinear
+
+    def brovey_f64_reference(ms, pan, bit_depth=8):
+        H, W = pan.shape[:2]
+        b = ms.shape[2]
+        weights = np.full(b, 1.0 / b)
+        up = resample_bilinear(ms, H, W).astype(np.float64)
+        pseudo = (up * weights[None, None, :]).sum(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(pseudo > 0, pan.astype(np.float64) / pseudo, 0.0)
+        out = up * ratio[:, :, None]
+        return np.clip(out + 0.5, 0, (1 << bit_depth) - 1).astype(ms.dtype)
+
+    rng = np.random.default_rng(20260818)
+    for i in range(100):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        ms = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pan = rng.integers(0, 256, (2 * h, 2 * w), dtype=np.uint8)
+        got = pansharpen_brovey(ms, pan)
+        want = brovey_f64_reference(ms, pan)
+        assert np.array_equal(got, want), f"image {i}"
+        assert checksum_image(got[:, :, 0]) == checksum_image(want[:, :, 0])
+
+
+def test_resample_bilinear_f32_exact_for_pow2_factors():
+    import numpy as np
+
+    from gdal_ray.raster.kernels import resample_bilinear
+
+    rng = np.random.default_rng(7)
+    for factor in (2, 4):
+        img = rng.integers(0, 65536, (12, 17), dtype=np.uint16)
+        a = resample_bilinear(img, 12 * factor, 17 * factor)
+        b = resample_bilinear(img, 12 * factor, 17 * factor,
+                              compute_dtype=np.float32)
+        assert np.array_equal(a, b)
+
+
+def test_nearblack_vectorized_matches_scan_reference():
+    """The vectorized collar runs must equal the per-row scan semantics of
+    apps/nearblack_lib.cpp:76 (stop at the first non-near pixel; never
+    touch interior near-black pixels) on 100 seeded images."""
+    import numpy as np
+
+    from gdal_ray.raster.kernels import nearblack
+
+    def scan_reference(img, threshold=15, set_value=0, white=False):
+        out = img.copy()
+        ref = 255 if white else 0
+        near = (np.abs(img.astype(np.int32) - ref) <= threshold).all(axis=2)
+        h, w = near.shape
+        changed = 0
+        for y in range(h):
+            row = near[y]
+            x = 0
+            while x < w and row[x]:
+                x += 1
+            if x:
+                out[y, :x] = set_value
+                changed += x
+            r = w - 1
+            stop = max(x, 0)
+            while r >= stop and row[r]:
+                r -= 1
+            if r < w - 1:
+                out[y, r + 1:] = set_value
+                changed += w - 1 - r
+        return out, changed
+
+    rng = np.random.default_rng(20260818)
+    for i in range(100):
+        h = int(rng.integers(3, 24))
+        w = int(rng.integers(3, 24))
+        # bias toward dark collars so runs actually occur
+        img = rng.integers(0, 40, (h, w, 3), dtype=np.uint8)
+        img[rng.random((h, w)) < 0.5] = rng.integers(50, 255)
+        got, ng = nearblack(img)
+        want, nw = scan_reference(img)
+        assert ng == nw, f"image {i}"
+        assert np.array_equal(got, want), f"image {i}"
+        gw, ngw = nearblack(img, white=True, threshold=200, set_value=1)
+        ww, nww = scan_reference(img, white=True, threshold=200, set_value=1)
+        assert ngw == nww and np.array_equal(gw, ww), f"white image {i}"

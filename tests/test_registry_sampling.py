@@ -105,3 +105,32 @@ def test_verified_text_near_dups_copartitioned(ray_session):
     # precision: every emitted pair is exactly above threshold
     for a, b in pairs:
         assert ngram_jaccard(docs[a].lower(), docs[b].lower()) >= 0.8
+
+
+def test_lance_seam_and_parquet_fallback(tmp_path, ray_session):
+    """sources/corpus.read_table prefers <name>.lance when present: with
+    the lance package absent from this container it must raise the
+    documented seam error; without the .lance directory it must fall back
+    to the parquet layout and return identical rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gdal_ray.sources.corpus import read_table
+
+    t = pa.table({"image_id": ["a", "b"], "v": [1, 2]})
+    pq.write_table(t, str(tmp_path / "things.parquet"))
+    got = read_table(str(tmp_path), "things").to_pandas()
+    assert got["image_id"].tolist() == ["a", "b"]
+
+    (tmp_path / "things.lance").mkdir()
+    try:
+        import lance  # noqa: F401
+
+        has_lance = True
+    except ImportError:
+        has_lance = False
+    if not has_lance:
+        with pytest.raises(RuntimeError, match="lance package is unavailable"):
+            read_table(str(tmp_path), "things")
