@@ -17,7 +17,9 @@ subquery), BETWEEN a AND b, IS [NOT] NULL, parentheses,
 CAST(x AS integer/float/character) — float->integer TRUNCATES like swq's
 C cast (DuckDB rounds) — and the swq string functions CONCAT / SUBSTR
 (1-based) / UPPER / LOWER / LENGTH / TRIM. Aggregates: COUNT(*) /
-COUNT(x) (NULLs skipped, like swq/DuckDB), SUM, AVG, MIN, MAX (swq_op
+COUNT(x) (NULLs skipped, like swq/DuckDB), COUNT(DISTINCT x) (swq's
+distinct_flag, ogr/ogr_swq.h — compiled to a two-stage distinct count
+joined back onto the group aggregate), SUM, AVG, MIN, MAX (swq_op
 registry, ogr/swq_parser.y). Any number of secondary-table [LEFT] JOIN
 ... ON t1.a = t2.b clauses (the dialect's JOIN is a left join —
 ogr_gensql.cpp join machinery at ogr_gensql.cpp:1497); HAVING filters
@@ -233,6 +235,13 @@ class _Parser:
             if tok[1] == "count" and self.accept("op", "*"):
                 self.expect("op", ")")
                 return ("agg", "count", ("lit", 1))
+            if self.accept("kw", "distinct"):
+                # swq's distinct_flag (ogr/ogr_swq.h) is COUNT-only
+                if tok[1] != "count":
+                    raise SQLError("DISTINCT is only supported in COUNT()")
+                arg = self.expr()
+                self.expect("op", ")")
+                return ("agg", "count_distinct", arg)
             arg = self.expr()
             self.expect("op", ")")
             return ("agg", tok[1], arg)
@@ -797,8 +806,11 @@ def _plan(q: dict, sf_dir: str):
             return pd.DataFrame(out)
 
         staged = ds.map_batches(stage, batch_format="pandas")
+        cd_specs = [s for s in agg_specs if s[1] == "count_distinct"]
         ray_aggs = []
         for cname, kind, _, star in agg_specs:
+            if kind == "count_distinct":
+                continue
             if kind == "count" and star:
                 ray_aggs.append(Count(alias_name=cname + "_r"))
             elif kind == "count":
@@ -809,10 +821,14 @@ def _plan(q: dict, sf_dir: str):
                         cname, alias_name=cname + "_r"
                     )
                 )
+        if not ray_aggs and group_by:
+            # COUNT(DISTINCT)-only select still needs every group key row
+            # (a group whose argument is all-NULL must survive with 0)
+            ray_aggs.append(Count(alias_name="__base_r"))
         agged = (
             staged.groupby(group_by or None).aggregate(*ray_aggs)
             if group_by
-            else staged.aggregate(*ray_aggs)
+            else (staged.aggregate(*ray_aggs) if ray_aggs else {})
         )
         if not group_by:
             # global aggregate returns a dict; lift back into a Dataset
@@ -820,16 +836,45 @@ def _plan(q: dict, sf_dir: str):
 
             row = agged
             agged = rd.from_arrow(
-                pa.table({k: [v] for k, v in row.items()})
+                pa.table({k: [v] for k, v in row.items()} or {"__base_r": [0]})
             )
+        # COUNT(DISTINCT col): per-spec two-stage distinct count — groupby
+        # (group keys + value) for distinct rows, then count per group and
+        # left-join onto the base aggregate (NULLs excluded, like DuckDB)
+        for cname, _, _, _ in cd_specs:
+            nn = staged.map_batches(
+                lambda df, c=cname: df[df[c].notna()], batch_format="pandas"
+            )
+            if group_by:
+                from gdal_ray.ops.shuffle import adaptive_partitions
+
+                uniq = nn.groupby(group_by + [cname]).count()
+                cnt = uniq.groupby(group_by).aggregate(
+                    Count(alias_name=cname + "_r")
+                )
+                agged = agged.join(
+                    cnt,
+                    join_type="left_outer",
+                    num_partitions=adaptive_partitions(),
+                    on=tuple(group_by),
+                )
+            else:
+                v = nn.groupby(cname).count().count()
+                agged = agged.map_batches(
+                    lambda df, c=cname, vv=v: df.assign(**{c + "_r": vv}),
+                    batch_format="pandas",
+                )
 
         # final projection (and HAVING filter): replace each agg node with
         # its staged result, then evaluate with the full expression grammar
         def finish(df: pd.DataFrame) -> pd.DataFrame:
-            sub = {
-                id(aggs[i]): df[cname + "_r"]
-                for i, (cname, _, _, _) in enumerate(agg_specs)
-            }
+            sub = {}
+            for i, (cname, kind, _, _) in enumerate(agg_specs):
+                col = df[cname + "_r"]
+                if kind == "count_distinct":
+                    # left-join misses (all-NULL groups) count as 0
+                    col = col.fillna(0).astype(np.int64)
+                sub[id(aggs[i])] = col
             if having is not None:
                 mask = _eval(_substitute_aggs(having, sub), df)
                 df = df[np.asarray(mask, dtype=bool)]

@@ -156,6 +156,28 @@ def test_ogrsql2_gate_text(con, ray_session):
     _run_both(OGRSQL2_TEXT, con, ray_session)
 
 
+COUNT_DISTINCT_QUERIES = [
+    "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nat, "
+    "COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+    "SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS n_ls, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS q FROM lineitem "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+]
+
+
+@pytest.mark.parametrize("sql", COUNT_DISTINCT_QUERIES)
+def test_count_distinct_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
+def test_distinct_only_in_count(ray_session):
+    from gdal_ray.sql import SQLError, execute_sql
+
+    with pytest.raises(SQLError, match="only supported in COUNT"):
+        execute_sql("SELECT SUM(DISTINCT p_size) AS s FROM part", SF)
+
+
 def test_having_filters_everything(ray_session):
     """A HAVING that rejects every group yields an empty result."""
     from gdal_ray.sql import execute_sql
