@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audio_features": EQ.q_audio_features,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
+        "q_mdim_cube": RQ.q_mdim_cube,
     }
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "q_viewshed",
     "q_rat",
     "q_stack_median",
+    "q_mdim_cube",
 ]
 
 
@@ -249,27 +250,51 @@ def q_hilbert_order(sf_dir: str):
 
 
 def q_contour(sf_dir: str):
-    """Iso-lines per raster at fixed levels (marching squares)."""
-    from gdal_ray.raster.contour import contour_lines
+    """Iso-lines AND iso-band polygons per raster at fixed levels
+    (marching squares line tracer + the round-5 polygon mode,
+    alg/contour.cpp:568 both branches). Per (raster, level) the line rows
+    carry point counts; the band rows carry ring counts and the exact
+    fragment-sum area — a self-checking invariant: band areas sum to the
+    full pixel-center domain (w-1)*(h-1) per raster."""
+    from gdal_ray.raster.contour import contour_lines, contour_polygons
 
     d = corpus_for_sf(sf_dir)
+    levels = [0.5, 2.5]
 
     def per_raster(batch: pa.Table) -> pa.Table:
-        rows = {"raster_id": [], "level": [], "n_points": []}
+        rows = {"raster_id": [], "kind": [], "level": [], "n_points": [],
+                "n_rings": [], "area": []}
         pix = batch["pixels"].to_pylist()
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
         for i in range(len(pix)):
+            rid = batch["raster_id"][i].as_py()
             arr = np.asarray(pix[i], dtype=np.float64).reshape(hs[i], ws[i])
-            for line in contour_lines(arr, [0.5, 2.5]):
-                rows["raster_id"].append(batch["raster_id"][i].as_py())
+            for line in contour_lines(arr, levels):
+                rows["raster_id"].append(rid)
+                rows["kind"].append("line")
                 rows["level"].append(line["level"])
                 rows["n_points"].append(len(line["coords"]))
+                rows["n_rings"].append(0)
+                rows["area"].append(0.0)
+            for band in contour_polygons(arr, levels):
+                rows["raster_id"].append(rid)
+                rows["kind"].append("band")
+                rows["level"].append(
+                    band["elev_min"] if np.isfinite(band["elev_min"]) else
+                    band["elev_max"] - 1.0
+                )
+                rows["n_points"].append(0)
+                rows["n_rings"].append(len(band["rings"]))
+                rows["area"].append(round(band["area"], 6))
         return pa.table(
             {
                 "raster_id": pa.array(rows["raster_id"], pa.string()),
-                "level": pa.array(rows["level"]),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "level": pa.array(rows["level"], pa.float64()),
                 "n_points": pa.array(rows["n_points"], pa.int32()),
+                "n_rings": pa.array(rows["n_rings"], pa.int32()),
+                "area": pa.array(rows["area"], pa.float64()),
             }
         )
 
@@ -875,6 +900,91 @@ def q_viewshed(sf_dir: str):
         )
 
     return SRC.read_rasters(d).map_batches(per_raster, batch_format="pyarrow", batch_size=8)
+
+
+def q_mdim_cube(sf_dir: str):
+    """Corpus-scale multidim pipeline through the REAL MDArray API
+    (raster/mdim.py; reference gcore/gdalmultidim.cpp GDALMDArray
+    view/transpose/reduce + GetResampled): each raster becomes a
+    (1, 32, 32) resampled MDArray slice inside the map stage, stacks of 4
+    combine per group into a (t, 32, 32) cube, and the reduce emits the
+    mean-over-t checksum, a transposed-slice checksum (axis order
+    (y, t, x)) and a windowed-view sum — the datacube shapes users run
+    against the reference's multidim core, distributed (rows-only gate;
+    MDArray op exactness is pinned by tests/test_mdim_mosaic.py)."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.mdim import MDArray
+
+    d = corpus_for_sf(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = {"stack_id": [], "raster_id": [], "grid": []}
+        pix = batch["pixels"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(len(pix)):
+            rid = batch["raster_id"][i].as_py()
+            arr = np.asarray(pix[i], dtype=np.int32).reshape(hs[i], ws[i])
+            # GetResampled on the 2-D slice (nearest, pixel-center rules)
+            g = MDArray(arr).resampled(32, 32).read()
+            out["stack_id"].append(int(rid[3:]) // 4 if rid[3:].isdigit() else 0)
+            out["raster_id"].append(rid)
+            out["grid"].append(g.astype(np.int32).tobytes())
+        return pa.table(
+            {
+                "stack_id": pa.array(out["stack_id"], pa.int64()),
+                "raster_id": pa.array(out["raster_id"], pa.string()),
+                "grid": pa.array(out["grid"], pa.binary()),
+            }
+        )
+
+    prepped = SRC.read_rasters(d).map_batches(prep, batch_format="pyarrow")
+
+    def reduce_cube(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"stack_id": [], "n_layers": [], "mean_cksum": [],
+                "txpose_cksum": [], "win_sum": []}
+        for sid, g in part.groupby("stack_id", sort=False):
+            g = g.sort_values("raster_id")
+            cube = MDArray(np.stack(
+                [np.frombuffer(b, dtype=np.int32).reshape(32, 32)
+                 for b in g["grid"]]
+            ))
+            mean_t = cube.reduce("mean", axis=0)
+            tx = cube.transpose((1, 0, 2))          # (y, t, x)
+            mid = tx.view(slice(16, 17)).read()[0]  # y=16 plane -> (t, x)
+            win = cube.view(slice(None), slice(8, 24), slice(8, 24))
+            rows["stack_id"].append(int(sid))
+            rows["n_layers"].append(len(g))
+            rows["mean_cksum"].append(checksum_image(mean_t))
+            rows["txpose_cksum"].append(checksum_image(mid))
+            rows["win_sum"].append(int(win.reduce("sum", axis=0).sum()))
+        return pd.DataFrame(
+            {
+                "stack_id": pd.Series(rows["stack_id"], dtype=np.int64),
+                "n_layers": pd.Series(rows["n_layers"], dtype=np.int64),
+                "mean_cksum": pd.Series(rows["mean_cksum"], dtype=np.int32),
+                "txpose_cksum": pd.Series(rows["txpose_cksum"], dtype=np.int32),
+                "win_sum": pd.Series(rows["win_sum"], dtype=np.int64),
+            }
+        )
+
+    import os
+
+    import pyarrow.parquet as pq_
+
+    n_rasters = pq_.read_metadata(
+        os.path.join(d, "rasters.parquet")
+    ).num_rows if os.path.isfile(os.path.join(d, "rasters.parquet")) else 64
+    buckets = max(1, min(8, n_rasters // 8))
+    return bucketed_group_apply(
+        prepped, ["stack_id"], reduce_cube, buckets,
+        schema=pa.schema(
+            [("stack_id", pa.int64()), ("n_layers", pa.int64()),
+             ("mean_cksum", pa.int32()), ("txpose_cksum", pa.int32()),
+             ("win_sum", pa.int64())]
+        ),
+    )
 
 
 def q_mosaic(sf_dir: str, level: int = 8, canvas: int = 64):

@@ -269,25 +269,39 @@ def contour_polygons(arr: np.ndarray, levels, gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
         ys, xs = np.nonzero(crossing)
         for y, x in zip(ys.tolist(), xs.tolist()):
             cx, cy = x + 0.5, y + 0.5
-            pts = [
-                (cx, cy, float(tl[y, x])),
-                (cx + 1.0, cy, float(tr[y, x])),
-                (cx + 1.0, cy + 1.0, float(br[y, x])),
-                (cx, cy + 1.0, float(bl[y, x])),
+            vtl = float(tl[y, x])
+            vtr = float(tr[y, x])
+            vbl = float(bl[y, x])
+            vbr = float(br[y, x])
+            # 4 center-vertex triangles (linear field per triangle): the
+            # band region inside each is CONVEX, so the clip is exact and
+            # bands tile the cell even at saddles. The center value is the
+            # corner mean in the SAME operand order as the line tracer's
+            # saddle rule (contour_segments), keeping the two modes
+            # consistent.
+            vc = (vtl + vtr + vbl + vbr) / 4.0
+            corners = [
+                (cx, cy, vtl),
+                (cx + 1.0, cy, vtr),
+                (cx + 1.0, cy + 1.0, vbr),
+                (cx, cy + 1.0, vbl),
             ]
-            if np.isfinite(lo):
-                pts = _clip_by_level(pts, True, lo)
-            if len(pts) >= 3 and np.isfinite(hi):
-                pts = _clip_by_level(pts, False, hi)
-            if len(pts) < 3:
-                continue
-            ring = [(p[0], p[1]) for p in pts]
-            frag = np.asarray(ring + [ring[0]], dtype=np.float64)
-            fa = _ring_area_xy(frag)
-            if fa == 0.0:
-                continue
-            area += fa
-            frags.append(ring)
+            ctr = (cx + 0.5, cy + 0.5, vc)
+            for t in range(4):
+                pts = [corners[t], corners[(t + 1) % 4], ctr]
+                if np.isfinite(lo):
+                    pts = _clip_by_level(pts, True, lo)
+                if len(pts) >= 3 and np.isfinite(hi):
+                    pts = _clip_by_level(pts, False, hi)
+                if len(pts) < 3:
+                    continue
+                ring = [(p[0], p[1]) for p in pts]
+                frag = np.asarray(ring + [ring[0]], dtype=np.float64)
+                fa = _ring_area_xy(frag)
+                if fa == 0.0:
+                    continue
+                area += fa
+                frags.append(ring)
         if not frags:
             continue
         geo_rings = []

@@ -27,7 +27,10 @@ the aggregated rows and may use aggregates; IN (SELECT one_col FROM ...)
 runs the subquery first and broadcasts its value set to every filter
 task (the bounded-small-side pattern — the subquery result must fit on
 the driver, which matches OGR's executor materializing the secondary
-side). Not implemented: UNION (raises with a clear message).
+side); UNION [ALL] chains concatenate positionally with the first
+member's column names (plain UNION dedups left-associatively through
+one bucketed shuffle per step — the SQLite-dialect surface the
+reference reaches via ogrsqliteexecutesql.cpp).
 
 Documented deviation: string comparisons (=, <, IN, BETWEEN) are
 CASE-SENSITIVE here, matching DuckDB (the twin oracle) and this
@@ -373,14 +376,33 @@ class _Parser:
 
 def parse(sql: str) -> dict:
     """Parse a SELECT into {select, distinct, table, joins, where,
-    group_by, having, order_by, limit}."""
+    group_by, having, order_by, limit}; a UNION [ALL] chain parses into
+    {"union": [stmt, ...], "union_all": [bool, ...], "order_by", "limit"}
+    where the trailing ORDER BY / LIMIT (written inside the last member,
+    as in standard SQL) applies to the combined result."""
     p = _Parser(_tokenize(sql))
     q = p.select_stmt()
-    if p.peek() == ("kw", "union"):
-        raise SQLError("OGR SQL subset: UNION is not supported")
+    members, alls = [q], []
+    while p.accept("kw", "union"):
+        alls.append(p.accept("id", "all"))
+        members.append(p.select_stmt())
     if p.peek()[0] != "eof":
         raise SQLError(f"trailing tokens at {p.peek()}")
-    return q
+    if len(members) == 1:
+        return q
+    for m in members[:-1]:
+        if m["order_by"] or m["limit"] is not None:
+            raise SQLError("ORDER BY/LIMIT inside a UNION member "
+                           "(only the trailing one applies to the union)")
+    tail = members[-1]
+    order_by, limit = tail["order_by"], tail["limit"]
+    tail["order_by"], tail["limit"] = [], None
+    return {
+        "union": members,
+        "union_all": [bool(a) for a in alls],
+        "order_by": order_by,
+        "limit": limit,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -642,7 +664,51 @@ def execute_sql(sql: str, sf_dir: str):
     """Run an OGR-SQL SELECT against the parquet tables under ``sf_dir``.
     Returns a ray.data.Dataset (lazy until consumed, except IN-subquery
     value sets which resolve eagerly)."""
-    return _plan(parse(sql), sf_dir)
+    q = parse(sql)
+    if "union" in q:
+        return _plan_union(q, sf_dir)
+    return _plan(q, sf_dir)
+
+
+def _plan_union(q: dict, sf_dir: str):
+    """UNION [ALL] chain: members plan independently and concatenate with
+    Dataset.union (no shuffle); each plain UNION step dedups the
+    accumulated result (left-associative, like DuckDB/standard SQL) with
+    one bucketed drop-duplicates shuffle. Columns match by POSITION; the
+    first member's names win (standard SQL)."""
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    parts = [_plan(m, sf_dir) for m in q["union"]]
+    names = list(parts[0].schema().names)
+
+    def dedup(ds):
+        return bucketed_group_apply(
+            ds, names, lambda p: p.drop_duplicates(names), 16
+        )
+
+    out = parts[0]
+    for ds2, is_all in zip(parts[1:], q["union_all"]):
+        names2 = list(ds2.schema().names)
+        if len(names2) != len(names):
+            raise SQLError("UNION members must have the same column count")
+        if names2 != names:
+            mapping = dict(zip(names2, names))
+            ds2 = ds2.map_batches(
+                lambda df, m=mapping: df.rename(columns=m),
+                batch_format="pandas",
+            )
+        out = out.union(ds2)
+        if not is_all:
+            out = dedup(out)
+    for c, _ in q["order_by"]:
+        if c not in names:
+            raise SQLError(f"unknown ORDER BY column {c!r}")
+    if q["order_by"]:
+        out = out.sort([c for c, _ in q["order_by"]],
+                       descending=[d for _, d in q["order_by"]])
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
 
 
 def _plan(q: dict, sf_dir: str):

@@ -515,3 +515,41 @@ def test_nearblack_vectorized_matches_scan_reference():
         gw, ngw = nearblack(img, white=True, threshold=200, set_value=1)
         ww, nww = scan_reference(img, white=True, threshold=200, set_value=1)
         assert ngw == nww and np.array_equal(gw, ww), f"white image {i}"
+
+
+def test_contour_polygons_bands_tile_domain():
+    """Iso-bands must PARTITION the pixel-center domain exactly — including
+    saddle cells (the center-vertex triangle decomposition guarantees it);
+    ramp band areas match the closed forms the gate twin uses; an interior
+    bump yields a hole ring."""
+    import numpy as np
+
+    from gdal_ray.raster.contour import contour_polygons
+
+    # ramp: closed-form band areas (the q_contour_lattice polygon arm)
+    m, h, w = 2.0, 6, 10
+    arr = m * np.mgrid[0:h, 0:w][1]
+    lvl = m * ((w - 1) / 2.0) + 0.25 * m
+    bands = contour_polygons(arr, [lvl, lvl + m])
+    x1 = (w / 2 - 1) + 0.5 + 0.75
+    assert [round(b["area"], 6) for b in bands] == [
+        round((x1 - 0.5) * (h - 1), 6),
+        float(h - 1),
+        round((w - 0.5 - (x1 + 1.0)) * (h - 1), 6),
+    ]
+    assert sum(len(b["rings"]) for b in bands) == 3
+
+    # saddle-heavy random fields: bands tile (w-1)*(h-1) exactly
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        hh, ww = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        a = rng.integers(0, 4, (hh, ww)).astype(float)
+        tot = sum(b["area"] for b in contour_polygons(a, [0.5, 2.5]))
+        assert abs(tot - (ww - 1) * (hh - 1)) < 1e-9
+
+    # interior bump: the below-band carries the hole as a second ring
+    a2 = np.zeros((8, 8))
+    a2[3:5, 3:5] = 10.0
+    below, above = contour_polygons(a2, [5.0])
+    assert len(below["rings"]) == 2 and len(above["rings"]) == 1
+    assert abs(below["area"] + above["area"] - 49.0) < 1e-9

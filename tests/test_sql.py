@@ -106,7 +106,10 @@ def test_parser_rejects_unsupported(ray_session):
         ("SELECT n_name FROM nation JOIN region ON bad", "JOIN condition"),
         ("SELECT COUNT(*) FROM nation HAVING 1", "HAVING requires GROUP BY"),
         ("SELECT missing_col FROM nation", "unknown column"),
-        ("SELECT r_name FROM region UNION SELECT r_name FROM region", "UNION"),
+        ("SELECT r_name FROM region ORDER BY r_name "
+         "UNION SELECT n_name FROM nation", "inside a UNION member"),
+        ("SELECT r_name, r_regionkey FROM region "
+         "UNION SELECT n_name FROM nation", "same column count"),
         ("SELECT c_custkey FROM customer WHERE c_custkey IN "
          "(SELECT o_custkey, o_orderkey FROM orders)", "exactly one column"),
     ]:
@@ -154,6 +157,29 @@ def test_ogrsql2_gate_text(con, ray_session):
     from gdal_ray.pipelines.ext_queries import OGRSQL2_TEXT
 
     _run_both(OGRSQL2_TEXT, con, ray_session)
+
+
+UNION_QUERIES = [
+    # UNION ALL keeps duplicates; first member's names win
+    "SELECT r_name AS nm FROM region UNION all SELECT n_name FROM nation "
+    "ORDER BY nm",
+    # plain UNION dedups (regionkeys 0-4 overlap nation regionkeys)
+    "SELECT r_regionkey AS k FROM region UNION "
+    "SELECT n_regionkey FROM nation ORDER BY k",
+    # mixed chain is left-associative; trailing LIMIT applies to the union
+    "SELECT n_regionkey AS k FROM nation UNION "
+    "SELECT r_regionkey FROM region UNION all "
+    "SELECT r_regionkey FROM region ORDER BY k LIMIT 9",
+    # unioned aggregates
+    "SELECT c_mktsegment AS g, COUNT(*) AS n FROM customer GROUP BY "
+    "c_mktsegment UNION all SELECT p_brand, COUNT(*) FROM part "
+    "GROUP BY p_brand ORDER BY g, n",
+]
+
+
+@pytest.mark.parametrize("sql", UNION_QUERIES)
+def test_union_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
 
 
 COUNT_DISTINCT_QUERIES = [
