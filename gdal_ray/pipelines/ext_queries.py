@@ -103,28 +103,38 @@ def q_ogrsql(sf_dir: str):
 
 #: SQL text shared verbatim between the engine run and the DuckDB twin
 #: (LEFT JOIN is explicit so both dialects agree; the OGR dialect's bare
-#: JOIN is also a left join). Exercises the round-5 parser surface:
-#: chained secondary-table joins, IN (subquery) — resolved to a broadcast
-#: value set — and HAVING over an aggregate (ogr_gensql.cpp:1497 join
-#: machinery; swq HAVING surface).
+#: JOIN is also a left join). Exercises the round-5 parser surface in one
+#: driver-hashed statement: chained secondary-table joins, IN (subquery)
+#: resolved to a broadcast value set, HAVING over an aggregate,
+#: COUNT(DISTINCT), and a UNION ALL arm whose trailing ORDER BY applies
+#: to the combined result (ogr_gensql.cpp:1497 join machinery; swq HAVING
+#: + distinct_flag surfaces; SQLite-dialect UNION surface).
 OGRSQL2_TEXT = (
     "SELECT n_name, COUNT(*) AS n_cust, "
-    "CAST(SUM(c_custkey) AS BIGINT) AS sum_key "
+    "CAST(SUM(c_custkey) AS BIGINT) AS sum_key, "
+    "COUNT(DISTINCT c_mktsegment) AS n_seg "
     "FROM customer "
     "LEFT JOIN nation ON customer.c_nationkey = nation.n_nationkey "
     "LEFT JOIN region ON nation.n_regionkey = region.r_regionkey "
     "WHERE r_name IN (SELECT r_name FROM region WHERE r_regionkey <= 2) "
     "AND c_custkey IN "
     "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) "
-    "GROUP BY n_name HAVING COUNT(*) > 2 ORDER BY n_name"
+    "GROUP BY n_name HAVING COUNT(*) > 2 "
+    "UNION all "
+    "SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT), "
+    "COUNT(DISTINCT p_size) "
+    "FROM part WHERE p_size BETWEEN 10 AND 30 "
+    "GROUP BY p_brand HAVING COUNT(*) > 1 "
+    "ORDER BY n_name"
 )
 
 
 def q_ogrsql2(sf_dir: str):
     """Round-5 OGR-SQL breadth through the engine's own parser
     (gdal_ray/sql.py): two chained LEFT JOINs, two IN-subqueries (one on
-    a joined column, one a semi-join against orders) and a HAVING filter.
-    The twin is the identical SQL text run by DuckDB."""
+    a joined column, one a semi-join against orders), a HAVING filter,
+    COUNT(DISTINCT) and a UNION ALL arm. The twin is the identical SQL
+    text run by DuckDB."""
     from gdal_ray.sql import execute_sql
 
     return execute_sql(OGRSQL2_TEXT, sf_dir)
