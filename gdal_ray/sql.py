@@ -262,6 +262,12 @@ class _Parser:
             self.expect("op", ")")
             return ("cast", arg, ty[1])
         if tok[0] == "id":
+            if tok[1] in ("stddev_pop", "stddev_samp") and self.peek() == ("op", "("):
+                # swq's STDDEV_POP/STDDEV_SAMP aggregates (ogr/ogr_swq.h:67-75)
+                self.next()
+                arg = self.expr()
+                self.expect("op", ")")
+                return ("agg", tok[1], arg)
             if tok[1] in _STR_FUNCS and self.peek() == ("op", "("):
                 self.next()
                 args = []
@@ -881,6 +887,13 @@ def _plan(q: dict, sf_dir: str):
                 ray_aggs.append(Count(alias_name=cname + "_r"))
             elif kind == "count":
                 ray_aggs.append(Sum(cname, alias_name=cname + "_r"))
+            elif kind in ("stddev_pop", "stddev_samp"):
+                from ray.data.aggregate import Std
+
+                ray_aggs.append(
+                    Std(cname, ddof=0 if kind == "stddev_pop" else 1,
+                        alias_name=cname + "_r")
+                )
             else:
                 ray_aggs.append(
                     {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[kind](

@@ -298,3 +298,17 @@ def test_cast_float_to_int_truncates_like_ogr(ray_session):
     df = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]).to_pandas()
     want = sorted(int(v) for v in df[df["o_orderkey"] <= 6]["o_totalprice"])
     assert got["p"].tolist() == want
+
+
+STDDEV_QUERIES = [
+    "SELECT c_mktsegment, STDDEV_POP(c_acctbal) AS sp, "
+    "STDDEV_SAMP(c_acctbal) AS ss, COUNT(*) AS n FROM customer "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT STDDEV_SAMP(p_size) AS s FROM part",
+]
+
+
+@pytest.mark.parametrize("sql", STDDEV_QUERIES)
+def test_stddev_matches_duckdb(sql, con, ray_session):
+    """swq's STDDEV_POP/STDDEV_SAMP aggregates (ogr/ogr_swq.h:67-75)."""
+    _run_both(sql, con, ray_session)
