@@ -78,7 +78,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "order", "limit",
-    "as", "and", "or", "not", "like", "in", "between", "is", "null", "asc",
+    "as", "and", "or", "not", "like", "ilike", "in", "between", "is", "null", "asc",
     "desc", "count", "sum", "avg", "min", "max", "having", "join", "union",
     "left", "on", "cast",
 }
@@ -172,13 +172,14 @@ class _Parser:
             return ("not", node) if neg else node
         neg = False
         if tok == ("kw", "not"):
-            if self.peek(1)[1] in ("like", "in", "between"):
+            if self.peek(1)[1] in ("like", "ilike", "in", "between"):
                 self.next()
                 neg = True
                 tok = self.peek()
-        if tok == ("kw", "like"):
+        if tok == ("kw", "like") or tok == ("kw", "ilike"):
+            # ILIKE: case-insensitive LIKE (swq_op_general.cpp ILIKE)
             self.next()
-            node = ("like", node, self._arith())
+            node = (tok[1], node, self._arith())
         elif tok == ("kw", "in"):
             self.next()
             self.expect("op", "(")
@@ -415,7 +416,7 @@ def parse(sql: str) -> dict:
 # evaluation
 # --------------------------------------------------------------------------
 
-def _like_to_re(pattern: str) -> re.Pattern:
+def _like_to_re(pattern: str, ci: bool = False) -> re.Pattern:
     out = []
     for ch in pattern:
         if ch == "%":
@@ -424,7 +425,8 @@ def _like_to_re(pattern: str) -> re.Pattern:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+    flags = re.DOTALL | (re.IGNORECASE if ci else 0)
+    return re.compile("^" + "".join(out) + "$", flags)
 
 
 def _eval(node, df: pd.DataFrame):
@@ -459,11 +461,11 @@ def _eval(node, df: pd.DataFrame):
         return _eval(node[1], df) | _eval(node[2], df)
     if kind == "not":
         return ~_eval(node[1], df)
-    if kind == "like":
+    if kind in ("like", "ilike"):
         pat = _eval(node[2], df)
         if not isinstance(pat, str):
             raise SQLError("LIKE pattern must be a string literal")
-        rx = _like_to_re(pat)
+        rx = _like_to_re(pat, ci=kind == "ilike")
         return _eval(node[1], df).astype(str).str.match(rx)
     if kind == "in":
         target = _eval(node[1], df)

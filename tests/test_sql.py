@@ -312,3 +312,17 @@ STDDEV_QUERIES = [
 def test_stddev_matches_duckdb(sql, con, ray_session):
     """swq's STDDEV_POP/STDDEV_SAMP aggregates (ogr/ogr_swq.h:67-75)."""
     _run_both(sql, con, ray_session)
+
+
+ILIKE_QUERIES = [
+    "SELECT n_name FROM nation WHERE n_name ILIKE 'a%' ORDER BY n_name",
+    "SELECT c_name FROM customer WHERE c_name ILIKE '%0002_' "
+    "AND c_custkey <= 60 ORDER BY c_name",
+    "SELECT n_name FROM nation WHERE n_name NOT ILIKE '%a%' ORDER BY n_name",
+]
+
+
+@pytest.mark.parametrize("sql", ILIKE_QUERIES)
+def test_ilike_matches_duckdb(sql, con, ray_session):
+    """ILIKE: case-insensitive LIKE (swq_op_general.cpp ILIKE)."""
+    _run_both(sql, con, ray_session)
