@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mosaic": RQ.q_mosaic,
         "q_viewshed": RQ.q_viewshed,
         "q_audio_features": EQ.q_audio_features,
+        # SQL-twinned but below the cap (round 5 is terminal, no rotation
+        # slot left); locally dtype-strict-verified at two scales
+        "q_doc_fingerprint": EQ.q_doc_fingerprint,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1203,6 +1206,29 @@ def oracle_sql() -> dict[str, str]:
         # identical text runs through the engine's parser AND DuckDB
         # (chained LEFT JOINs + IN-subqueries + HAVING, round-5 surface)
         "q_ogrsql2": _ogrsql2_text(),
+        # FNV-1a 64-bit rolling fingerprint, bit-exact: bytes via
+        # hex(encode(text)), the recurrence via list_reduce in mod-2^64
+        # UHUGEINT arithmetic, two's-complement reinterpret at the end
+        "q_doc_fingerprint": """
+            WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+                 fp AS (SELECT doc_id,
+                        list_reduce(
+                          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                            list_transform(range(1, length(hx)//2 + 1),
+                              i -> CAST(('0x' || substr(hx, i*2 - 1, 2))
+                                        AS UBIGINT))),
+                          (acc, x) -> CAST((CAST(xor(acc, x) AS UHUGEINT)
+                                            * 1099511628211)
+                                           % 18446744073709551616 AS UBIGINT)
+                        ) AS h
+                        FROM b)
+            SELECT doc_id,
+                   CAST(CASE WHEN h >= 9223372036854775808
+                             THEN CAST(h AS HUGEINT) - 18446744073709551616
+                             ELSE CAST(h AS HUGEINT) END AS BIGINT)
+                       AS fingerprint
+            FROM fp
+        """,
         "q_hll_distinct": """
             WITH h AS (SELECT xor(CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT)) >> 31) AS h
                        FROM orders),

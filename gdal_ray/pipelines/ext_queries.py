@@ -140,6 +140,22 @@ def q_ogrsql2(sf_dir: str):
     return execute_sql(OGRSQL2_TEXT, sf_dir)
 
 
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprinting (FNV-1a 64-bit over utf-8
+    bytes, stages/text.py Fingerprint — batch-vectorized byte-column
+    recurrence). The DuckDB twin replays the identical recurrence via
+    hex(encode(text)) byte extraction + list_reduce with mod-2^64
+    UHUGEINT arithmetic, bit-exact including the two's-complement view."""
+    from gdal_ray.stages.text import Fingerprint
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    fp = ds.map_batches(Fingerprint(), batch_format="pandas")
+    return fp.map_batches(
+        lambda df: df[["doc_id", "fingerprint"]], batch_format="pandas"
+    )
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct-count sketch over orders.o_custkey (engine
     addition, stages/sketch.py): per-block register partials, associative
