@@ -8,7 +8,7 @@ core (single input layer):
   SELECT [DISTINCT] <expr [AS alias], ... | aggregates> FROM <table>
   [[LEFT] JOIN <table2> ON t.a = t2.b]...
   [WHERE <expr>] [GROUP BY <cols>] [HAVING <expr>]
-  [ORDER BY <col> [ASC|DESC], ...] [LIMIT n]
+  [ORDER BY <col | ordinal | expr> [ASC|DESC], ...] [LIMIT n [OFFSET m]]
 
 Expressions: column refs (optionally table-qualified), numeric/string
 literals, + - * / % and unary -, comparisons (= != <> < <= > >=),
@@ -30,7 +30,18 @@ the driver, which matches OGR's executor materializing the secondary
 side); UNION [ALL] chains concatenate positionally with the first
 member's column names (plain UNION dedups left-associatively through
 one bucketed shuffle per step — the SQLite-dialect surface the
-reference reaches via ogrsqliteexecutesql.cpp).
+reference reaches via ogrsqliteexecutesql.cpp). Further breadth:
+HAVING may reference select aliases; ORDER BY accepts 1-based
+ordinals and full expressions (computed as hidden sort keys, aliases
+usable, aggregates allowed under GROUP BY); LIMIT n OFFSET m (swq's
+LIMIT/OFFSET, ogr/ogr_swq.h:480 — OFFSET requires LIMIT so the head
+stays bounded); scalar subqueries ``(SELECT one_agg FROM ...)``
+resolve eagerly to a literal (must return <=1 row); [NOT] EXISTS
+(SELECT ...) — non-correlated folds to a boolean via a LIMIT-1 probe,
+correlated-by-equality (outer refs must be table-qualified, e.g.
+``EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND s.x > 5)``) compiles to
+a distinct inner-key scan broadcast as a semi-filter on the outer
+keys — the same bounded-small-side pattern as IN-subqueries.
 
 Documented deviation: string comparisons (=, <, IN, BETWEEN) are
 CASE-SENSITIVE here, matching DuckDB (the twin oracle) and this
@@ -80,7 +91,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "order", "limit",
     "as", "and", "or", "not", "like", "ilike", "in", "between", "is", "null", "asc",
     "desc", "count", "sum", "avg", "min", "max", "having", "join", "union",
-    "left", "on", "cast",
+    "left", "on", "cast", "exists", "offset",
 }
 
 # OGR SQL scalar string functions (swq_op_registrar, ogr/swq_op_general.cpp)
@@ -162,6 +173,15 @@ class _Parser:
         return self._predicate()
 
     def _predicate(self):
+        if self.peek() == ("kw", "exists"):
+            # [NOT] EXISTS (SELECT ...) — the SQLite-dialect surface the
+            # reference reaches via ogrsqliteexecutesql.cpp; correlated
+            # equality form compiles to a broadcast semi-filter
+            self.next()
+            self.expect("op", "(")
+            sub = self.select_stmt()
+            self.expect("op", ")")
+            return ("exists", sub)
         node = self._arith()
         tok = self.peek()
         if tok == ("kw", "is"):
@@ -231,6 +251,12 @@ class _Parser:
         if tok == ("op", "-"):
             return ("neg", self._factor())
         if tok == ("op", "("):
+            if self.peek() == ("kw", "select"):
+                # scalar subquery: resolved eagerly to a literal (must
+                # return exactly one column and at most one row)
+                sub = self.select_stmt()
+                self.expect("op", ")")
+                return ("scalarsub", sub)
             node = self.expr()
             self.expect("op", ")")
             return node
@@ -362,22 +388,38 @@ class _Parser:
         if p.accept("kw", "order"):
             p.expect("kw", "by")
             while True:
-                col = p.expect("id")[1]
+                # ORDER BY accepts a column/alias name, a 1-based ordinal
+                # (ORDER BY 2), or a full expression (computed as a hidden
+                # sort key and dropped after the sort)
+                e = p.expr()
+                if e[0] == "col":
+                    key = e[1]
+                elif e[0] == "lit" and isinstance(e[1], int):
+                    key = ("ord", e[1])
+                else:
+                    key = e
                 desc = False
                 if p.accept("kw", "desc"):
                     desc = True
                 else:
                     p.accept("kw", "asc")
-                order_by.append((col, desc))
+                order_by.append((key, desc))
                 if not p.accept("op", ","):
                     break
+        offset = None
         if p.accept("kw", "limit"):
             limit = int(p.expect("num")[1])
+            if p.accept("kw", "offset"):
+                # swq_select carries LIMIT/OFFSET (ogr/ogr_swq.h:480);
+                # OFFSET without LIMIT is rejected at plan time
+                offset = int(p.expect("num")[1])
+        elif p.accept("kw", "offset"):
+            offset = int(p.expect("num")[1])
         return {
             "select": select, "star": star, "distinct": distinct,
             "table": table, "joins": joins, "where": where,
             "group_by": group_by, "having": having,
-            "order_by": order_by, "limit": limit,
+            "order_by": order_by, "limit": limit, "offset": offset,
         }
 
 
@@ -402,13 +444,14 @@ def parse(sql: str) -> dict:
             raise SQLError("ORDER BY/LIMIT inside a UNION member "
                            "(only the trailing one applies to the union)")
     tail = members[-1]
-    order_by, limit = tail["order_by"], tail["limit"]
-    tail["order_by"], tail["limit"] = [], None
+    order_by, limit, offset = tail["order_by"], tail["limit"], tail["offset"]
+    tail["order_by"], tail["limit"], tail["offset"] = [], None, None
     return {
         "union": members,
         "union_all": [bool(a) for a in alls],
         "order_by": order_by,
         "limit": limit,
+        "offset": offset,
     }
 
 
@@ -487,6 +530,18 @@ def _eval(node, df: pd.DataFrame):
 
             vals = ray.get(vals)
         return _eval(node[1], df).isin(vals)
+    if kind == "insettuple":
+        # multi-key membership (correlated EXISTS on >1 equality): zip the
+        # outer key columns into row tuples and test against the broadcast
+        # set of inner key tuples
+        vals = node[2]
+        if not isinstance(vals, (set, frozenset)):
+            import ray
+
+            vals = ray.get(vals)
+        cols = [np.asarray(_eval(e, df)) for e in node[1]]
+        s = pd.Series(list(zip(*cols)) if len(df) else [], index=df.index)
+        return s.isin(vals)
     if kind == "pre":
         return node[1]
     if kind == "between":
@@ -553,6 +608,15 @@ def _eval(node, df: pd.DataFrame):
     if kind == "agg":
         raise SQLError("aggregate used outside the SELECT list")
     raise SQLError(f"bad node {node!r}")
+
+
+def _filter_df(df: pd.DataFrame, node) -> pd.DataFrame:
+    """Apply a WHERE/HAVING predicate; a scalar mask (e.g. a folded
+    non-correlated EXISTS) keeps or drops the whole batch."""
+    m = np.asarray(_eval(node, df), dtype=bool)
+    if m.ndim == 0:
+        return df if bool(m) else df.iloc[0:0]
+    return df[m]
 
 
 def _columns_of(node, acc: set):
@@ -639,11 +703,106 @@ def _and_all(terms: list):
     return node
 
 
-def _resolve_subqueries(node, sf_dir: str):
-    """Run each ("insub", expr, subquery) and replace it with an
-    ("inset", expr, values) filter. The subquery must select exactly one
-    column; its result is materialized on the driver (bounded small side,
-    like OGR's executor) and broadcast via ray.put when large."""
+def _substitute_aliases(node, amap: dict, real_cols: set):
+    """Replace ("col", alias) with the aliased select expression (HAVING /
+    ORDER-BY-expression alias references). A real table column of the same
+    name wins over the alias, per standard SQL."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "col" and node[1] in amap and node[1] not in real_cols:
+        return amap[node[1]]
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_substitute_aliases(ch, amap, real_cols))
+        elif isinstance(ch, list):
+            out.append([_substitute_aliases(c, amap, real_cols) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
+
+
+def _has_outer_ref(node, sub_tables: set) -> bool:
+    """True if the expression references a table qualifier outside the
+    subquery's own FROM/JOIN tables (i.e. a correlated outer column)."""
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "qcol":
+        return node[1] not in sub_tables
+    for ch in node[1:]:
+        if isinstance(ch, tuple) and _has_outer_ref(ch, sub_tables):
+            return True
+        if isinstance(ch, list) and any(
+            _has_outer_ref(c, sub_tables) for c in ch if isinstance(c, tuple)
+        ):
+            return True
+    return False
+
+
+def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
+    """Compile [NOT] EXISTS (SELECT ...). Non-correlated: run with LIMIT 1
+    and fold to a boolean. Correlated via top-level equality conjuncts
+    ``<outer_t>.<col> = <inner expr>`` (outer refs must be table-qualified):
+    run the subquery projected to its inner key exprs under the remaining
+    local predicates, materialize the distinct key set on the driver
+    (bounded small side, like OGR's executor) and broadcast it as a
+    semi-filter on the outer keys."""
+    sub_tables = {sub["table"]} | {j["table"] for j in sub["joins"]}
+    corr, local = [], []
+    for term in (_conjuncts(sub["where"]) if sub["where"] is not None else []):
+        if term[0] == "cmp" and term[1] == "=":
+            a, b = term[2], term[3]
+            for outer, inner in ((a, b), (b, a)):
+                if (
+                    isinstance(outer, tuple) and outer[0] == "qcol"
+                    and outer[1] not in sub_tables
+                    and not _has_outer_ref(inner, sub_tables)
+                ):
+                    if outer[1] not in outer_tables:
+                        raise SQLError(
+                            f"unknown table qualifier {outer[1]!r} in EXISTS"
+                        )
+                    corr.append((("col", outer[2]), inner))
+                    break
+            else:
+                if _has_outer_ref(term, sub_tables):
+                    raise SQLError(
+                        "correlated EXISTS supports only top-level "
+                        "<outer>.<col> = <inner expr> equality conjuncts"
+                    )
+                local.append(term)
+            continue
+        if _has_outer_ref(term, sub_tables):
+            raise SQLError(
+                "correlated EXISTS supports only top-level "
+                "<outer>.<col> = <inner expr> equality conjuncts"
+            )
+        local.append(term)
+    if not corr:
+        n = _plan(sub, sf_dir).limit(1).count()
+        return ("pre", np.bool_(n > 0))
+    sub2 = dict(
+        sub,
+        select=[(inner, f"__k{i}") for i, (_, inner) in enumerate(corr)],
+        star=False,
+        distinct=False,
+        where=_and_all(local) if local else None,
+        group_by=None, having=None, order_by=[], limit=None, offset=None,
+    )
+    keys_df = _plan(sub2, sf_dir).to_pandas().dropna()
+    if len(corr) == 1:
+        vals = frozenset(keys_df.iloc[:, 0].tolist())
+        return ("inset", corr[0][0], vals)
+    vals = frozenset(map(tuple, keys_df.itertuples(index=False, name=None)))
+    return ("insettuple", [o for o, _ in corr], vals)
+
+
+def _resolve_subqueries(node, sf_dir: str, outer_tables: set):
+    """Run each ("insub", expr, subquery) / ("scalarsub", subquery) /
+    ("exists", subquery) eagerly and replace it with a broadcastable
+    filter or literal. Subquery results are materialized on the driver
+    (bounded small sides, like OGR's executor) and broadcast via ray.put
+    when large."""
     if not isinstance(node, tuple):
         return node
     if node[0] == "insub":
@@ -652,20 +811,57 @@ def _resolve_subqueries(node, sf_dir: str):
             raise SQLError("IN-subquery must select exactly one column")
         vals_df = _plan(sub, sf_dir).to_pandas()
         vals = frozenset(vals_df.iloc[:, 0].dropna().tolist())
+        expr = _resolve_subqueries(node[1], sf_dir, outer_tables)
         if len(vals) > 50_000:
             import ray
 
-            return ("inset", _resolve_subqueries(node[1], sf_dir), ray.put(vals))
-        return ("inset", _resolve_subqueries(node[1], sf_dir), vals)
+            return ("inset", expr, ray.put(vals))
+        return ("inset", expr, vals)
+    if node[0] == "scalarsub":
+        sub = node[1]
+        if len(sub["select"]) != 1 or sub["star"]:
+            raise SQLError("scalar subquery must select exactly one column")
+        df = _plan(sub, sf_dir).limit(2).to_pandas()
+        if len(df) > 1:
+            raise SQLError("scalar subquery returned more than one row")
+        if len(df) == 0:
+            return ("lit", None)
+        v = df.iloc[0, 0]
+        return ("lit", v.item() if hasattr(v, "item") else v)
+    if node[0] == "exists":
+        return _resolve_exists(node[1], sf_dir, outer_tables)
     out = [node[0]]
     for ch in node[1:]:
         if isinstance(ch, tuple):
-            out.append(_resolve_subqueries(ch, sf_dir))
+            out.append(_resolve_subqueries(ch, sf_dir, outer_tables))
         elif isinstance(ch, list):
-            out.append([_resolve_subqueries(c, sf_dir) for c in ch])
+            out.append(
+                [_resolve_subqueries(c, sf_dir, outer_tables) for c in ch]
+            )
         else:
             out.append(ch)
     return tuple(out)
+
+
+def _limit_offset(ds, limit, offset):
+    """LIMIT [OFFSET]: LIMIT streams; OFFSET slices the (bounded)
+    limit+offset head on the driver — OFFSET without LIMIT is rejected
+    because it would otherwise force an unbounded materialization."""
+    if offset:
+        if limit is None:
+            raise SQLError("OFFSET requires LIMIT in this subset")
+        import ray.data as rd
+
+        df = (
+            ds.limit(limit + offset)
+            .to_pandas()
+            .iloc[offset:]
+            .reset_index(drop=True)
+        )
+        return rd.from_pandas(df)
+    if limit is not None:
+        return ds.limit(limit)
+    return ds
 
 
 def execute_sql(sql: str, sf_dir: str):
@@ -709,14 +905,13 @@ def _plan_union(q: dict, sf_dir: str):
         if not is_all:
             out = dedup(out)
     for c, _ in q["order_by"]:
-        if c not in names:
-            raise SQLError(f"unknown ORDER BY column {c!r}")
+        if not isinstance(c, str) or c not in names:
+            raise SQLError(f"unknown ORDER BY column {c!r} "
+                           "(UNION tails sort by output column name)")
     if q["order_by"]:
         out = out.sort([c for c, _ in q["order_by"]],
                        descending=[d for _, d in q["order_by"]])
-    if q["limit"] is not None:
-        out = out.limit(q["limit"])
-    return out
+    return _limit_offset(out, q["limit"], q.get("offset"))
 
 
 def _plan(q: dict, sf_dir: str):
@@ -729,7 +924,7 @@ def _plan(q: dict, sf_dir: str):
     q["select"] = [(_dequalify(e, valid_tables), a) for e, a in q["select"]]
     for key in ("where", "having"):
         if q[key] is not None:
-            q[key] = _resolve_subqueries(_dequalify(q[key], valid_tables), sf_dir)
+            q[key] = _dequalify(q[key], valid_tables)
 
     ds = _rpt(os.path.join(sf_dir, f"{q['table']}.parquet"))
     primary_cols = list(ds.schema().names)
@@ -740,6 +935,14 @@ def _plan(q: dict, sf_dir: str):
         cols2 = list(ds2.schema().names)
         join_scans.append((j, ds2, cols2))
         avail = avail + [c for c in cols2 if c not in avail]
+    # HAVING may reference select aliases (substituted before column
+    # validation; a real column of the same name wins)
+    amap = {a: e for e, a in q["select"] if a}
+    if q["having"] is not None:
+        q["having"] = _substitute_aliases(q["having"], amap, set(avail))
+    for key in ("where", "having"):
+        if q[key] is not None:
+            q[key] = _resolve_subqueries(q[key], sf_dir, valid_tables)
     if q["star"]:
         q["select"] = [(("col", c), None) for c in avail]
     # data columns (select expressions, WHERE/HAVING, GROUP BY, join keys)
@@ -756,13 +959,35 @@ def _plan(q: dict, sf_dir: str):
         alias or (e[1] if e[0] == "col" else f"expr_{i}")
         for i, (e, alias) in enumerate(q["select"])
     ]
+    # normalize ORDER BY: names stay; ordinals resolve to select positions;
+    # expressions become hidden __ordN sort keys computed in the projection
+    ob_norm, sort_exprs = [], []
+    for spec, desc in q["order_by"]:
+        if isinstance(spec, str):
+            ob_norm.append((spec, desc))
+        elif spec[0] == "ord":
+            n = spec[1]
+            if not 1 <= n <= len(out_names):
+                raise SQLError(f"ORDER BY position {n} out of range")
+            ob_norm.append((out_names[n - 1], desc))
+        else:
+            e = _substitute_aliases(
+                _dequalify(spec, valid_tables), amap, set(avail)
+            )
+            e = _resolve_subqueries(e, sf_dir, valid_tables)
+            name = f"__ord{len(sort_exprs)}"
+            sort_exprs.append((name, e))
+            ob_norm.append((name, desc))
+    q["order_by"] = ob_norm
+    for _, e in sort_exprs:
+        _columns_of(e, data_cols)
     if data_cols - set(avail):
         raise SQLError(f"unknown column(s) {sorted(data_cols - set(avail))}")
     needed = set(data_cols)
     for c, _ in q["order_by"]:
         if c in set(avail):
             needed.add(c)
-        elif c not in out_names:
+        elif c not in out_names and not c.startswith("__ord"):
             raise SQLError(f"unknown ORDER BY column {c!r}")
     for j, _, _ in join_scans:
         needed.add(j["left_col"])
@@ -791,7 +1016,7 @@ def _plan(q: dict, sf_dir: str):
             pw = pre_where
 
             def prefilter(df: pd.DataFrame) -> pd.DataFrame:
-                return df[np.asarray(_eval(pw, df), dtype=bool)]
+                return _filter_df(df, pw)
 
             ds = ds.map_batches(prefilter, batch_format="pandas")
         have = set(lcols)
@@ -829,6 +1054,8 @@ def _plan(q: dict, sf_dir: str):
     having = q["having"]
     if having is not None:
         _find_aggs(having, aggs)
+    for _, e in sort_exprs:
+        _find_aggs(e, aggs)
     is_agg = bool(aggs) or q["group_by"] is not None
 
     select = q["select"]
@@ -836,7 +1063,7 @@ def _plan(q: dict, sf_dir: str):
     if not is_agg:
         def project(df: pd.DataFrame) -> pd.DataFrame:
             if where is not None:
-                df = df[np.asarray(_eval(where, df), dtype=bool)]
+                df = _filter_df(df, where)
             out = {}
             for name, (e, _) in zip(out_names, select):
                 v = _eval(e, df)
@@ -845,6 +1072,11 @@ def _plan(q: dict, sf_dir: str):
                 )
             for hcol in hidden:
                 out[hcol] = df[hcol]
+            for sname, se in sort_exprs:
+                v = _eval(se, df)
+                out[sname] = v if isinstance(v, pd.Series) else pd.Series(
+                    np.full(len(df), v), index=df.index
+                )
             return pd.DataFrame(out)
 
         ds = ds.map_batches(project, batch_format="pandas")
@@ -866,7 +1098,7 @@ def _plan(q: dict, sf_dir: str):
 
         def stage(df: pd.DataFrame) -> pd.DataFrame:
             if where is not None:
-                df = df[np.asarray(_eval(where, df), dtype=bool)]
+                df = _filter_df(df, where)
             out = {}
             for g in group_by:
                 out[g] = df[g]
@@ -966,6 +1198,11 @@ def _plan(q: dict, sf_dir: str):
                 out[name] = v if isinstance(v, pd.Series) else pd.Series(
                     np.full(len(df), v), index=df.index
                 )
+            for sname, se in sort_exprs:
+                v = _eval(_substitute_aggs(se, sub), df)
+                out[sname] = v if isinstance(v, pd.Series) else pd.Series(
+                    np.full(len(df), v), index=df.index
+                )
             res = pd.DataFrame(out)
             if len(res) == 0:
                 # 0-row object columns confuse Ray's block size estimator;
@@ -980,8 +1217,6 @@ def _plan(q: dict, sf_dir: str):
     if q["order_by"]:
         ds = ds.sort([c for c, _ in q["order_by"]],
                      descending=[d for _, d in q["order_by"]])
-    if hidden and not is_agg:
+    if sort_exprs or (hidden and not is_agg):
         ds = ds.select_columns(out_names)
-    if q["limit"] is not None:
-        ds = ds.limit(q["limit"])
-    return ds
+    return _limit_offset(ds, q["limit"], q.get("offset"))

@@ -153,6 +153,70 @@ def test_sql_round5_matches_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
 
 
+# late-round-5 surface: ORDER BY expressions/ordinals, HAVING aliases,
+# LIMIT/OFFSET (ogr_swq.h:480), scalar subqueries, [NOT] EXISTS
+# (ogrsqliteexecutesql.cpp SQLite-dialect surface)
+R5B_QUERIES = [
+    # ORDER BY a computed expression (hidden sort key)
+    "SELECT c_name, c_acctbal FROM customer WHERE c_custkey <= 50 "
+    "ORDER BY c_acctbal + c_custkey DESC LIMIT 5",
+    # ORDER BY ordinal
+    "SELECT r_name FROM region ORDER BY 1 DESC",
+    # ORDER BY expression over string functions, alias usable
+    "SELECT UPPER(n_name) AS u FROM nation ORDER BY LENGTH(n_name) DESC, u "
+    "LIMIT 6",
+    # ORDER BY an aggregate expression under GROUP BY
+    "SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS s FROM lineitem "
+    "GROUP BY l_returnflag ORDER BY SUM(l_quantity) DESC",
+    # LIMIT ... OFFSET
+    "SELECT o_orderkey FROM orders WHERE o_orderkey < 100 "
+    "ORDER BY o_orderkey LIMIT 5 OFFSET 3",
+    # HAVING via the select alias + OFFSET after a grouped sort
+    "SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand "
+    "HAVING n >= 3 ORDER BY n DESC, p_brand LIMIT 4 OFFSET 2",
+    # scalar subquery as a comparison operand
+    "SELECT c_name FROM customer WHERE c_acctbal > "
+    "(SELECT AVG(c_acctbal) FROM customer) AND c_custkey <= 30 "
+    "ORDER BY c_name",
+    # correlated EXISTS (equality on the nation key + a local predicate)
+    "SELECT s_name FROM supplier WHERE EXISTS "
+    "(SELECT 1 FROM customer WHERE customer.c_nationkey = "
+    "supplier.s_nationkey AND customer.c_acctbal > 9000) ORDER BY s_name",
+    # correlated NOT EXISTS (anti-join shape)
+    "SELECT n_name FROM nation WHERE NOT EXISTS "
+    "(SELECT 1 FROM supplier WHERE supplier.s_nationkey = nation.n_nationkey) "
+    "ORDER BY n_name",
+    # non-correlated EXISTS folding to TRUE
+    "SELECT r_name FROM region WHERE EXISTS "
+    "(SELECT 1 FROM nation WHERE n_regionkey = 0) ORDER BY r_name",
+]
+
+
+@pytest.mark.parametrize("sql", R5B_QUERIES)
+def test_sql_round5b_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
+def test_exists_empty_and_offset_guard(ray_session):
+    from gdal_ray.sql import SQLError, execute_sql
+
+    # non-correlated EXISTS folding to FALSE drops every row
+    got = execute_sql(
+        "SELECT r_name FROM region WHERE EXISTS "
+        "(SELECT 1 FROM nation WHERE n_regionkey = 99)", SF
+    ).to_pandas()
+    assert len(got) == 0
+    # OFFSET without LIMIT would need an unbounded head: rejected
+    with pytest.raises(SQLError, match="OFFSET requires LIMIT"):
+        execute_sql("SELECT r_name FROM region OFFSET 2", SF)
+    # scalar subquery with >1 row: rejected
+    with pytest.raises(SQLError, match="more than one row"):
+        execute_sql(
+            "SELECT r_name FROM region WHERE r_regionkey > "
+            "(SELECT n_regionkey FROM nation)", SF
+        ).to_pandas()
+
+
 def test_ogrsql2_gate_text(con, ray_session):
     from gdal_ray.pipelines.ext_queries import OGRSQL2_TEXT
 
