@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned but below the cap (round 5 is terminal, no rotation
         # slot left); locally dtype-strict-verified at two scales
         "q_doc_fingerprint": EQ.q_doc_fingerprint,
+        "q_ntv2_lattice": LO.q_ntv2_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1228,6 +1229,38 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(h AS HUGEINT) END AS BIGINT)
                        AS fingerprint
             FROM fp
+        """,
+        # NTv2 bilinear grid shift: node values integers/256 (exact in the
+        # .gsb float32), cell fractions dyadic/2^14, so every term has
+        # denominator 2^36 and x*2^36 is an exact integer — zero rounding
+        # ambiguity on either side
+        "q_ntv2_lattice": """
+            WITH p AS (
+              SELECT c_custkey,
+                     ((c_custkey * 2654435761) % 65536) * 5 AS frn,
+                     ((c_custkey * 2246822519) % 65536) * 5 AS fcn
+              FROM customer
+            ), q AS (
+              SELECT c_custkey,
+                     frn // 16384 AS r0, (frn % 16384) / 16384.0 AS tr,
+                     fcn // 16384 AS c0, (fcn % 16384) / 16384.0 AS tc
+              FROM p
+            ), b AS (
+              SELECT c_custkey,
+                ( (7*r0 + 3*c0 - 100)/256.0       * (1-tr) * (1-tc)
+                + (7*r0 + 3*(c0+1) - 100)/256.0   * (1-tr) * tc
+                + (7*(r0+1) + 3*c0 - 100)/256.0   * tr     * (1-tc)
+                + (7*(r0+1) + 3*(c0+1) - 100)/256.0 * tr   * tc ) AS slat,
+                ( (5*r0 - 11*c0 + 60)/256.0       * (1-tr) * (1-tc)
+                + (5*r0 - 11*(c0+1) + 60)/256.0   * (1-tr) * tc
+                + (5*(r0+1) - 11*c0 + 60)/256.0   * tr     * (1-tc)
+                + (5*(r0+1) - 11*(c0+1) + 60)/256.0 * tr   * tc ) AS slon
+              FROM q
+            )
+            SELECT c_custkey,
+                   CAST(slat * 68719476736.0 AS BIGINT) AS slat_q,
+                   CAST(slon * 68719476736.0 AS BIGINT) AS slon_q
+            FROM b ORDER BY c_custkey
         """,
         "q_hll_distinct": """
             WITH h AS (SELECT xor(CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT)) >> 31) AS h

@@ -54,6 +54,7 @@ __all__ = [
     "q_symdiff_lattice",
     "q_stereo_lattice",
     "q_gcp_lattice",
+    "q_ntv2_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -963,4 +964,63 @@ def q_gcp_lattice(sf_dir: str):
 
     return _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         per_key, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# NTv2 datum grid shift through the real .gsb file path (exact-dyadic twin)
+# --------------------------------------------------------------------------
+
+def q_ntv2_lattice(sf_dir: str):
+    """NTv2 bilinear grid shift on customer lattice points through the
+    REAL file path: a deterministic 21x21 .gsb is written once (float32,
+    ntv2dataset.cpp layout), parsed back by ``read_gsb``, broadcast via
+    ``ray.put``, and ``SubGrid.interpolate`` runs per batch.
+
+    Exactness by construction: the 0.1-deg grid over 50..52N/74..76W with
+    2^16-lattice points makes every cell fraction a dyadic rational with
+    denominator 2^14, node shifts are integers/256 (exact in float32),
+    so each bilinear term has denominator 2^36 and every float64 product,
+    sum and the final x*2^36 quantization is EXACT — the SQL twin
+    recomputes node values and weights in closed form with zero rounding
+    ambiguity (no banker's-vs-half-away hazard). Refs:
+    frmts/raw/ntv2dataset.cpp (format), ogr/ogrct.cpp (datum-shift use)."""
+    from gdal_ray.geo.ntv2 import read_gsb, write_gsb
+
+    path = "/tmp/gdal_ray_fixtures/ntv2_lattice_v1.gsb"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        r = np.arange(21, dtype=np.float64)[:, None]
+        c = np.arange(21, dtype=np.float64)[None, :]
+        write_gsb(path, [dict(
+            name="LATTICE", parent="NONE",
+            s_lat=180000.0, n_lat=187200.0,       # 50..52 N (arcsec)
+            e_long=266400.0, w_long=273600.0,     # 74..76 W (positive west)
+            lat_inc=360.0, long_inc=360.0,
+            shift_lat=(7.0 * r + 3.0 * c - 100.0) / 256.0 + 0.0 * c,
+            shift_lon=(5.0 * r - 11.0 * c + 60.0) / 256.0 + 0.0 * c,
+        )])
+    grid_ref = ray.put(read_gsb(path))
+
+    def shift(batch: pa.Table) -> pa.Table:
+        grid = ray.get(grid_ref)
+        sg = grid.subgrids[0]
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        ix = (keys * LATTICE_A) % _TWO16
+        iy = (keys * LATTICE_B) % _TWO16
+        lat = 50.0 + ix * (2.0 / 65536.0)
+        lon = -(74.0 + iy * (2.0 / 65536.0))
+        # same frame conversion as Ntv2Grid.shift
+        sl, so = sg.interpolate(-lon * 3600.0, lat * 3600.0)
+        two36 = float(1 << 36)
+        return pa.table({
+            "c_custkey": batch["c_custkey"],
+            "slat_q": pa.array((sl * two36).astype(np.int64)),
+            "slon_q": pa.array((so * two36).astype(np.int64)),
+        })
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(shift, batch_format="pyarrow")
+        .sort("c_custkey")
     )
