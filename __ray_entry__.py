@@ -1202,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(p_size) AS BIGINT) AS min_size,
                    CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
-            GROUP BY p_brand ORDER BY p_brand
+            GROUP BY p_brand ORDER BY SUM(p_size) DESC, p_brand
         """,
         # identical text runs through the engine's parser AND DuckDB
         # (chained LEFT JOINs + IN-subqueries + HAVING, round-5 surface)

@@ -96,7 +96,7 @@ def q_ogrsql(sf_dir: str):
         "SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size, "
         "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
         "FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44 "
-        "GROUP BY p_brand ORDER BY p_brand",
+        "GROUP BY p_brand ORDER BY SUM(p_size) DESC, p_brand",
         sf_dir,
     )
 
@@ -105,10 +105,13 @@ def q_ogrsql(sf_dir: str):
 #: (LEFT JOIN is explicit so both dialects agree; the OGR dialect's bare
 #: JOIN is also a left join). Exercises the round-5 parser surface in one
 #: driver-hashed statement: chained secondary-table joins, IN (subquery)
-#: resolved to a broadcast value set, HAVING over an aggregate,
-#: COUNT(DISTINCT), and a UNION ALL arm whose trailing ORDER BY applies
-#: to the combined result (ogr_gensql.cpp:1497 join machinery; swq HAVING
-#: + distinct_flag surfaces; SQLite-dialect UNION surface).
+#: resolved to a broadcast value set, a correlated EXISTS compiled to a
+#: broadcast semi-filter, an integer scalar subquery folded to a literal,
+#: HAVING over an aggregate, COUNT(DISTINCT), and a UNION ALL arm whose
+#: trailing ORDER BY + LIMIT/OFFSET apply to the combined result
+#: (ogr_gensql.cpp:1497 join machinery; swq HAVING + distinct_flag +
+#: limit/offset surfaces, ogr_swq.h:480; SQLite-dialect UNION/EXISTS
+#: surface via ogrsqliteexecutesql.cpp).
 OGRSQL2_TEXT = (
     "SELECT n_name, COUNT(*) AS n_cust, "
     "CAST(SUM(c_custkey) AS BIGINT) AS sum_key, "
@@ -119,22 +122,26 @@ OGRSQL2_TEXT = (
     "WHERE r_name IN (SELECT r_name FROM region WHERE r_regionkey <= 2) "
     "AND c_custkey IN "
     "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) "
+    "AND EXISTS (SELECT 1 FROM supplier "
+    "WHERE supplier.s_nationkey = customer.c_nationkey) "
+    "AND c_custkey > (SELECT MIN(o_custkey) FROM orders) "
     "GROUP BY n_name HAVING COUNT(*) > 2 "
     "UNION all "
     "SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT), "
     "COUNT(DISTINCT p_size) "
     "FROM part WHERE p_size BETWEEN 10 AND 30 "
     "GROUP BY p_brand HAVING COUNT(*) > 1 "
-    "ORDER BY n_name"
+    "ORDER BY n_name LIMIT 1000 OFFSET 1"
 )
 
 
 def q_ogrsql2(sf_dir: str):
     """Round-5 OGR-SQL breadth through the engine's own parser
     (gdal_ray/sql.py): two chained LEFT JOINs, two IN-subqueries (one on
-    a joined column, one a semi-join against orders), a HAVING filter,
-    COUNT(DISTINCT) and a UNION ALL arm. The twin is the identical SQL
-    text run by DuckDB."""
+    a joined column, one a semi-join against orders), a correlated
+    EXISTS semi-filter, an integer scalar subquery, a HAVING filter,
+    COUNT(DISTINCT), a UNION ALL arm and a trailing LIMIT/OFFSET. The
+    twin is the identical SQL text run by DuckDB."""
     from gdal_ray.sql import execute_sql
 
     return execute_sql(OGRSQL2_TEXT, sf_dir)

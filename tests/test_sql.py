@@ -349,6 +349,32 @@ def test_sql_fuzz_where_vs_duckdb(con, ray_session):
         _run_both(sql, con, ray_session)
 
 
+def test_sql_fuzz_orderby_offset_vs_duckdb(con, ray_session):
+    """Random WHERE + ORDER BY expression + LIMIT/OFFSET combinations
+    (the late-round-5 grammar) vs DuckDB. The ORDER BY key includes
+    p_partkey as the final tiebreak so row order is total."""
+    import random
+
+    rng = random.Random(20260819)
+    for _ in range(8):
+        ob = rng.choice([
+            "p_size * 3 - p_partkey",
+            "p_size + p_partkey",
+            "2",
+            "p_size - 2 * p_size",
+        ])
+        desc = rng.choice(["ASC", "DESC"])
+        lim = rng.randint(3, 12)
+        off = rng.choice([0, rng.randint(1, 6)])
+        tail = f"LIMIT {lim}" + (f" OFFSET {off}" if off else "")
+        sql = (
+            "SELECT p_partkey, p_size FROM part "
+            f"WHERE {_rand_expr(rng)} "
+            f"ORDER BY {ob} {desc}, p_partkey {tail}"
+        )
+        _run_both(sql, con, ray_session)
+
+
 def test_cast_float_to_int_truncates_like_ogr(ray_session):
     """OGR's swq CAST(float AS integer) is a C truncation, not a round
     (unlike DuckDB, which rounds) — pin the OGR semantics."""
