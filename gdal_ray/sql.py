@@ -41,7 +41,9 @@ resolve eagerly to a literal (must return <=1 row); [NOT] EXISTS
 correlated-by-equality (outer refs must be table-qualified, e.g.
 ``EXISTS (SELECT 1 FROM s WHERE s.k = t.k AND s.x > 5)``) compiles to
 a distinct inner-key scan broadcast as a semi-filter on the outer
-keys — the same bounded-small-side pattern as IN-subqueries.
+keys — the same bounded-small-side pattern as IN-subqueries; IN
+(SELECT ...) subqueries may be correlated the same way (the filter
+becomes tuple membership over value + correlation keys).
 
 Documented deviation: string comparisons (=, <, IN, BETWEEN) are
 CASE-SENSITIVE here, matching DuckDB (the twin oracle) and this
@@ -739,19 +741,17 @@ def _has_outer_ref(node, sub_tables: set) -> bool:
     return False
 
 
-def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
-    """Compile [NOT] EXISTS (SELECT ...). Non-correlated: run with LIMIT 1
-    and fold to a boolean. Correlated via top-level equality conjuncts
-    ``<outer_t>.<col> = <inner expr>`` (outer refs must be table-qualified):
-    run the subquery projected to its inner key exprs under the remaining
-    local predicates, materialize the distinct key set on the driver
-    (bounded small side, like OGR's executor) and broadcast it as a
-    semi-filter on the outer keys."""
+def _split_correlation(sub: dict, outer_tables: set, what: str):
+    """Split a subquery's WHERE into correlation pairs and local terms.
+    A correlation pair is a top-level equality conjunct
+    ``<outer_t>.<col> = <inner expr>`` (outer refs must be
+    table-qualified); any OTHER form of outer reference raises."""
     sub_tables = {sub["table"]} | {j["table"] for j in sub["joins"]}
     corr, local = [], []
     for term in (_conjuncts(sub["where"]) if sub["where"] is not None else []):
         if term[0] == "cmp" and term[1] == "=":
             a, b = term[2], term[3]
+            hit = False
             for outer, inner in ((a, b), (b, a)):
                 if (
                     isinstance(outer, tuple) and outer[0] == "qcol"
@@ -760,24 +760,31 @@ def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
                 ):
                     if outer[1] not in outer_tables:
                         raise SQLError(
-                            f"unknown table qualifier {outer[1]!r} in EXISTS"
+                            f"unknown table qualifier {outer[1]!r} in {what}"
                         )
                     corr.append((("col", outer[2]), inner))
+                    hit = True
                     break
-            else:
-                if _has_outer_ref(term, sub_tables):
-                    raise SQLError(
-                        "correlated EXISTS supports only top-level "
-                        "<outer>.<col> = <inner expr> equality conjuncts"
-                    )
-                local.append(term)
-            continue
+            if hit:
+                continue
         if _has_outer_ref(term, sub_tables):
             raise SQLError(
-                "correlated EXISTS supports only top-level "
+                f"correlated {what} supports only top-level "
                 "<outer>.<col> = <inner expr> equality conjuncts"
             )
         local.append(term)
+    return corr, local
+
+
+def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
+    """Compile [NOT] EXISTS (SELECT ...). Non-correlated: run with LIMIT 1
+    and fold to a boolean. Correlated via top-level equality conjuncts
+    ``<outer_t>.<col> = <inner expr>`` (outer refs must be table-qualified):
+    run the subquery projected to its inner key exprs under the remaining
+    local predicates, materialize the distinct key set on the driver
+    (bounded small side, like OGR's executor) and broadcast it as a
+    semi-filter on the outer keys."""
+    corr, local = _split_correlation(sub, outer_tables, "EXISTS")
     if not corr:
         n = _plan(sub, sf_dir).limit(1).count()
         return ("pre", np.bool_(n > 0))
@@ -809,9 +816,29 @@ def _resolve_subqueries(node, sf_dir: str, outer_tables: set):
         sub = node[2]
         if len(sub["select"]) != 1 or sub["star"]:
             raise SQLError("IN-subquery must select exactly one column")
+        expr = _resolve_subqueries(node[1], sf_dir, outer_tables)
+        corr, local = _split_correlation(sub, outer_tables, "IN-subquery")
+        if corr:
+            # correlated IN: membership of (value, outer keys...) tuples
+            # against the subquery's (select col, inner keys...) rows —
+            # the same broadcast semi-filter shape as correlated EXISTS
+            sub2 = dict(
+                sub,
+                select=[sub["select"][0]] + [
+                    (inner, f"__k{i}") for i, (_, inner) in enumerate(corr)
+                ],
+                star=False, distinct=False,
+                where=_and_all(local) if local else None,
+                group_by=None, having=None, order_by=[], limit=None,
+                offset=None,
+            )
+            keys_df = _plan(sub2, sf_dir).to_pandas().dropna()
+            vals = frozenset(
+                map(tuple, keys_df.itertuples(index=False, name=None))
+            )
+            return ("insettuple", [expr] + [o for o, _ in corr], vals)
         vals_df = _plan(sub, sf_dir).to_pandas()
         vals = frozenset(vals_df.iloc[:, 0].dropna().tolist())
-        expr = _resolve_subqueries(node[1], sf_dir, outer_tables)
         if len(vals) > 50_000:
             import ray
 

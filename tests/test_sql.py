@@ -189,6 +189,15 @@ R5B_QUERIES = [
     # non-correlated EXISTS folding to TRUE
     "SELECT r_name FROM region WHERE EXISTS "
     "(SELECT 1 FROM nation WHERE n_regionkey = 0) ORDER BY r_name",
+    # correlated IN-subquery (tuple-membership semi-filter)
+    "SELECT s_name FROM supplier WHERE s_nationkey IN "
+    "(SELECT c_nationkey FROM customer "
+    "WHERE customer.c_custkey = supplier.s_suppkey) ORDER BY s_name",
+    # correlated NOT IN-subquery
+    "SELECT s_name FROM supplier WHERE s_nationkey NOT IN "
+    "(SELECT c_nationkey FROM customer "
+    "WHERE customer.c_custkey = supplier.s_suppkey AND c_acctbal > 0) "
+    "ORDER BY s_name",
 ]
 
 
