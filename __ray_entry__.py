@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_near_dup_images": CQ.q_near_dup_images,
         "q_decode_stats": CQ.q_decode_stats,
         "q_image_embed_topk": CQ.q_image_embed_topk,
+        "q_datum_shift": CQ.q_datum_shift,
         # --- raster-operator pipelines (rows-only; kernel exactness in pytest) ---
         "q_dem_metrics": RQ.q_dem_metrics,
         "q_resample_roundtrip": RQ.q_resample_roundtrip,

@@ -30,6 +30,7 @@ __all__ = [
     "q_minhash_pairs",
     "q_curation_pipeline",
     "q_image_embed_topk",
+    "q_datum_shift",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -216,3 +217,76 @@ def q_image_embed_topk(sf_dir: str):
         ]
     )
     return topk_cosine(image_embeddings(d), queries, k=5, id_col="image_id")
+
+
+def _datum_grid_path() -> str:
+    """Deterministic wide-area NTv2 grid for the corpus (lat -55..55,
+    lon global, 1-deg increments): node shifts are closed-form in the
+    node indices so the pytest oracle can recompute them."""
+    from gdal_ray.geo.ntv2 import write_gsb
+
+    path = "/tmp/gdal_ray_fixtures/ntv2_corpus_v1.gsb"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        r = np.arange(111, dtype=np.float64)[:, None]   # -55..55 N
+        c = np.arange(361, dtype=np.float64)[None, :]   # 180E..180W (pos-west)
+        write_gsb(path, [dict(
+            name="CORPUS", parent="NONE",
+            s_lat=-55 * 3600.0, n_lat=55 * 3600.0,
+            e_long=-180 * 3600.0, w_long=180 * 3600.0,
+            lat_inc=3600.0, long_inc=3600.0,
+            shift_lat=((7.0 * r + 3.0 * c) % 97.0) / 64.0 - 0.75 + 0.0 * c,
+            shift_lon=((5.0 * r + 11.0 * c) % 89.0) / 64.0 - 0.70 + 0.0 * c,
+        )])
+    return path
+
+
+def q_datum_shift(sf_dir: str):
+    """Corpus-scale NTv2 datum shift: image centroids (EPSG:3857 meters)
+    -> lon/lat -> bilinear .gsb shift with the parsed grid broadcast ONCE
+    via ray.put -> per-latitude-band aggregate. Latitudes beyond the grid
+    (|lat| > 55; corpus placements reach 60) pass through uncovered, so
+    the no-coverage path is exercised at scale. Quantized int64 shift
+    sums are order-independent; the gate is rows-only, exactness is the
+    pytest oracle (tests/test_ntv2.py). Refs: ogr/ogrct.cpp (datum-shift
+    use), frmts/raw/ntv2dataset.cpp (grid format)."""
+    import ray
+
+    from gdal_ray.geo.mercator import meters_to_latlon
+    from gdal_ray.geo.ntv2 import read_gsb
+    from gdal_ray.pipelines import flagship as F
+
+    d = corpus_for_sf(sf_dir)
+    grid_ref = ray.put(read_gsb(_datum_grid_path()))
+
+    def band_partials(batch: pa.Table) -> pa.Table:
+        grid = ray.get(grid_ref)
+        cx = np.asarray(batch["cx"], dtype=np.float64)
+        cy = np.asarray(batch["cy"], dtype=np.float64)
+        lat, lon = meters_to_latlon(cx, cy)
+        dlon, dlat, cov = grid.shift(lon, lat)
+        band = np.floor(lat).astype(np.int64)
+        dlat_q = np.round(dlat * 3600.0 * 1e6).astype(np.int64)
+        dlon_q = np.round(dlon * 3600.0 * 1e6).astype(np.int64)
+        # per-batch pre-combine: one row per band before the tiny shuffle
+        df = pd.DataFrame({
+            "band": band, "n": 1, "n_cov": cov.astype(np.int64),
+            "dlat_q": dlat_q, "dlon_q": dlon_q,
+        })
+        agg = df.groupby("band", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        F.placed_images(d, decode=False)
+        .map_batches(band_partials, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_cov", alias_name="n_cov"),
+            Sum("dlat_q", alias_name="sum_dlat_q"),
+            Sum("dlon_q", alias_name="sum_dlon_q"),
+        )
+        .sort("band")
+    )

@@ -133,6 +133,61 @@ def test_reject_non_gsb(tmp_path):
         read_gsb(p)
 
 
+def test_corpus_datum_shift_query(ray_session):
+    """q_datum_shift vs a single-process recompute over the same corpus:
+    identical bands, counts and quantized shift sums."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo.mercator import meters_to_latlon
+    from gdal_ray.geo.ntv2 import read_gsb
+    from gdal_ray.pipelines.corpus_queries import (
+        _datum_grid_path, corpus_for_sf, q_datum_shift)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_datum_shift(sf).to_pandas()
+
+    d = corpus_for_sf(sf)
+    import glob
+    import pandas as pd
+    pl = pd.concat([
+        pq.read_table(p).to_pandas()
+        for p in sorted(glob.glob(f"{d}/placements.parquet/*.parquet"))
+    ])
+    wh = pd.concat([
+        pq.read_table(p, columns=["image_id", "w", "h"]).to_pandas()
+        for p in sorted(glob.glob(f"{d}/images.parquet/*.parquet"))
+    ])
+    pl = pl.merge(wh, on="image_id", how="inner")
+    # recompute centroids with the SAME stage the query path uses
+    import pyarrow as pa
+
+    from gdal_ray.stages.geo import add_centroid_meters
+    merged = add_centroid_meters(pa.Table.from_pandas(pl, preserve_index=False))
+    cx = np.asarray(merged["cx"], dtype=np.float64)
+    cy = np.asarray(merged["cy"], dtype=np.float64)
+    lat, lon = meters_to_latlon(cx, cy)
+    grid = read_gsb(_datum_grid_path())
+    dlon, dlat, cov = grid.shift(lon, lat)
+    df = pd.DataFrame({
+        "band": np.floor(lat).astype(np.int64),
+        "n": 1,
+        "n_cov": cov.astype(np.int64),
+        "dlat_q": np.round(dlat * 3600.0 * 1e6).astype(np.int64),
+        "dlon_q": np.round(dlon * 3600.0 * 1e6).astype(np.int64),
+    })
+    want = (
+        df.groupby("band", as_index=False)
+        .sum()
+        .rename(columns={"dlat_q": "sum_dlat_q", "dlon_q": "sum_dlon_q"})
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    got = got.sort_values("band").reset_index(drop=True)[want.columns]
+    assert got.equals(want)
+    # the corpus reaches |lat| ~60: some points must be uncovered
+    assert (want["n_cov"] < want["n"]).any()
+
+
 def test_ray_stage_broadcast(gsb, ray_session):
     import pandas as pd
     import ray
