@@ -113,35 +113,44 @@ def q_ogrsql(sf_dir: str):
 #: limit/offset surfaces, ogr_swq.h:480; SQLite-dialect UNION/EXISTS
 #: surface via ogrsqliteexecutesql.cpp).
 OGRSQL2_TEXT = (
-    "SELECT n_name, COUNT(*) AS n_cust, "
-    "CAST(SUM(c_custkey) AS BIGINT) AS sum_key, "
-    "COUNT(DISTINCT c_mktsegment) AS n_seg "
-    "FROM customer "
-    "LEFT JOIN nation ON customer.c_nationkey = nation.n_nationkey "
-    "LEFT JOIN region ON nation.n_regionkey = region.r_regionkey "
-    "WHERE r_name IN (SELECT r_name FROM region WHERE r_regionkey <= 2) "
-    "AND c_custkey IN "
+    "SELECT n.n_name AS n_name, COUNT(*) AS n_cust, "
+    "CAST(SUM(c.c_custkey) AS BIGINT) AS sum_key, "
+    "COUNT(DISTINCT c.c_mktsegment) AS n_seg "
+    "FROM customer c "
+    "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name IN (SELECT r_name FROM region WHERE r_regionkey <= 2) "
+    "AND c.c_custkey IN "
     "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) "
-    "AND EXISTS (SELECT 1 FROM supplier "
-    "WHERE supplier.s_nationkey = customer.c_nationkey) "
-    "AND c_custkey > (SELECT MIN(o_custkey) FROM orders) "
-    "GROUP BY n_name HAVING COUNT(*) > 2 "
+    "AND EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_nationkey = c.c_nationkey) "
+    "AND c.c_custkey > (SELECT MIN(o_custkey) FROM orders) "
+    "GROUP BY n.n_name HAVING COUNT(*) > 2 "
     "UNION all "
     "SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_partkey) AS BIGINT), "
     "COUNT(DISTINCT p_size) "
     "FROM part WHERE p_size BETWEEN 10 AND 30 "
     "GROUP BY p_brand HAVING COUNT(*) > 1 "
+    "UNION all "
+    "SELECT CONCAT('pair_', CAST(a.n_regionkey AS VARCHAR)) AS nm, "
+    "COUNT(*) AS np, CAST(SUM(b.n_nationkey) AS BIGINT), "
+    "COUNT(DISTINCT a.n_nationkey) "
+    "FROM nation a LEFT JOIN nation b ON a.n_regionkey = b.n_regionkey "
+    "WHERE a.n_nationkey < b.n_nationkey "
+    "GROUP BY CONCAT('pair_', CAST(a.n_regionkey AS VARCHAR)) "
     "ORDER BY n_name LIMIT 1000 OFFSET 1"
 )
 
 
 def q_ogrsql2(sf_dir: str):
     """Round-5 OGR-SQL breadth through the engine's own parser
-    (gdal_ray/sql.py): two chained LEFT JOINs, two IN-subqueries (one on
-    a joined column, one a semi-join against orders), a correlated
-    EXISTS semi-filter, an integer scalar subquery, a HAVING filter,
-    COUNT(DISTINCT), a UNION ALL arm and a trailing LIMIT/OFFSET. The
-    twin is the identical SQL text run by DuckDB."""
+    (gdal_ray/sql.py): aliased chained LEFT JOINs, two IN-subqueries (one
+    on a joined column, one a semi-join against orders), a correlated
+    EXISTS semi-filter with aliased inner AND outer instances, an integer
+    scalar subquery, a HAVING filter, COUNT(DISTINCT), a UNION ALL arm, a
+    SELF-JOIN arm (nation pairs sharing a region) grouped by a computed
+    expression, and a trailing LIMIT/OFFSET. The twin is the identical
+    SQL text run by DuckDB."""
     from gdal_ray.sql import execute_sql
 
     return execute_sql(OGRSQL2_TEXT, sf_dir)

@@ -5,9 +5,10 @@ The reference's ``GDALDataset::ExecuteSQL`` OGR SQL dialect
 ogr_gensql.cpp`` executor). Supported subset — the dialect's documented
 core (single input layer):
 
-  SELECT [DISTINCT] <expr [AS alias], ... | aggregates> FROM <table>
-  [[LEFT] JOIN <table2> ON t.a = t2.b]...
-  [WHERE <expr>] [GROUP BY <cols>] [HAVING <expr>]
+  SELECT [DISTINCT] <expr [AS alias], ... | aggregates>
+  FROM <table> [[AS] t1]
+  [[LEFT] JOIN <table2> [[AS] t2] ON t1.a = t2.b]...
+  [WHERE <expr>] [GROUP BY <col | alias | expr>, ...] [HAVING <expr>]
   [ORDER BY <col | ordinal | expr> [ASC|DESC], ...] [LIMIT n [OFFSET m]]
 
 Expressions: column refs (optionally table-qualified), numeric/string
@@ -43,7 +44,15 @@ correlated-by-equality (outer refs must be table-qualified, e.g.
 a distinct inner-key scan broadcast as a semi-filter on the outer
 keys — the same bounded-small-side pattern as IN-subqueries; IN
 (SELECT ...) subqueries may be correlated the same way (the filter
-becomes tuple membership over value + correlation keys).
+becomes tuple membership over value + correlation keys); table aliases
+(swq table_def as_clause) allow SELF-JOINS — the same table twice under
+distinct aliases, qualifiers naming the alias (an aliased table's name
+stops being a valid qualifier, standard SQL); a later instance's column
+that collides with one already in scope is renamed <alias>_<col>
+internally, so unqualified refs stay unambiguous; GROUP BY accepts full
+expressions and select aliases — non-column keys are staged as hidden
+group columns per batch and substituted back into structurally-equal
+select/HAVING/ORDER-BY expressions.
 
 Documented deviation: string comparisons (=, <, IN, BETWEEN) are
 CASE-SENSITIVE here, matching DuckDB (the twin oracle) and this
@@ -152,6 +161,16 @@ class _Parser:
             self.i += 1
             return True
         return False
+
+    def table_alias(self):
+        """Optional table alias after a FROM/JOIN table name: ``t alias``
+        or ``t AS alias`` (swq table_def as_clause). Keywords never parse
+        as aliases, so bare-identifier aliases are unambiguous."""
+        if self.accept("kw", "as"):
+            return self.expect("id")[1]
+        if self.peek()[0] == "id":
+            return self.next()[1]
+        return None
 
     # expression grammar: or_expr
     def expr(self):
@@ -340,11 +359,16 @@ class _Parser:
         table = p.expect("id")[1]
         if table not in _TABLES:
             raise SQLError(f"unknown table {table!r}; expected one of {_TABLES}")
-        # OGR SQL secondary-table joins: each is ON t1.f1 = t2.f2 where one
-        # side names the NEW table and the other any table joined so far
-        # (the dialect's JOIN is a left join — ogr_sql.html, ogr_gensql.cpp)
+        alias = p.table_alias() or table
+        # OGR SQL secondary-table joins: each is ON a1.f1 = a2.f2 where one
+        # side names the NEW instance's alias and the other any instance
+        # joined so far (the dialect's JOIN is a left join — ogr_sql.html,
+        # ogr_gensql.cpp). Table aliases (swq table_def as_clause) allow
+        # SELF-JOINS: the same table may appear twice under distinct
+        # aliases; qualifiers always name the ALIAS (standard SQL — an
+        # aliased table's name is no longer a valid qualifier).
         joins = []
-        seen_tables = {table}
+        seen_aliases = {alias}
         while True:
             if p.accept("kw", "left"):
                 p.expect("kw", "join")
@@ -353,36 +377,45 @@ class _Parser:
             jtable = p.expect("id")[1]
             if jtable not in _TABLES:
                 raise SQLError(f"unknown join table {jtable!r}")
-            if jtable in seen_tables:
-                raise SQLError(f"table {jtable!r} joined twice (no self-join)")
+            jalias = p.table_alias() or jtable
+            if jalias in seen_aliases:
+                raise SQLError(
+                    f"duplicate table alias {jalias!r} (self-joins need "
+                    "distinct aliases)"
+                )
             p.expect("kw", "on")
             lhs = p.expr()
             if lhs[0] != "cmp" or lhs[1] != "=" \
                     or lhs[2][0] != "qcol" or lhs[3][0] != "qcol":
                 raise SQLError("JOIN condition must be <t1>.<col> = <t2>.<col>")
             sides = {lhs[2][1]: lhs[2][2], lhs[3][1]: lhs[3][2]}
-            if jtable not in sides or not (set(sides) - {jtable}) <= seen_tables:
+            if len(sides) != 2 or jalias not in sides \
+                    or not (set(sides) - {jalias}) <= seen_aliases:
                 raise SQLError(
-                    f"JOIN condition must reference {jtable} and an "
-                    f"already-joined table ({sorted(seen_tables)})"
+                    f"JOIN condition must reference {jalias} and an "
+                    f"already-joined table ({sorted(seen_aliases)})"
                 )
-            left_tab = next(t for t in sides if t != jtable)
+            left_al = next(t for t in sides if t != jalias)
             joins.append({
                 "table": jtable,
-                "left_col": sides[left_tab],
-                "right_col": sides[jtable],
+                "alias": jalias,
+                "left_alias": left_al,
+                "left_col": sides[left_al],
+                "right_col": sides[jalias],
             })
-            seen_tables.add(jtable)
+            seen_aliases.add(jalias)
         where = group_by = having = None
         order_by = []
         limit = None
         if p.accept("kw", "where"):
             where = p.expr()
         if p.accept("kw", "group"):
+            # GROUP BY accepts full expressions (and select aliases):
+            # non-column keys become hidden staged group columns
             p.expect("kw", "by")
-            group_by = [p.expect("id")[1]]
+            group_by = [p.expr()]
             while p.accept("op", ","):
-                group_by.append(p.expect("id")[1])
+                group_by.append(p.expr())
         if p.accept("kw", "having"):
             if group_by is None:
                 raise SQLError("HAVING requires GROUP BY")
@@ -419,7 +452,7 @@ class _Parser:
             offset = int(p.expect("num")[1])
         return {
             "select": select, "star": star, "distinct": distinct,
-            "table": table, "joins": joins, "where": where,
+            "table": table, "alias": alias, "joins": joins, "where": where,
             "group_by": group_by, "having": having,
             "order_by": order_by, "limit": limit, "offset": offset,
         }
@@ -638,20 +671,27 @@ def _columns_of(node, acc: set):
     return acc
 
 
-def _dequalify(node, valid_tables: set):
-    """Rewrite ("qcol", t, c) -> ("col", c), validating the qualifier."""
+def _dequalify(node, imaps: dict):
+    """Rewrite ("qcol", alias, c) -> ("col", internal_name), validating the
+    alias and the column against that instance's schema. ``imaps`` maps
+    each FROM/JOIN instance alias to its {original column -> internal
+    name} map (internal names differ from the original only when a joined
+    instance's column collides with one already in scope — the self-join
+    case, where the later instance's column becomes ``<alias>_<col>``)."""
     if not isinstance(node, tuple):
         return node
     if node[0] == "qcol":
-        if node[1] not in valid_tables:
+        if node[1] not in imaps:
             raise SQLError(f"unknown table qualifier {node[1]!r}")
-        return ("col", node[2])
+        if node[2] not in imaps[node[1]]:
+            raise SQLError(f"unknown column {node[1]}.{node[2]}")
+        return ("col", imaps[node[1]][node[2]])
     out = [node[0]]
     for ch in node[1:]:
         if isinstance(ch, tuple):
-            out.append(_dequalify(ch, valid_tables))
+            out.append(_dequalify(ch, imaps))
         elif isinstance(ch, list):
-            out.append([_dequalify(c, valid_tables) for c in ch])
+            out.append([_dequalify(c, imaps) for c in ch])
         else:
             out.append(ch)
     return tuple(out)
@@ -686,6 +726,25 @@ def _substitute_aggs(node, sub: dict):
             out.append(_substitute_aggs(ch, sub))
         elif isinstance(ch, list):
             out.append([_substitute_aggs(c, sub) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
+
+
+def _replace_subtree(node, target, repl):
+    """Replace every subtree structurally equal to ``target`` with
+    ``repl`` (GROUP BY expression keys substituted back into select /
+    HAVING / hidden-sort expressions)."""
+    if node == target:
+        return repl
+    if not isinstance(node, tuple):
+        return node
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_replace_subtree(ch, target, repl))
+        elif isinstance(ch, list):
+            out.append([_replace_subtree(c, target, repl) for c in ch])
         else:
             out.append(ch)
     return tuple(out)
@@ -741,12 +800,16 @@ def _has_outer_ref(node, sub_tables: set) -> bool:
     return False
 
 
-def _split_correlation(sub: dict, outer_tables: set, what: str):
+def _split_correlation(sub: dict, outer_imaps: dict, what: str):
     """Split a subquery's WHERE into correlation pairs and local terms.
     A correlation pair is a top-level equality conjunct
-    ``<outer_t>.<col> = <inner expr>`` (outer refs must be
-    table-qualified); any OTHER form of outer reference raises."""
-    sub_tables = {sub["table"]} | {j["table"] for j in sub["joins"]}
+    ``<outer_alias>.<col> = <inner expr>`` (outer refs must be
+    alias-qualified); any OTHER form of outer reference raises. Outer
+    refs resolve through the OUTER query's instance maps, so they land on
+    the right column even when the outer side renamed it (self-join)."""
+    sub_tables = {sub.get("alias", sub["table"])} | {
+        j.get("alias", j["table"]) for j in sub["joins"]
+    }
     corr, local = [], []
     for term in (_conjuncts(sub["where"]) if sub["where"] is not None else []):
         if term[0] == "cmp" and term[1] == "=":
@@ -758,11 +821,7 @@ def _split_correlation(sub: dict, outer_tables: set, what: str):
                     and outer[1] not in sub_tables
                     and not _has_outer_ref(inner, sub_tables)
                 ):
-                    if outer[1] not in outer_tables:
-                        raise SQLError(
-                            f"unknown table qualifier {outer[1]!r} in {what}"
-                        )
-                    corr.append((("col", outer[2]), inner))
+                    corr.append((_dequalify(outer, outer_imaps), inner))
                     hit = True
                     break
             if hit:
@@ -776,7 +835,7 @@ def _split_correlation(sub: dict, outer_tables: set, what: str):
     return corr, local
 
 
-def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
+def _resolve_exists(sub: dict, sf_dir: str, outer_imaps: dict):
     """Compile [NOT] EXISTS (SELECT ...). Non-correlated: run with LIMIT 1
     and fold to a boolean. Correlated via top-level equality conjuncts
     ``<outer_t>.<col> = <inner expr>`` (outer refs must be table-qualified):
@@ -784,7 +843,7 @@ def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
     local predicates, materialize the distinct key set on the driver
     (bounded small side, like OGR's executor) and broadcast it as a
     semi-filter on the outer keys."""
-    corr, local = _split_correlation(sub, outer_tables, "EXISTS")
+    corr, local = _split_correlation(sub, outer_imaps, "EXISTS")
     if not corr:
         n = _plan(sub, sf_dir).limit(1).count()
         return ("pre", np.bool_(n > 0))
@@ -804,7 +863,7 @@ def _resolve_exists(sub: dict, sf_dir: str, outer_tables: set):
     return ("insettuple", [o for o, _ in corr], vals)
 
 
-def _resolve_subqueries(node, sf_dir: str, outer_tables: set):
+def _resolve_subqueries(node, sf_dir: str, outer_imaps: dict):
     """Run each ("insub", expr, subquery) / ("scalarsub", subquery) /
     ("exists", subquery) eagerly and replace it with a broadcastable
     filter or literal. Subquery results are materialized on the driver
@@ -816,8 +875,8 @@ def _resolve_subqueries(node, sf_dir: str, outer_tables: set):
         sub = node[2]
         if len(sub["select"]) != 1 or sub["star"]:
             raise SQLError("IN-subquery must select exactly one column")
-        expr = _resolve_subqueries(node[1], sf_dir, outer_tables)
-        corr, local = _split_correlation(sub, outer_tables, "IN-subquery")
+        expr = _resolve_subqueries(node[1], sf_dir, outer_imaps)
+        corr, local = _split_correlation(sub, outer_imaps, "IN-subquery")
         if corr:
             # correlated IN: membership of (value, outer keys...) tuples
             # against the subquery's (select col, inner keys...) rows —
@@ -856,14 +915,14 @@ def _resolve_subqueries(node, sf_dir: str, outer_tables: set):
         v = df.iloc[0, 0]
         return ("lit", v.item() if hasattr(v, "item") else v)
     if node[0] == "exists":
-        return _resolve_exists(node[1], sf_dir, outer_tables)
+        return _resolve_exists(node[1], sf_dir, outer_imaps)
     out = [node[0]]
     for ch in node[1:]:
         if isinstance(ch, tuple):
-            out.append(_resolve_subqueries(ch, sf_dir, outer_tables))
+            out.append(_resolve_subqueries(ch, sf_dir, outer_imaps))
         elif isinstance(ch, list):
             out.append(
-                [_resolve_subqueries(c, sf_dir, outer_tables) for c in ch]
+                [_resolve_subqueries(c, sf_dir, outer_imaps) for c in ch]
             )
         else:
             out.append(ch)
@@ -947,21 +1006,36 @@ def _plan(q: dict, sf_dir: str):
 
     from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
-    valid_tables = {q["table"]} | {j["table"] for j in q["joins"]}
-    q["select"] = [(_dequalify(e, valid_tables), a) for e, a in q["select"]]
-    for key in ("where", "having"):
-        if q[key] is not None:
-            q[key] = _dequalify(q[key], valid_tables)
-
     ds = _rpt(os.path.join(sf_dir, f"{q['table']}.parquet"))
     primary_cols = list(ds.schema().names)
+    # instance maps: one per FROM/JOIN instance alias, {original column ->
+    # internal name}. The primary instance keeps natural names; a joined
+    # instance's column that collides with one already in scope (the
+    # self-join case) is renamed to <alias>_<col> so every internal name
+    # is unique across the join result.
+    imaps = {q.get("alias", q["table"]): {c: c for c in primary_cols}}
     avail = list(primary_cols)
-    join_scans = []  # (join spec, dataset, its columns)
+    taken = set(primary_cols)
+    join_scans = []  # (join spec, dataset, {orig -> internal})
     for j in q["joins"]:
         ds2 = _rpt(os.path.join(sf_dir, f"{j['table']}.parquet"))
-        cols2 = list(ds2.schema().names)
-        join_scans.append((j, ds2, cols2))
-        avail = avail + [c for c in cols2 if c not in avail]
+        al = j.get("alias", j["table"])
+        if al in imaps:
+            raise SQLError(f"duplicate table alias {al!r}")
+        im = {}
+        for c in ds2.schema().names:
+            ic = c if c not in taken else f"{al}_{c}"
+            if ic in taken:
+                raise SQLError(f"cannot disambiguate column {c!r} of {al!r}")
+            im[c] = ic
+            taken.add(ic)
+            avail.append(ic)
+        imaps[al] = im
+        join_scans.append((j, ds2, im))
+    q["select"] = [(_dequalify(e, imaps), a) for e, a in q["select"]]
+    for key in ("where", "having"):
+        if q[key] is not None:
+            q[key] = _dequalify(q[key], imaps)
     # HAVING may reference select aliases (substituted before column
     # validation; a real column of the same name wins)
     amap = {a: e for e, a in q["select"] if a}
@@ -969,7 +1043,7 @@ def _plan(q: dict, sf_dir: str):
         q["having"] = _substitute_aliases(q["having"], amap, set(avail))
     for key in ("where", "having"):
         if q[key] is not None:
-            q[key] = _resolve_subqueries(q[key], sf_dir, valid_tables)
+            q[key] = _resolve_subqueries(q[key], sf_dir, imaps)
     if q["star"]:
         q["select"] = [(("col", c), None) for c in avail]
     # data columns (select expressions, WHERE/HAVING, GROUP BY, join keys)
@@ -980,8 +1054,6 @@ def _plan(q: dict, sf_dir: str):
     for key in ("where", "having"):
         if q[key] is not None:
             _columns_of(q[key], data_cols)
-    for c in q["group_by"] or []:
-        data_cols.add(c)
     out_names = [
         alias or (e[1] if e[0] == "col" else f"expr_{i}")
         for i, (e, alias) in enumerate(q["select"])
@@ -999,15 +1071,49 @@ def _plan(q: dict, sf_dir: str):
             ob_norm.append((out_names[n - 1], desc))
         else:
             e = _substitute_aliases(
-                _dequalify(spec, valid_tables), amap, set(avail)
+                _dequalify(spec, imaps), amap, set(avail)
             )
-            e = _resolve_subqueries(e, sf_dir, valid_tables)
+            e = _resolve_subqueries(e, sf_dir, imaps)
             name = f"__ord{len(sort_exprs)}"
             sort_exprs.append((name, e))
             ob_norm.append((name, desc))
     q["order_by"] = ob_norm
+    # normalize GROUP BY: a plain column groups directly; a select alias
+    # substitutes first (DuckDB-style GROUP BY alias); any other
+    # expression becomes a hidden __grpN staging column computed per
+    # batch, grouped on, and substituted back into structurally-equal
+    # select / HAVING / hidden-sort expressions
+    grp_exprs = []
+    if q["group_by"] is not None:
+        group_keys = []
+        for k, g in enumerate(q["group_by"]):
+            g = _substitute_aliases(_dequalify(g, imaps), amap, set(avail))
+            if _find_aggs(g, []):
+                raise SQLError("GROUP BY expression may not contain aggregates")
+            g = _resolve_subqueries(g, sf_dir, imaps)
+            if g[0] == "col":
+                group_keys.append(g[1])
+                data_cols.add(g[1])
+                continue
+            name = f"__grp{k}"
+            grp_exprs.append((name, g))
+            group_keys.append(name)
+            _columns_of(g, data_cols)
+            q["select"] = [
+                (_replace_subtree(e, g, ("col", name)), a)
+                for e, a in q["select"]
+            ]
+            if q["having"] is not None:
+                q["having"] = _replace_subtree(q["having"], g, ("col", name))
+            sort_exprs = [
+                (n2, _replace_subtree(e2, g, ("col", name)))
+                for n2, e2 in sort_exprs
+            ]
+        q["group_by"] = group_keys
     for _, e in sort_exprs:
         _columns_of(e, data_cols)
+    # hidden __grpN group keys are computed in the staging step, not scanned
+    data_cols -= {name for name, _ in grp_exprs}
     if data_cols - set(avail):
         raise SQLError(f"unknown column(s) {sorted(data_cols - set(avail))}")
     needed = set(data_cols)
@@ -1016,9 +1122,16 @@ def _plan(q: dict, sf_dir: str):
             needed.add(c)
         elif c not in out_names and not c.startswith("__ord"):
             raise SQLError(f"unknown ORDER BY column {c!r}")
-    for j, _, _ in join_scans:
-        needed.add(j["left_col"])
-        needed.add(j["right_col"])
+    for j, _, im in join_scans:
+        la = j.get("left_alias", q.get("alias", q["table"]))
+        if la not in imaps or j["left_col"] not in imaps[la]:
+            raise SQLError(f"unknown JOIN key {la}.{j['left_col']}")
+        if j["right_col"] not in im:
+            raise SQLError(
+                f"unknown JOIN key {j.get('alias', j['table'])}.{j['right_col']}"
+            )
+        needed.add(imaps[la][j["left_col"]])
+        needed.add(im[j["right_col"]])
 
     # push WHERE conjuncts that only touch primary-table columns below the
     # joins (left join keeps every primary row, so this is lossless)
@@ -1047,18 +1160,27 @@ def _plan(q: dict, sf_dir: str):
 
             ds = ds.map_batches(prefilter, batch_format="pandas")
         have = set(lcols)
-        for j, ds2, cols2 in join_scans:
-            lkey, rkey = j["left_col"], j["right_col"]
+        for j, ds2, im in join_scans:
+            la = j.get("left_alias", q.get("alias", q["table"]))
+            lkey = imaps[la][j["left_col"]]
+            rkey = im[j["right_col"]]
             if lkey not in have:
                 raise SQLError(
                     f"JOIN key {lkey!r} not available before joining "
                     f"{j['table']!r}"
                 )
-            rcols = sorted(((needed | {rkey}) & set(cols2)) - have)
+            # needed columns of THIS instance, in internal names; select
+            # the original columns and rename (zero-copy) to internal
+            rcols = sorted(((needed | {rkey}) & set(im.values())) - have)
             if rkey not in rcols:
                 rcols = sorted(set(rcols) | {rkey})
+            inv = {ic: c for c, ic in im.items()}
+            side = ds2.select_columns([inv[ic] for ic in rcols])
+            ren = {inv[ic]: ic for ic in rcols if inv[ic] != ic}
+            if ren:
+                side = side.rename_columns(ren)
             ds = ds.join(
-                ds2.select_columns(rcols),
+                side,
                 join_type="left_outer",
                 num_partitions=adaptive_partitions(),
                 on=(lkey,),
@@ -1123,12 +1245,20 @@ def _plan(q: dict, sf_dir: str):
             star = a[1] == "count" and a[2] == ("lit", 1)
             agg_specs.append((f"__agg{i}", a[1], a[2], star))
 
+        ge_map = dict(grp_exprs)
+
         def stage(df: pd.DataFrame) -> pd.DataFrame:
             if where is not None:
                 df = _filter_df(df, where)
             out = {}
             for g in group_by:
-                out[g] = df[g]
+                if g in ge_map:
+                    v = _eval(ge_map[g], df)
+                    out[g] = v if isinstance(v, pd.Series) else pd.Series(
+                        np.full(len(df), v), index=df.index
+                    )
+                else:
+                    out[g] = df[g]
             for cname, kind, arg, star in agg_specs:
                 v = _eval(arg, df)
                 if not isinstance(v, pd.Series):
@@ -1140,65 +1270,89 @@ def _plan(q: dict, sf_dir: str):
 
         staged = ds.map_batches(stage, batch_format="pandas")
         cd_specs = [s for s in agg_specs if s[1] == "count_distinct"]
-        ray_aggs = []
-        for cname, kind, _, star in agg_specs:
-            if kind == "count_distinct":
-                continue
-            if kind == "count" and star:
-                ray_aggs.append(Count(alias_name=cname + "_r"))
-            elif kind == "count":
-                ray_aggs.append(Sum(cname, alias_name=cname + "_r"))
-            elif kind in ("stddev_pop", "stddev_samp"):
-                from ray.data.aggregate import Std
+        if cd_specs and group_by:
+            # COUNT(DISTINCT) under GROUP BY: ONE bucketed shuffle computes
+            # every aggregate — hash-bucketing on the group keys puts each
+            # group entirely inside one partition, so per-partition pandas
+            # aggregation (incl. nunique) is EXACT. This replaces the old
+            # aggregate + distinct-groupby + join chain (3 shuffles + a
+            # join whose inputs carried schema-less 0-row blocks per
+            # surplus hash partition — pyarrow's join rejects a partition
+            # fed only those: "No match ... FieldRef").
+            from gdal_ray.ops.shuffle import (adaptive_partitions,
+                                              bucketed_group_apply)
 
-                ray_aggs.append(
-                    Std(cname, ddof=0 if kind == "stddev_pop" else 1,
-                        alias_name=cname + "_r")
-                )
-            else:
-                ray_aggs.append(
-                    {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[kind](
-                        cname, alias_name=cname + "_r"
+            def per_bucket(p: pd.DataFrame, specs=tuple(agg_specs),
+                           keys=tuple(group_by)) -> pd.DataFrame:
+                g = p.groupby(list(keys), sort=False, dropna=False)
+                res = g.size().reset_index(name="__sz")[list(keys)]
+                for cname, kind, _, star in specs:
+                    if kind == "count_distinct":
+                        v = g[cname].nunique(dropna=True)
+                    elif kind == "count" and star:
+                        v = g.size()
+                    elif kind in ("count", "sum"):
+                        v = g[cname].sum()
+                    elif kind == "avg":
+                        v = g[cname].mean()
+                    elif kind == "min":
+                        v = g[cname].min()
+                    elif kind == "max":
+                        v = g[cname].max()
+                    else:  # stddev_pop / stddev_samp
+                        v = g[cname].std(ddof=0 if kind == "stddev_pop" else 1)
+                    res[cname + "_r"] = v.to_numpy()
+                return res
+
+            agged = bucketed_group_apply(
+                staged, group_by, per_bucket,
+                num_buckets=max(16, adaptive_partitions() * 2),
+            )
+        else:
+            ray_aggs = []
+            for cname, kind, _, star in agg_specs:
+                if kind == "count_distinct":
+                    continue
+                if kind == "count" and star:
+                    ray_aggs.append(Count(alias_name=cname + "_r"))
+                elif kind == "count":
+                    ray_aggs.append(Sum(cname, alias_name=cname + "_r"))
+                elif kind in ("stddev_pop", "stddev_samp"):
+                    from ray.data.aggregate import Std
+
+                    ray_aggs.append(
+                        Std(cname, ddof=0 if kind == "stddev_pop" else 1,
+                            alias_name=cname + "_r")
                     )
-                )
-        if not ray_aggs and group_by:
-            # COUNT(DISTINCT)-only select still needs every group key row
-            # (a group whose argument is all-NULL must survive with 0)
-            ray_aggs.append(Count(alias_name="__base_r"))
-        agged = (
-            staged.groupby(group_by or None).aggregate(*ray_aggs)
-            if group_by
-            else (staged.aggregate(*ray_aggs) if ray_aggs else {})
-        )
-        if not group_by:
-            # global aggregate returns a dict; lift back into a Dataset
-            import pyarrow as pa
-
-            row = agged
-            agged = rd.from_arrow(
-                pa.table({k: [v] for k, v in row.items()} or {"__base_r": [0]})
+                else:
+                    ray_aggs.append(
+                        {"sum": Sum, "avg": Mean, "min": Min, "max": Max}[kind](
+                            cname, alias_name=cname + "_r"
+                        )
+                    )
+            if not ray_aggs and group_by:
+                # aggregate-less GROUP BY still needs every group key row
+                ray_aggs.append(Count(alias_name="__base_r"))
+            agged = (
+                staged.groupby(group_by or None).aggregate(*ray_aggs)
+                if group_by
+                else (staged.aggregate(*ray_aggs) if ray_aggs else {})
             )
-        # COUNT(DISTINCT col): per-spec two-stage distinct count — groupby
-        # (group keys + value) for distinct rows, then count per group and
-        # left-join onto the base aggregate (NULLs excluded, like DuckDB)
-        for cname, _, _, _ in cd_specs:
-            nn = staged.map_batches(
-                lambda df, c=cname: df[df[c].notna()], batch_format="pandas"
-            )
-            if group_by:
-                from gdal_ray.ops.shuffle import adaptive_partitions
+            if not group_by:
+                # global aggregate returns a dict; lift back into a Dataset
+                import pyarrow as pa
 
-                uniq = nn.groupby(group_by + [cname]).count()
-                cnt = uniq.groupby(group_by).aggregate(
-                    Count(alias_name=cname + "_r")
+                row = agged
+                agged = rd.from_arrow(
+                    pa.table({k: [v] for k, v in row.items()} or {"__base_r": [0]})
                 )
-                agged = agged.join(
-                    cnt,
-                    join_type="left_outer",
-                    num_partitions=adaptive_partitions(),
-                    on=tuple(group_by),
+            # global COUNT(DISTINCT col): two-stage distinct count, the
+            # final (tiny, one row per distinct value count) combine on the
+            # driver — no join involved
+            for cname, _, _, _ in cd_specs:
+                nn = staged.map_batches(
+                    lambda df, c=cname: df[df[c].notna()], batch_format="pandas"
                 )
-            else:
                 v = nn.groupby(cname).count().count()
                 agged = agged.map_batches(
                     lambda df, c=cname, vv=v: df.assign(**{c + "_r": vv}),
@@ -1208,6 +1362,13 @@ def _plan(q: dict, sf_dir: str):
         # final projection (and HAVING filter): replace each agg node with
         # its staged result, then evaluate with the full expression grammar
         def finish(df: pd.DataFrame) -> pd.DataFrame:
+            # surplus shuffle partitions emit 0-row blocks that may carry
+            # the PRE-aggregate schema (or none at all); drop them rather
+            # than KeyError on the missing staging columns
+            if len(df) == 0 and not {
+                c + "_r" for c, _, _, _ in agg_specs
+            } <= set(df.columns):
+                return pd.DataFrame()
             sub = {}
             for i, (cname, kind, _, _) in enumerate(agg_specs):
                 col = df[cname + "_r"]

@@ -206,6 +206,76 @@ def test_sql_round5b_matches_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
 
 
+# round-5 final surface: table aliases (swq table_def as_clause),
+# SELF-JOINS under distinct aliases (later instance's colliding columns
+# rename to <alias>_<col> internally), GROUP BY expressions/aliases
+# (hidden staged group keys substituted back into select/HAVING/sort)
+R5C_QUERIES = [
+    # bare and AS table aliases on a join
+    "SELECT c.c_name, n.n_name FROM customer c LEFT JOIN nation n "
+    "ON c.c_nationkey = n.n_nationkey WHERE c.c_custkey <= 25 ORDER BY c_name",
+    "SELECT o.o_orderkey, c.c_name FROM orders AS o LEFT JOIN customer AS c "
+    "ON o.o_custkey = c.c_custkey WHERE o.o_orderkey <= 100 ORDER BY o_orderkey",
+    # self-join: nation pairs sharing a region
+    "SELECT a.n_name AS na, b.n_name AS nb FROM nation a LEFT JOIN nation b "
+    "ON a.n_regionkey = b.n_regionkey WHERE a.n_nationkey < b.n_nationkey "
+    "ORDER BY na, nb",
+    # 3-instance chain incl. a self-join leg; WHERE touches the renamed col
+    "SELECT a.n_name AS na, b.n_name AS nb, r.r_name AS rn FROM nation a "
+    "LEFT JOIN nation b ON a.n_regionkey = b.n_regionkey "
+    "LEFT JOIN region r ON a.n_regionkey = r.r_regionkey "
+    "WHERE b.n_nationkey > a.n_nationkey ORDER BY na, nb",
+    # self-join + aggregate over the left instance's key
+    "SELECT a.n_regionkey AS rk, COUNT(*) AS pairs FROM nation a "
+    "LEFT JOIN nation b ON a.n_regionkey = b.n_regionkey "
+    "GROUP BY a.n_regionkey ORDER BY rk",
+    # correlated EXISTS with aliased inner AND outer instances
+    "SELECT c.c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
+    "ORDER BY c_name LIMIT 15",
+    # GROUP BY an expression repeated in the select list
+    "SELECT SUBSTR(c_name, 1, 12) AS pre, COUNT(*) AS n FROM customer "
+    "GROUP BY SUBSTR(c_name, 1, 12) ORDER BY n DESC, pre LIMIT 10",
+    # GROUP BY a select alias
+    "SELECT c_nationkey % 5 AS bucket, SUM(c_acctbal) AS s FROM customer "
+    "GROUP BY bucket ORDER BY bucket",
+    # GROUP BY expr + HAVING + ORDER BY the same expr (all substitute)
+    "SELECT c_nationkey % 3 AS b, COUNT(*) AS n FROM customer "
+    "GROUP BY c_nationkey % 3 HAVING COUNT(*) > 10 ORDER BY c_nationkey % 3",
+    # two grouped expressions
+    "SELECT c_nationkey % 2 AS a, c_nationkey % 3 AS b, COUNT(*) AS n "
+    "FROM customer GROUP BY c_nationkey % 2, c_nationkey % 3 ORDER BY a, b",
+    # grouped expression over a joined alias column
+    "SELECT SUBSTR(n.n_name, 1, 1) AS ini, COUNT(*) AS n FROM customer c "
+    "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY SUBSTR(n.n_name, 1, 1) ORDER BY ini",
+]
+
+
+@pytest.mark.parametrize("sql", R5C_QUERIES)
+def test_sql_round5c_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
+def test_alias_and_groupby_guards(ray_session):
+    from gdal_ray.sql import SQLError, execute_sql
+
+    # self-join without distinct aliases is ambiguous
+    with pytest.raises(SQLError, match="duplicate table alias"):
+        execute_sql(
+            "SELECT 1 AS x FROM nation JOIN nation "
+            "ON nation.n_regionkey = nation.n_regionkey", SF)
+    # an aliased table's name is no longer a valid qualifier
+    with pytest.raises(SQLError, match="unknown table qualifier"):
+        execute_sql(
+            "SELECT nation.n_name AS x FROM nation a "
+            "LEFT JOIN region r ON a.n_regionkey = r.r_regionkey", SF)
+    # aggregates cannot appear inside a GROUP BY key
+    with pytest.raises(SQLError, match="may not contain aggregates"):
+        execute_sql(
+            "SELECT COUNT(*) AS n FROM nation GROUP BY COUNT(*)", SF)
+
+
 def test_exists_empty_and_offset_guard(ray_session):
     from gdal_ray.sql import SQLError, execute_sql
 
