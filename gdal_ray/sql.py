@@ -44,7 +44,11 @@ correlated-by-equality (outer refs must be table-qualified, e.g.
 a distinct inner-key scan broadcast as a semi-filter on the outer
 keys — the same bounded-small-side pattern as IN-subqueries; IN
 (SELECT ...) subqueries may be correlated the same way (the filter
-becomes tuple membership over value + correlation keys); table aliases
+becomes tuple membership over value + correlation keys); NON-EQUALITY
+correlated EXISTS conjuncts (``o.price > t.price``) fall back to a
+bounded broadcast nested loop — the inner side (distinct referenced
+columns, local predicates applied, <=10k rows) binds one disjunct per
+inner row, each evaluated vectorized over the outer batch; table aliases
 (swq table_def as_clause) allow SELF-JOINS — the same table twice under
 distinct aliases, qualifiers naming the alias (an aliased table's name
 stops being a valid qualifier, standard SQL); a later instance's column
@@ -579,6 +583,21 @@ def _eval(node, df: pd.DataFrame):
         return s.isin(vals)
     if kind == "pre":
         return node[1]
+    if kind == "anyof":
+        # nested-loop EXISTS (non-equality correlation): one disjunct per
+        # materialized inner row, each evaluated vectorized over the outer
+        # batch; iterative OR-fold keeps recursion depth flat
+        m = np.zeros(len(df), dtype=bool)
+        for t in node[1]:
+            v = _eval(t, df)
+            if isinstance(v, pd.Series):
+                v = v.fillna(False).to_numpy(dtype=bool)
+            else:
+                v = np.full(len(df), bool(v))
+            m |= v
+            if m.all():
+                break
+        return pd.Series(m, index=df.index)
     if kind == "between":
         v = _eval(node[1], df)
         return (v >= _eval(node[2], df)) & (v <= _eval(node[3], df))
@@ -800,17 +819,19 @@ def _has_outer_ref(node, sub_tables: set) -> bool:
     return False
 
 
-def _split_correlation(sub: dict, outer_imaps: dict, what: str):
-    """Split a subquery's WHERE into correlation pairs and local terms.
-    A correlation pair is a top-level equality conjunct
-    ``<outer_alias>.<col> = <inner expr>`` (outer refs must be
-    alias-qualified); any OTHER form of outer reference raises. Outer
+def _split_correlation(sub: dict, outer_imaps: dict, what: str,
+                       allow_extra: bool = False):
+    """Split a subquery's WHERE into correlation pairs, local terms and
+    (when ``allow_extra``) non-equality correlated terms. A correlation
+    pair is a top-level equality conjunct ``<outer_alias>.<col> =
+    <inner expr>`` (outer refs must be alias-qualified); any other form
+    of outer reference raises unless ``allow_extra`` collects it. Outer
     refs resolve through the OUTER query's instance maps, so they land on
     the right column even when the outer side renamed it (self-join)."""
     sub_tables = {sub.get("alias", sub["table"])} | {
         j.get("alias", j["table"]) for j in sub["joins"]
     }
-    corr, local = [], []
+    corr, local, extra = [], [], []
     for term in (_conjuncts(sub["where"]) if sub["where"] is not None else []):
         if term[0] == "cmp" and term[1] == "=":
             a, b = term[2], term[3]
@@ -827,12 +848,64 @@ def _split_correlation(sub: dict, outer_imaps: dict, what: str):
             if hit:
                 continue
         if _has_outer_ref(term, sub_tables):
+            if allow_extra:
+                extra.append(term)
+                continue
             raise SQLError(
                 f"correlated {what} supports only top-level "
                 "<outer>.<col> = <inner expr> equality conjuncts"
             )
         local.append(term)
-    return corr, local
+    return corr, local, extra, sub_tables
+
+
+# inner-row cap for the nested-loop fallback (non-equality correlation):
+# the inner side is materialized on the driver and re-evaluated per outer
+# batch, so it must stay a bounded small side (OGR's executor shape)
+_NL_CAP = 10_000
+
+
+def _inner_refs(node, sub_tables: set, acc: list):
+    """Collect inner column references of a correlated extra term: bare
+    ("col", c) nodes and ("qcol", inner_alias, c) nodes (in AST order,
+    deduplicated by the caller). Outer-qualified refs are skipped."""
+    if not isinstance(node, tuple):
+        return acc
+    if node[0] == "col":
+        acc.append(node)
+        return acc
+    if node[0] == "qcol":
+        if node[1] in sub_tables:
+            acc.append(node)
+        return acc
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            _inner_refs(ch, sub_tables, acc)
+        elif isinstance(ch, list):
+            for c in ch:
+                _inner_refs(c, sub_tables, acc)
+    return acc
+
+
+def _bind_inner(node, binding: dict, outer_imaps: dict):
+    """Rewrite a correlated extra term for one inner row: inner refs
+    become literals from ``binding`` (keyed by the ref node), outer
+    qcols dequalify through the outer instance maps."""
+    if not isinstance(node, tuple):
+        return node
+    if node in binding:
+        return ("lit", binding[node])
+    if node[0] == "qcol":
+        return _dequalify(node, outer_imaps)
+    out = [node[0]]
+    for ch in node[1:]:
+        if isinstance(ch, tuple):
+            out.append(_bind_inner(ch, binding, outer_imaps))
+        elif isinstance(ch, list):
+            out.append([_bind_inner(c, binding, outer_imaps) for c in ch])
+        else:
+            out.append(ch)
+    return tuple(out)
 
 
 def _resolve_exists(sub: dict, sf_dir: str, outer_imaps: dict):
@@ -842,11 +915,49 @@ def _resolve_exists(sub: dict, sf_dir: str, outer_imaps: dict):
     run the subquery projected to its inner key exprs under the remaining
     local predicates, materialize the distinct key set on the driver
     (bounded small side, like OGR's executor) and broadcast it as a
-    semi-filter on the outer keys."""
-    corr, local = _split_correlation(sub, outer_imaps, "EXISTS")
-    if not corr:
+    semi-filter on the outer keys. NON-EQUALITY correlated conjuncts
+    (``o.price > t.price`` etc.) fall back to a bounded broadcast
+    nested loop: the inner side (local predicates applied, projected to
+    the referenced columns, deduplicated, capped at 10k rows) binds one
+    ("anyof", ...) disjunct per inner row, each evaluated VECTORIZED over
+    the outer batch — the reference's per-row nested-loop executor shape,
+    batched."""
+    corr, local, extra, sub_tables = _split_correlation(
+        sub, outer_imaps, "EXISTS", allow_extra=True
+    )
+    if not corr and not extra:
         n = _plan(sub, sf_dir).limit(1).count()
         return ("pre", np.bool_(n > 0))
+    if extra:
+        refs = []
+        for t in extra:
+            _inner_refs(t, sub_tables, refs)
+        for _, inner in corr:
+            _inner_refs(inner, sub_tables, refs)
+        refs = list(dict.fromkeys(refs))  # dedup, keep order
+        sub2 = dict(
+            sub,
+            select=[(r, f"__e{i}") for i, r in enumerate(refs)],
+            star=False, distinct=True,
+            where=_and_all(local) if local else None,
+            group_by=None, having=None, order_by=[], limit=None, offset=None,
+        )
+        rows = _plan(sub2, sf_dir).to_pandas()
+        if len(rows) > _NL_CAP:
+            raise SQLError(
+                "correlated EXISTS with non-equality terms materializes "
+                f"the inner side; it returned {len(rows)} distinct rows "
+                f"(> cap {_NL_CAP})"
+            )
+        disjuncts = []
+        for tup in rows.itertuples(index=False, name=None):
+            binding = dict(zip(refs, tup))
+            conj = [
+                ("cmp", "=", o, _bind_inner(inner, binding, outer_imaps))
+                for o, inner in corr
+            ] + [_bind_inner(t, binding, outer_imaps) for t in extra]
+            disjuncts.append(_and_all(conj))
+        return ("anyof", disjuncts)
     sub2 = dict(
         sub,
         select=[(inner, f"__k{i}") for i, (_, inner) in enumerate(corr)],
@@ -876,7 +987,7 @@ def _resolve_subqueries(node, sf_dir: str, outer_imaps: dict):
         if len(sub["select"]) != 1 or sub["star"]:
             raise SQLError("IN-subquery must select exactly one column")
         expr = _resolve_subqueries(node[1], sf_dir, outer_imaps)
-        corr, local = _split_correlation(sub, outer_imaps, "IN-subquery")
+        corr, local, _, _ = _split_correlation(sub, outer_imaps, "IN-subquery")
         if corr:
             # correlated IN: membership of (value, outer keys...) tuples
             # against the subquery's (select col, inner keys...) rows —

@@ -257,6 +257,45 @@ def test_sql_round5c_matches_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
 
 
+# non-equality correlated EXISTS: bounded broadcast nested loop — one
+# vectorized disjunct per distinct inner row (the reference's per-row
+# nested-loop executor shape, batched; ogr_gensql.cpp)
+NL_QUERIES = [
+    # pure non-equality correlation
+    "SELECT c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey < c.c_custkey AND o.o_totalprice > 450000) "
+    "ORDER BY c_name",
+    # equality + non-equality mixed correlation
+    "SELECT s_name FROM supplier s WHERE EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal + 800) "
+    "ORDER BY s_name",
+    # NOT EXISTS with non-equality correlation
+    "SELECT n_name FROM nation n WHERE NOT EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > n.n_nationkey * 300) "
+    "ORDER BY n_name",
+    # arithmetic on both sides of the correlation
+    "SELECT r_name FROM region r WHERE EXISTS (SELECT 1 FROM nation n "
+    "WHERE n.n_regionkey + 1 > r.r_regionkey AND n.n_nationkey < 3) "
+    "ORDER BY r_name",
+]
+
+
+@pytest.mark.parametrize("sql", NL_QUERIES)
+def test_sql_nested_loop_exists_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
+def test_nested_loop_cap(ray_session, monkeypatch):
+    import gdal_ray.sql as S
+
+    monkeypatch.setattr(S, "_NL_CAP", 3)
+    with pytest.raises(S.SQLError, match="> cap 3"):
+        S.execute_sql(
+            "SELECT c_name FROM customer c WHERE EXISTS (SELECT 1 FROM "
+            "orders o WHERE o.o_totalprice > c.c_acctbal)", SF
+        ).to_pandas()
+
+
 def test_alias_and_groupby_guards(ray_session):
     from gdal_ray.sql import SQLError, execute_sql
 
