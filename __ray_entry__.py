@@ -1203,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(p_size) AS BIGINT) AS min_size,
                    CAST(MAX(p_size) AS BIGINT) AS max_size
             FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
+            AND EXISTS (SELECT 1 FROM supplier s
+                        WHERE s.s_suppkey < part.p_size AND s.s_suppkey < 20 AND s.s_acctbal > 5000)
             GROUP BY p_brand ORDER BY SUM(p_size) DESC, p_brand
         """,
         # identical text runs through the engine's parser AND DuckDB

@@ -88,14 +88,17 @@ def q_ogrsql(sf_dir: str):
     ogr/swq.cpp + ogr_gensql.cpp): the SQL text below goes through the
     engine's own tokenizer/parser/compiler (gdal_ray/sql.py) into a Ray
     plan — filter+stage fused with the read, distributed groupby
-    aggregate, sort. The driver twin is the same logical query (with the
-    DuckDB BIGINT cast on SUM)."""
+    aggregate, sort, and a NON-EQUALITY correlated EXISTS compiled to the
+    bounded broadcast nested loop. The driver twin is the same logical
+    query (with the DuckDB BIGINT cast on SUM)."""
     from gdal_ray.sql import execute_sql
 
     return execute_sql(
         "SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size, "
         "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
         "FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44 "
+        "AND EXISTS (SELECT 1 FROM supplier s "
+        "WHERE s.s_suppkey < part.p_size AND s.s_suppkey < 20 AND s.s_acctbal > 5000) "
         "GROUP BY p_brand ORDER BY SUM(p_size) DESC, p_brand",
         sf_dir,
     )
