@@ -48,7 +48,12 @@ becomes tuple membership over value + correlation keys); NON-EQUALITY
 correlated EXISTS conjuncts (``o.price > t.price``) fall back to a
 bounded broadcast nested loop — the inner side (distinct referenced
 columns, local predicates applied, <=10k rows) binds one disjunct per
-inner row, each evaluated vectorized over the outer batch; table aliases
+inner row, each evaluated vectorized over the outer batch; CORRELATED
+scalar subqueries (``(SELECT agg(..) FROM t2 WHERE t2.k = t.k)``, in the
+SELECT list or predicates) group the inner by the correlation keys and
+broadcast a {key -> scalar} lookup map — missing keys evaluate the
+scalar over an empty group (COUNT-family 0, other aggregates NULL);
+GROUP BY also accepts 1-based select ordinals; table aliases
 (swq table_def as_clause) allow SELF-JOINS — the same table twice under
 distinct aliases, qualifiers naming the alias (an aliased table's name
 stops being a valid qualifier, standard SQL); a later instance's column
@@ -583,6 +588,32 @@ def _eval(node, df: pd.DataFrame):
         return s.isin(vals)
     if kind == "pre":
         return node[1]
+    if kind == "lookup":
+        # correlated scalar subquery after resolution: broadcast
+        # {correlation key -> scalar} map; missing keys are NULL (the
+        # empty-scalar semantics)
+        mapping = node[2]
+        if not isinstance(mapping, dict):
+            import ray
+
+            mapping = ray.get(mapping)
+        cols = [np.asarray(_eval(e, df)) for e in node[1]]
+        if len(cols) == 1:
+            keys = pd.Series(cols[0], index=df.index)
+        else:
+            keys = pd.Series(list(zip(*cols)) if len(df) else [], index=df.index)
+        out = keys.map(mapping)
+        default = node[3]
+        if default is not None:
+            miss = ~keys.isin(mapping)
+            if miss.any():
+                out = out.copy()
+                out[miss] = default
+            if not out.isna().any():
+                vals = np.asarray(list(mapping.values()) or [default])
+                if np.issubdtype(vals.dtype, np.integer):
+                    out = out.astype(vals.dtype)
+        return out
     if kind == "anyof":
         # nested-loop EXISTS (non-equality correlation): one disjunct per
         # materialized inner row, each evaluated vectorized over the outer
@@ -1018,6 +1049,63 @@ def _resolve_subqueries(node, sf_dir: str, outer_imaps: dict):
         sub = node[1]
         if len(sub["select"]) != 1 or sub["star"]:
             raise SQLError("scalar subquery must select exactly one column")
+        corr, local, _, _ = _split_correlation(
+            sub, outer_imaps, "scalar subquery"
+        )
+        if corr:
+            # correlated scalar subquery ``(SELECT agg(...) FROM t2 WHERE
+            # t2.k = t.k ...)``: group the inner by its correlation keys,
+            # evaluate the scalar select per group, broadcast the
+            # {key tuple -> value} map and look outer keys up per batch
+            # (missing keys yield NULL — empty scalar semantics)
+            sel, _ = sub["select"][0]
+            has_agg = bool(_find_aggs(sel, []))
+            sub2 = dict(
+                sub,
+                select=[(sel, "__v")] + [
+                    (inner, f"__k{i}") for i, (_, inner) in enumerate(corr)
+                ],
+                star=False, distinct=False,
+                where=_and_all(local) if local else None,
+                group_by=[inner for _, inner in corr] if has_agg else None,
+                having=None, order_by=[], limit=None, offset=None,
+            )
+            kv = _plan(sub2, sf_dir).to_pandas()
+            if not has_agg:
+                dup = kv.duplicated(subset=[f"__k{i}" for i in range(len(corr))])
+                if dup.any():
+                    raise SQLError(
+                        "correlated scalar subquery returned more than one "
+                        "row for some outer key"
+                    )
+            mapping = {
+                (tup[1:] if len(corr) > 1 else tup[1]): tup[0]
+                for tup in kv.itertuples(index=False, name=None)
+            }
+            # outer keys with NO inner rows evaluate the scalar over an
+            # empty group: COUNT-family -> 0, other aggregates -> NULL,
+            # the enclosing expression applied on top (CAST etc.)
+            default = None
+            if has_agg:
+                subst = {
+                    id(a): pd.Series(
+                        [0 if a[1] in ("count", "count_distinct") else None]
+                    )
+                    for a in _find_aggs(sel, [])
+                }
+                try:
+                    d = _eval(_substitute_aggs(sel, subst),
+                              pd.DataFrame(index=[0]))
+                    d = d.iloc[0] if isinstance(d, pd.Series) else d
+                    default = None if pd.isna(d) else d
+                except Exception:
+                    default = None
+            if len(mapping) > 50_000:
+                import ray
+
+                return ("lookup", [o for o, _ in corr], ray.put(mapping),
+                        default)
+            return ("lookup", [o for o, _ in corr], mapping, default)
         df = _plan(sub, sf_dir).limit(2).to_pandas()
         if len(df) > 1:
             raise SQLError("scalar subquery returned more than one row")
@@ -1155,6 +1243,9 @@ def _plan(q: dict, sf_dir: str):
     for key in ("where", "having"):
         if q[key] is not None:
             q[key] = _resolve_subqueries(q[key], sf_dir, imaps)
+    q["select"] = [
+        (_resolve_subqueries(e, sf_dir, imaps), a) for e, a in q["select"]
+    ]
     if q["star"]:
         q["select"] = [(("col", c), None) for c in avail]
     # data columns (select expressions, WHERE/HAVING, GROUP BY, join keys)
@@ -1198,6 +1289,11 @@ def _plan(q: dict, sf_dir: str):
     if q["group_by"] is not None:
         group_keys = []
         for k, g in enumerate(q["group_by"]):
+            if g[0] == "lit" and isinstance(g[1], int):
+                # GROUP BY <ordinal>: the 1-based select position
+                if not 1 <= g[1] <= len(q["select"]):
+                    raise SQLError(f"GROUP BY position {g[1]} out of range")
+                g = q["select"][g[1] - 1][0]
             g = _substitute_aliases(_dequalify(g, imaps), amap, set(avail))
             if _find_aggs(g, []):
                 raise SQLError("GROUP BY expression may not contain aggregates")

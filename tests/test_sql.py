@@ -285,6 +285,37 @@ def test_sql_nested_loop_exists_matches_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
 
 
+# correlated scalar subqueries (broadcast {key -> scalar} lookup with
+# empty-group defaults) + GROUP BY ordinals
+CSS_QUERIES = [
+    # in a WHERE predicate (per-nation average)
+    "SELECT c_name FROM customer c WHERE c_acctbal > "
+    "(SELECT AVG(c2.c_acctbal) FROM customer c2 "
+    "WHERE c2.c_nationkey = c.c_nationkey) AND c_custkey <= 60 "
+    "ORDER BY c_name",
+    # in the SELECT list; empty correlated groups must yield COUNT = 0
+    "SELECT n_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey) AS n_sup FROM nation n "
+    "ORDER BY n_name",
+    # per-key MAX as an equality probe (argmax-per-group idiom)
+    "SELECT s_name FROM supplier s WHERE s_acctbal = "
+    "(SELECT MAX(s2.s_acctbal) FROM supplier s2 "
+    "WHERE s2.s_nationkey = s.s_nationkey) ORDER BY s_name",
+    # non-correlated scalar subquery in the SELECT list
+    "SELECT r_name, (SELECT CAST(MIN(n_nationkey) AS BIGINT) FROM nation) "
+    "AS mn FROM region ORDER BY r_name",
+    # GROUP BY ordinal on a plain column and on an expression select item
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1",
+    "SELECT CAST(c_nationkey % 4 AS BIGINT) AS b, "
+    "CAST(SUM(c_acctbal) AS DOUBLE) AS s FROM customer GROUP BY 1 ORDER BY 1",
+]
+
+
+@pytest.mark.parametrize("sql", CSS_QUERIES)
+def test_sql_correlated_scalar_matches_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
+
+
 def test_nested_loop_cap(ray_session, monkeypatch):
     import gdal_ray.sql as S
 
