@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audio_features": EQ.q_audio_features,
         # SQL-twinned but below the cap (round 5 is terminal, no rotation
         # slot left); locally dtype-strict-verified at two scales
+        "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_doc_fingerprint": EQ.q_doc_fingerprint,
         "q_ntv2_lattice": LO.q_ntv2_lattice,
         "q_rat": RQ.q_rat,
@@ -1213,6 +1214,19 @@ def oracle_sql() -> dict[str, str]:
         # FNV-1a 64-bit rolling fingerprint, bit-exact: bytes via
         # hex(encode(text)), the recurrence via list_reduce in mod-2^64
         # UHUGEINT arithmetic, two's-complement reinterpret at the end
+        # GeoJSONSeq round-trip is an identity over exactly-representable
+        # coordinates, so the twin aggregates straight from the table
+        "q_geojson_roundtrip": """
+            SELECT c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((c_custkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((c_custkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MIN(c_custkey) AS BIGINT) AS min_fid,
+                   CAST(MAX(c_custkey) AS BIGINT) AS max_fid
+            FROM customer GROUP BY c_mktsegment ORDER BY segment
+        """,
         "q_doc_fingerprint": """
             WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
                  fp AS (SELECT doc_id,

@@ -159,6 +159,80 @@ def q_ogrsql2(sf_dir: str):
     return execute_sql(OGRSQL2_TEXT, sf_dir)
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSONSeq driver identity round-trip, SQL-twinnable: customer rows
+    become WKB Points with exactly-representable coordinates (halves /
+    quarters of c_custkey residues), write one .geojsonl shard per block,
+    read the shards back through the distributed text reader, decode and
+    aggregate per segment. JSON float serialization is shortest-round-trip
+    (repr), so the identity holds bit-exact and the DuckDB twin computes
+    the same sums straight from the parquet table. Exercises: vectorized
+    WKB point encode, GeoJSON feature write, sharded text read, JSON
+    parse, WKB decode (sources/geojson.py; reference driver
+    ogr/ogrsf_frmts/geojson/). Refs: ogrgeojsonreader.cpp,
+    ogrgeojsonseqdriver.cpp."""
+    import shutil
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.sources.geojson import read_geojsonseq, write_geojsonseq
+
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"),
+              columns=["c_custkey", "c_mktsegment"])
+    n_rows = ds.count()
+    out = f"/tmp/gdal_ray_fixtures/gj_cust_{n_rows}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        n = len(k)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = x.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = y.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+            "segment": t["c_mktsegment"],
+        })
+
+    feats = ds.map_batches(to_features, batch_format="pyarrow")
+    write_geojsonseq(feats, out).materialize()  # tiny shard summary
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "segment": df["segment"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "fid": df["fid"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        read_geojsonseq(out, fields=["segment"])
+        .map_batches(finish, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Min("fid", alias_name="min_fid"),
+            Max("fid", alias_name="max_fid"),
+        )
+        .sort("segment")
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprinting (FNV-1a 64-bit over utf-8
     bytes, stages/text.py Fingerprint — batch-vectorized byte-column
