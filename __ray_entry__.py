@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned but below the cap (round 5 is terminal, no rotation
         # slot left); locally dtype-strict-verified at two scales
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
+        "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
         "q_doc_fingerprint": EQ.q_doc_fingerprint,
         "q_ntv2_lattice": LO.q_ntv2_lattice,
         "q_rat": RQ.q_rat,
@@ -1226,6 +1227,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(c_custkey) AS BIGINT) AS min_fid,
                    CAST(MAX(c_custkey) AS BIGINT) AS max_fid
             FROM customer GROUP BY c_mktsegment ORDER BY segment
+        """,
+        # same identity-round-trip shape through the GeoPackage driver
+        "q_gpkg_roundtrip": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((s_suppkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((s_suppkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MIN(s_suppkey) AS BIGINT) AS min_fid,
+                   CAST(MAX(s_suppkey) AS BIGINT) AS max_fid
+            FROM supplier GROUP BY s_nationkey ORDER BY nationkey
         """,
         "q_doc_fingerprint": """
             WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),

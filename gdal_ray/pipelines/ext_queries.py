@@ -233,6 +233,76 @@ def q_geojson_roundtrip(sf_dir: str):
     )
 
 
+def q_gpkg_roundtrip(sf_dir: str):
+    """GeoPackage driver identity round-trip, SQL-twinnable (the
+    q_geojson_roundtrip pattern over a different driver): supplier rows
+    become WKB Points wrapped in GP blobs, written through the
+    single-writer GeoPackage sink, read back by the ROWID-sharded
+    distributed reader, decoded and aggregated per nation. Exercises:
+    GP header wrap/unwrap, spec-table write, sqlite rowid-range sharding
+    (sources/gpkg.py; reference ogr/ogrsf_frmts/gpkg/)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.sources.gpkg import read_gpkg, write_gpkg
+
+    ds = _rpt(os.path.join(sf_dir, "supplier.parquet"),
+              columns=["s_suppkey", "s_nationkey"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["s_suppkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        n = len(k)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = x.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = y.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+            "nationkey": pa.array(
+                np.asarray(t["s_nationkey"], dtype=np.int64), pa.int64()
+            ),
+        })
+
+    n_rows = ds.count()
+    path = f"/tmp/gdal_ray_fixtures/gpkg_sup_{n_rows}.gpkg"
+    write_gpkg(ds.map_batches(to_features, batch_format="pyarrow"),
+               path, "suppliers", srs_id=4326, geometry_type="POINT")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "nationkey": df["nationkey"].astype(np.int64),
+            "n": np.ones(len(df), dtype=np.int64),
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "fid": df["fid"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return (
+        read_gpkg(path, layer="suppliers", shard_rows=4096)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("nationkey")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Min("fid", alias_name="min_fid"),
+            Max("fid", alias_name="max_fid"),
+        )
+        .sort("nationkey")
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Rolling-hash document fingerprinting (FNV-1a 64-bit over utf-8
     bytes, stages/text.py Fingerprint — batch-vectorized byte-column
