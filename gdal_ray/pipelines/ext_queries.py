@@ -9,7 +9,11 @@ import ray.data as rd  # noqa: F401
 from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 from ray.data.aggregate import Count, Min
 
-__all__ = ["q_sample_lattice", "q_pipeline_chain", "q_audio_features"]
+__all__ = [
+    "q_sample_lattice", "q_pipeline_chain", "q_audio_features",
+    "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
+    "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
+]
 
 
 def q_sample_lattice(sf_dir: str):
