@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot left); locally dtype-strict-verified at two scales
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
+        "q_geotiff_lattice": RL.q_geotiff_lattice,
         "q_doc_fingerprint": EQ.q_doc_fingerprint,
         "q_ntv2_lattice": LO.q_ntv2_lattice,
         "q_rat": RQ.q_rat,
@@ -1227,6 +1228,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(c_custkey) AS BIGINT) AS min_fid,
                    CAST(MAX(c_custkey) AS BIGINT) AS max_fid
             FROM customer GROUP BY c_mktsegment ORDER BY segment
+        """,
+        # GeoTIFF identity round-trip: per-TILE (8x8) aggregates of the
+        # derived grid, the tile split replayed as (r//8, c//8)
+        "q_geotiff_lattice": """
+            WITH g AS (SELECT s_suppkey AS k, r, c,
+                              (s_suppkey*7 + r*13 + c*5) % 251 AS v
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(r // 8 AS BIGINT) AS ty,
+                   CAST(c // 8 AS BIGINT) AS tx,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM g GROUP BY k, r // 8, c // 8
+            ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
         "q_gpkg_roundtrip": """

@@ -410,6 +410,73 @@ def q_footprint_lattice(sf_dir: str):
 # Polygonize (value-image region tracing, alg/polygonize.cpp:73-488)
 # --------------------------------------------------------------------------
 
+def q_geotiff_lattice(sf_dir: str):
+    """GeoTIFF driver identity round-trip with a closed-form twin: every
+    derived grid writes as a REAL tiled LZW GeoTIFF (io/tiff.py — IFD,
+    GeoKeyDirectory, ModelPixelScale/Tiepoint), the tile-sharded reader
+    (sources/geotiff.py) reads the tiles back distributed, and per-tile
+    pixel aggregates compare against GRID_SQL grouped by (r//8, c//8).
+    Exercises: tag pack/parse, LZW encode+decode, tile padding/cropping,
+    per-tile geotransforms. Ref: frmts/gtiff/geotiff.cpp."""
+    import pandas as pd
+
+    from gdal_ray.sources.geotiff import read_geotiff_tiles
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out_dir = "/tmp/gdal_ray_fixtures/gt_lattice"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_key(batch: pa.Table) -> pa.Table:
+        from gdal_ray.io.tiff import write_geotiff
+
+        paths = []
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            p = os.path.join(out_dir, f"g{k:06d}.tif")
+            if not os.path.exists(p):
+                gt = [100.0 * k, 10.0, 0.0, -100.0 * k, 0.0, -10.0]
+                write_geotiff(p + ".tmp", grid_for_key(k).astype(np.int32),
+                              gt, epsg=3857, tile=8, compress="lzw")
+                os.replace(p + ".tmp", p)
+            paths.append(p)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    paths = sorted(
+        _suppliers(sf_dir).map_batches(
+            write_key, batch_format="pyarrow"
+        ).to_pandas()["path"]
+    )
+
+    def per_tile(batch: pd.DataFrame) -> pd.DataFrame:
+        stem = batch["raster_id"].str.split("#")
+        tyx = stem.str[1].str.split("_")
+        v = batch["pixels"]
+        return pd.DataFrame({
+            "img_key": stem.str[0].str[1:].astype(np.int64),
+            "ty": tyx.str[0].astype(np.int64),
+            "tx": tyx.str[1].astype(np.int64),
+            "n_px": (batch["w"].astype(np.int64)
+                     * batch["h"].astype(np.int64)),
+            "sum_v": v.map(lambda p: int(np.sum(p))),
+            "min_v": v.map(lambda p: int(np.min(p))),
+            "max_v": v.map(lambda p: int(np.max(p))),
+        })
+
+    return (
+        read_geotiff_tiles(list(paths), tiles_per_shard=64)
+        .map_batches(per_tile, batch_format="pandas")
+        .groupby(["img_key", "ty", "tx"])
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_v", alias_name="sum_v"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .sort(["img_key", "ty", "tx"])
+    )
+
+
 def q_polygonize_lattice(sf_dir: str):
     """GDALPolygonize (alg/polygonize.cpp + polygonize_polygonizer.cpp
     two-arm tracer) on a striped value image with an interior hole: value

@@ -1,0 +1,129 @@
+"""GeoTIFF codec (io/tiff.py) + Dataset source/sink (sources/geotiff.py):
+dtype/compression round-trips, geo tags, tile-sharded distributed read."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from gdal_ray.io.tiff import read_tiff_header, read_tile, write_geotiff
+
+GT = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]
+
+
+def _reassemble(path):
+    h = read_tiff_header(path)
+    out = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                    h["n_tiles_x"] * h["tile_w"]), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        out[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+            tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(path, h, i)
+    return out[: h["h"], : h["w"]], h
+
+
+@pytest.mark.parametrize("dt,comp", [
+    ("uint8", "deflate"), ("uint16", "none"), ("int16", "deflate"),
+    ("int32", "lzw"), ("float32", "deflate"), ("float64", "packbits"),
+    ("uint8", "lzw"), ("uint8", "packbits"),
+])
+def test_codec_roundtrip(tmp_path, dt, comp):
+    rng = np.random.default_rng(7)
+    a = rng.normal(100, 30, (300, 500)).astype(dt)
+    p = str(tmp_path / f"t_{dt}_{comp}.tif")
+    write_geotiff(p, a, GT, epsg=32633, tile=128, compress=comp)
+    out, h = _reassemble(p)
+    assert (h["w"], h["h"]) == (500, 300)
+    assert h["gt"] == GT
+    assert h["epsg"] == 32633
+    assert np.array_equal(out.astype(a.dtype), a)
+
+
+def test_lzw_stress_and_geographic(tmp_path):
+    # low-entropy (long runs) AND random data through LZW, incl. the
+    # dictionary-reset path; geographic GeoKey block
+    runs = (np.indices((200, 300)).sum(0) % 5).astype("uint8")
+    rnd = np.random.default_rng(3).integers(0, 255, (200, 300)).astype("uint8")
+    for name, a in [("runs", runs), ("rnd", rnd)]:
+        p = str(tmp_path / f"{name}.tif")
+        write_geotiff(p, a, [10.0, 0.1, 0, 50.0, 0, -0.1], epsg=4326,
+                      tile=64, compress="lzw")
+        out, h = _reassemble(p)
+        assert np.array_equal(out, a)
+        assert h["epsg"] == 4326
+    with pytest.raises(ValueError, match="bad magic"):
+        bad = tmp_path / "bad.tif"
+        bad.write_bytes(b"NOTATIFF" * 4)
+        read_tiff_header(str(bad))
+
+
+def test_dataset_roundtrip_rasters_fixture(ray_session):
+    """Distributed per-row GeoTIFF write + tile-sharded re-read of the
+    rasters fixture: per-raster pixel sums/counts and gt survive."""
+    import pandas as pd
+
+    from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+    from gdal_ray.sources.corpus import read_rasters
+    from gdal_ray.sources.geotiff import (read_geotiff_tiles,
+                                          write_geotiff_dataset)
+
+    d = corpus_for_sf("/root/testdata/sf0.001")
+    out = "/tmp/gdal_ray_test_gt"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_rasters(d)
+    res = write_geotiff_dataset(ds, out, epsg=3857, tile=16).to_pandas()
+    orig = ds.to_pandas()
+    assert len(res) == len(orig)
+    tiles = read_geotiff_tiles(out, tiles_per_shard=8).to_pandas()
+    tiles["base"] = tiles["raster_id"].str.split("#").str[0]
+    agg = tiles.groupby("base").apply(
+        lambda g: pd.Series({
+            "n_px": int(sum(len(p) for p in g["pixels"])),
+            "s": int(sum(np.sum(p) for p in g["pixels"])),
+        }),
+        include_groups=False,
+    ).reset_index()
+    orig["s"] = orig["pixels"].map(lambda p: int(np.sum(p)))
+    orig["n_px"] = orig["w"].astype(int) * orig["h"].astype(int)
+    m = agg.merge(orig, left_on="base", right_on="raster_id",
+                  suffixes=("_b", "_o"))
+    assert len(m) == len(orig)
+    assert (m["s_b"] == m["s_o"]).all()
+    assert (m["n_px_b"] == m["n_px_o"]).all()
+    # the corner tile's geotransform equals the raster's
+    one = tiles[tiles["raster_id"].str.endswith("#0_0")].iloc[0]
+    og = orig[orig["raster_id"] == one["base"]].iloc[0]
+    assert np.allclose(list(one["gt"]), list(og["gt"]))
+    # a non-corner tile's origin is offset by tile*pixelsize
+    two = tiles[tiles["raster_id"].str.endswith("#1_1")].iloc[0]
+    og2 = orig[orig["raster_id"] == two["base"]].iloc[0]
+    g = list(og2["gt"])
+    assert np.isclose(list(two["gt"])[0], g[0] + 16 * g[1])
+    assert np.isclose(list(two["gt"])[3], g[3] + 16 * g[5])
+
+
+def test_gate_query_matches_direct(ray_session):
+    """q_geotiff_lattice equals the per-tile aggregation computed
+    straight from grid_for_key (the identity the SQL twin relies on)."""
+    import pandas as pd
+
+    from gdal_ray.pipelines.raster_lattices import (grid_for_key,
+                                                    q_geotiff_lattice)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_geotiff_lattice(sf).to_pandas().reset_index(drop=True)
+    import pyarrow.parquet as pq
+    keys = pq.read_table(f"{sf}/supplier.parquet",
+                         columns=["s_suppkey"]).to_pandas()["s_suppkey"]
+    rows = []
+    for k in sorted(int(x) for x in keys):
+        g = grid_for_key(k)
+        for ty in range((g.shape[0] + 7) // 8):
+            for tx in range((g.shape[1] + 7) // 8):
+                t = g[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+                rows.append((k, ty, tx, t.size, int(t.sum()),
+                             int(t.min()), int(t.max())))
+    want = pd.DataFrame(rows, columns=["img_key", "ty", "tx", "n_px",
+                                       "sum_v", "min_v", "max_v"])
+    got = got.sort_values(["img_key", "ty", "tx"]).reset_index(drop=True)
+    assert got.astype("int64").equals(want.astype("int64"))
