@@ -102,6 +102,37 @@ def test_dataset_roundtrip_rasters_fixture(ray_session):
     assert np.isclose(list(two["gt"])[3], g[3] + 16 * g[5])
 
 
+def test_tiles_feed_raster_stages_unchanged(ray_session):
+    """The interop claim: read_geotiff_tiles emits the standard raster-row
+    schema, so the REAL raster stages (DEM kernels here) consume GeoTIFF
+    tiles with no adapter — per-tile results equal running the kernels on
+    the same arrays directly."""
+    import pandas as pd
+
+    from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+    from gdal_ray.sources.corpus import read_rasters
+    from gdal_ray.sources.geotiff import (read_geotiff_tiles,
+                                          write_geotiff_dataset)
+    from gdal_ray.stages.rasterops import dem_metrics_batch
+
+    d = corpus_for_sf("/root/testdata/sf0.001")
+    out = "/tmp/gdal_ray_test_gt_stage"
+    shutil.rmtree(out, ignore_errors=True)
+    write_geotiff_dataset(read_rasters(d), out, tile=16).to_pandas()
+    tiles = read_geotiff_tiles(out, tiles_per_shard=8)
+    got = tiles.map_batches(
+        dem_metrics_batch, batch_format="pyarrow"
+    ).to_pandas().sort_values("raster_id").reset_index(drop=True)
+    assert len(got) > 20  # one row per tile
+    # recompute directly from the tile arrays, outside Ray
+    ref_tiles = read_geotiff_tiles(out, tiles_per_shard=10_000).to_pandas()
+    import pyarrow as pa
+    want = dem_metrics_batch(
+        pa.Table.from_pandas(ref_tiles, preserve_index=False)
+    ).to_pandas().sort_values("raster_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
 def test_gate_query_matches_direct(ray_session):
     """q_geotiff_lattice equals the per-tile aggregation computed
     straight from grid_for_key (the identity the SQL twin relies on)."""
