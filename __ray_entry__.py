@@ -45,7 +45,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # gate-green in r4 stay for a second driver check; q_ogrsql2 /
     # q_polygonize_lattice are NEW; q_point_query_lattice (cubic arm) and
     # q_contour_lattice (polygon arm) changed this round so they stay.
-    # 18 twins green in r2+r3+r4 park below the cap for ONE round.
+    # The 5 twins added late in r5 (geojson/gpkg/geotiff/fingerprint/ntv2)
+    # have never been driver-checked, so they take window slots from 5
+    # thrice-green (r2+r3+r4) stable entries; those park below the cap
+    # alongside the other 18 twins green in r2+r3+r4.
     return {
         # ---- gate window (first 50): SQL-twinned, dtype-strict-verified ----
         # rotated back in (parked during r4, green in r2 and r3):
@@ -94,17 +97,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_near_dup": RQ.q_embed_near_dup,
         # stable multi-round-green twins retained in-window:
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q_window_events_hourly": R.q_window_events_hourly,
-        "q_sessionize_events": R.q_sessionize_events,
-        "q_sim_topk": R.q_sim_topk,
         "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
-        "q_dem_lattice": RL.q_dem_lattice,
-        "q_conic_lattice": LO.q_conic_lattice,
+        # late-r5 twins, never driver-checked before — first gate pass:
+        "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
+        "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
+        "q_geotiff_lattice": RL.q_geotiff_lattice,
+        "q_doc_fingerprint": EQ.q_doc_fingerprint,
+        "q_ntv2_lattice": LO.q_ntv2_lattice,
         # ---- below the 50-entry gate cap ----
         # SQL-twinned, gate-green in r2 AND r3 AND r4 — parked this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
+        "q_window_events_hourly": R.q_window_events_hourly,
+        "q_sessionize_events": R.q_sessionize_events,
+        "q_sim_topk": R.q_sim_topk,
+        "q_dem_lattice": RL.q_dem_lattice,
+        "q_conic_lattice": LO.q_conic_lattice,
         "q_filter_parts": R.q_filter_parts,
         "q_join_segment_revenue": R.q_join_segment_revenue,
         "q_topk_orders": R.q_topk_orders,
@@ -155,13 +164,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mosaic": RQ.q_mosaic,
         "q_viewshed": RQ.q_viewshed,
         "q_audio_features": EQ.q_audio_features,
-        # SQL-twinned but below the cap (round 5 is terminal, no rotation
-        # slot left); locally dtype-strict-verified at two scales
-        "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
-        "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
-        "q_geotiff_lattice": RL.q_geotiff_lattice,
-        "q_doc_fingerprint": EQ.q_doc_fingerprint,
-        "q_ntv2_lattice": LO.q_ntv2_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,

@@ -1,0 +1,235 @@
+"""Command-line surface mirroring the reference's most-used tools over
+the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
+``apps/ogr2ogr*``, ``apps/gdal_translate*``):
+
+    python -m gdal_ray info <file>                  # gdalinfo / ogrinfo
+    python -m gdal_ray ogr2ogr <src> <dst>          # vector convert
+    python -m gdal_ray translate <src.tif> <dst.tif>
+        [--srcwin x y w h] [--scale a b] [--compress deflate|lzw|...]
+
+Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
+(GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
+.geojsons (GeoJSONSeq directory or file), .csv (CSV layer), .parquet.
+Geometry stays the engine's canonical WKB end-to-end, so vector
+conversions are byte-exact where the formats allow.
+
+The CLI owns its Ray session (guarded init — the driver contract in
+__ray_entry__ must never init)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _vector_read(path: str):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gpkg":
+        from gdal_ray.sources.gpkg import read_gpkg
+
+        return read_gpkg(path)
+    if ext == ".shp":
+        from gdal_ray.sources.shapefile import read_shapefile
+
+        return read_shapefile(path)
+    if ext == ".geojson":
+        from gdal_ray.sources.geojson import read_geojson
+
+        return read_geojson(path)
+    if ext in (".geojsonl", ".geojsons") or os.path.isdir(path):
+        from gdal_ray.sources.geojson import read_geojsonseq
+
+        return read_geojsonseq(path)
+    if ext == ".csv":
+        from gdal_ray.sources.csvlayer import read_csv_layer
+
+        return read_csv_layer(path, wkt_col="wkt")
+    if ext == ".parquet":
+        from gdal_ray.sources.corpus import read_parquet_tight
+
+        return read_parquet_tight(path)
+    raise SystemExit(f"unsupported vector format: {path}")
+
+
+def _vector_write(ds, path: str):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".gpkg":
+        from gdal_ray.sources.gpkg import write_gpkg
+
+        layer = os.path.splitext(os.path.basename(path))[0]
+        return write_gpkg(ds, path, layer)
+    if ext == ".shp":
+        from gdal_ray.sources.shapefile import write_shapefile
+
+        return write_shapefile(ds, path[:-4])
+    if ext in (".geojsonl", ".geojsons"):
+        from gdal_ray.sources.geojson import write_geojsonseq
+
+        out = path + ".d" if not os.path.isdir(path) else path
+        return int(write_geojsonseq(ds, out).to_pandas()["n"].sum())
+    if ext == ".csv":
+        from gdal_ray.sources.csvlayer import write_csv_layer
+
+        d = os.path.dirname(path) or "."
+        return int(write_csv_layer(ds, d).to_pandas()["n"].sum())
+    if ext == ".parquet":
+        ds.write_parquet(path)
+        return ds.count()
+    raise SystemExit(f"unsupported output format: {path}")
+
+
+def cmd_info(path: str) -> dict:
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff"):
+        from gdal_ray.io.tiff import read_tiff_header
+
+        h = read_tiff_header(path)
+        comp = {1: "NONE", 5: "LZW", 8: "DEFLATE", 32946: "DEFLATE",
+                32773: "PACKBITS"}.get(h["compression"], str(h["compression"]))
+        gt = h["gt"]
+        info = {
+            "driver": "GeoTIFF",
+            "size": [h["w"], h["h"]],
+            "dtype": str(np.dtype(h["dtype"]).name),
+            "blocks": ([h["tile_w"], h["tile_h"]]
+                       if h["tiled"] else [h["tile_w"], h["tile_h"]]),
+            "tiled": h["tiled"],
+            "compression": comp,
+            "geotransform": gt,
+            "epsg": h["epsg"],
+        }
+        if gt:
+            info["origin"] = [gt[0], gt[3]]
+            info["pixel_size"] = [gt[1], gt[5]]
+            info["extent"] = [gt[0], gt[3] + h["h"] * gt[5],
+                              gt[0] + h["w"] * gt[1], gt[3]]
+        return info
+    if ext == ".gpkg":
+        from gdal_ray.sources.gpkg import gpkg_layers
+
+        _ensure_ray()
+        layers = {}
+        for layer in gpkg_layers(path):
+            from gdal_ray.sources.gpkg import read_gpkg
+
+            ds = read_gpkg(path, layer=layer)
+            layers[layer] = {
+                "features": ds.count(),
+                "fields": ds.schema().names,
+            }
+        return {"driver": "GPKG", "layers": layers}
+    # generic vector info
+    _ensure_ray()
+    ds = _vector_read(path)
+    info = {
+        "driver": ext.lstrip("."),
+        "features": ds.count(),
+        "fields": ds.schema().names,
+    }
+    if "geometry" in info["fields"]:
+        from gdal_ray.geo.wkb import wkb_envelope
+
+        def env(b):
+            import pandas as pd
+
+            es = [wkb_envelope(bytes(g)) for g in b["geometry"]
+                  if g is not None]
+            if not es:
+                return pd.DataFrame({"minx": [], "miny": [],
+                                     "maxx": [], "maxy": []})
+            a = np.asarray(es)
+            return pd.DataFrame({
+                "minx": [a[:, 0].min()], "miny": [a[:, 1].min()],
+                "maxx": [a[:, 2].max()], "maxy": [a[:, 3].max()],
+            })
+
+        e = ds.map_batches(env, batch_format="pandas").to_pandas()
+        if len(e):
+            info["extent"] = [float(e["minx"].min()), float(e["miny"].min()),
+                              float(e["maxx"].max()), float(e["maxy"].max())]
+    return info
+
+
+def cmd_ogr2ogr(src: str, dst: str) -> int:
+    _ensure_ray()
+    return int(_vector_write(_vector_read(src), dst) or 0)
+
+
+def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
+                  compress: str = "deflate") -> dict:
+    """gdal_translate core: window subset + linear rescale between
+    GeoTIFFs, through the real kernels (raster/kernels.py)."""
+    from gdal_ray.io.tiff import read_tiff_header, read_tile, write_geotiff
+    from gdal_ray.raster.kernels import rescale_linear, translate_window
+
+    h = read_tiff_header(src)
+    full = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                     h["n_tiles_x"] * h["tile_w"]), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        full[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(src, h, i)
+    arr = full[: h["h"], : h["w"]]
+    gt = list(h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    if srcwin:
+        x, y, w, ww = srcwin
+        arr = translate_window(arr, x, y, w, ww)
+        gt = [gt[0] + x * gt[1], gt[1], gt[2],
+              gt[3] + y * gt[5], gt[4], gt[5]]
+    if scale:
+        arr = rescale_linear(arr.astype(np.float64), scale[0], scale[1])
+    write_geotiff(dst, np.ascontiguousarray(arr), gt, epsg=h["epsg"],
+                  compress=compress)
+    return {"size": [arr.shape[1], arr.shape[0]], "dtype": str(arr.dtype)}
+
+
+def main(argv=None):
+    args = list(sys.argv[1:] if argv is None else argv)
+    if not args:
+        raise SystemExit(__doc__)
+    cmd, args = args[0], args[1:]
+    if cmd == "info":
+        print(json.dumps(cmd_info(args[0]), indent=2, default=str))
+    elif cmd == "ogr2ogr":
+        n = cmd_ogr2ogr(args[0], args[1])
+        print(json.dumps({"written": n, "dst": args[1]}))
+    elif cmd == "translate":
+        srcwin = scale = None
+        compress = "deflate"
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "--srcwin":
+                srcwin = [int(v) for v in args[i + 1:i + 5]]
+                i += 5
+            elif args[i] == "--scale":
+                scale = [float(args[i + 1]), float(args[i + 2])]
+                i += 3
+            elif args[i] == "--compress":
+                compress = args[i + 1]
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        print(json.dumps(cmd_translate(pos[0], pos[1], srcwin, scale,
+                                       compress)))
+    else:
+        raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""CLI surface (gdal_ray/cli.py): info / ogr2ogr / translate over the
+engine's own drivers, mirroring apps/gdalinfo_bin.cpp, apps/ogr2ogr*,
+apps/gdal_translate* at the command level."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_ray.cli import cmd_info, cmd_ogr2ogr, cmd_translate, main
+from gdal_ray.io.tiff import read_tiff_header, read_tile, write_geotiff
+
+GT = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]
+
+
+def _reassemble(path):
+    h = read_tiff_header(path)
+    out = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                    h["n_tiles_x"] * h["tile_w"]), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        out[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+            tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(path, h, i)
+    return out[: h["h"], : h["w"]], h
+
+
+@pytest.fixture
+def tif(tmp_path):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 4000, (120, 200)).astype("uint16")
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, a, GT, epsg=32633, tile=64, compress="lzw")
+    return p, a
+
+
+@pytest.fixture
+def vec(tmp_path):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[float(x), 0.0], [float(x + 1), 0.0],
+                                       [float(x + 1), 1.0], [float(x), 1.0],
+                                       [float(x), 0.0]]]},
+         "properties": {"name": f"p{x}", "v": x * 1.5}}
+        for x in range(6)
+    ]}
+    p = tmp_path / "in.geojson"
+    p.write_text(json.dumps(fc))
+    return str(p)
+
+
+def test_info_geotiff(tif):
+    p, a = tif
+    info = cmd_info(p)
+    assert info["driver"] == "GeoTIFF"
+    assert info["size"] == [200, 120]
+    assert info["dtype"] == "uint16"
+    assert info["compression"] == "LZW"
+    assert info["epsg"] == 32633
+    assert info["origin"] == [GT[0], GT[3]]
+    assert info["pixel_size"] == [GT[1], GT[5]]
+    # extent = [minx, miny, maxx, maxy]
+    assert info["extent"] == [500000.0, 4000000.0 - 120 * 10.0,
+                              500000.0 + 200 * 10.0, 4000000.0]
+
+
+def test_info_vector(vec, ray_session):
+    info = cmd_info(vec)
+    assert info["features"] == 6
+    assert "geometry" in info["fields"] and "name" in info["fields"]
+    assert info["extent"] == [0.0, 0.0, 6.0, 1.0]
+
+
+def test_translate_window_scale(tif, tmp_path):
+    src, a = tif
+    dst = str(tmp_path / "out.tif")
+    res = cmd_translate(src, dst, srcwin=[10, 20, 100, 50],
+                        scale=[0.05, 2.0], compress="deflate")
+    assert res["size"] == [100, 50]
+    out, h = _reassemble(dst)
+    exp = np.clip(np.floor(a[20:70, 10:110].astype(np.float64) * 0.05
+                           + 2.0 + 0.5), 0, 255).astype("uint8")
+    assert np.array_equal(out, exp)
+    # geotransform shifted by the window origin
+    assert h["gt"][0] == GT[0] + 10 * GT[1]
+    assert h["gt"][3] == GT[3] + 20 * GT[5]
+    assert h["epsg"] == 32633
+
+
+def test_translate_plain_copy(tif, tmp_path):
+    src, a = tif
+    dst = str(tmp_path / "copy.tif")
+    cmd_translate(src, dst, compress="packbits")
+    out, h = _reassemble(dst)
+    assert np.array_equal(out, a)
+    assert h["gt"] == GT
+
+
+def test_ogr2ogr_chain(vec, tmp_path, ray_session):
+    """geojson -> gpkg -> shp -> geojsonl: WKB geometry survives every
+    format hop byte-exactly (all are little-endian 2D codecs here)."""
+    from gdal_ray.sources.geojson import read_geojson
+
+    src_wkb = [bytes(b) for b in
+               read_geojson(vec).to_pandas()["geometry"]]
+
+    gpkg = str(tmp_path / "a.gpkg")
+    assert cmd_ogr2ogr(vec, gpkg) == 6
+    info = cmd_info(gpkg)
+    assert info["driver"] == "GPKG" and info["layers"]["a"]["features"] == 6
+
+    shp = str(tmp_path / "b.shp")
+    assert cmd_ogr2ogr(gpkg, shp) == 6
+
+    seq = str(tmp_path / "c.geojsonl")
+    assert cmd_ogr2ogr(shp, seq) == 6
+    from gdal_ray.sources.geojson import read_geojsonseq
+
+    df = read_geojsonseq(seq + ".d").to_pandas()
+    got = sorted(bytes(b) for b in df["geometry"])
+    assert got == sorted(src_wkb)
+    assert sorted(df["name"]) == [f"p{x}" for x in range(6)]
+
+
+def test_main_arg_parsing(tif, tmp_path, capsys):
+    src, a = tif
+    dst = str(tmp_path / "m.tif")
+    main(["translate", src, dst, "--srcwin", "0", "0", "50", "40",
+          "--scale", "0.1", "0", "--compress", "lzw"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["size"] == [50, 40] and out["dtype"] == "uint8"
+    main(["info", src])
+    assert json.loads(capsys.readouterr().out)["size"] == [200, 120]
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
+    with pytest.raises(SystemExit):
+        main([])
