@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mosaic": RQ.q_mosaic,
         "q_viewshed": RQ.q_viewshed,
         "q_audio_features": EQ.q_audio_features,
+        # SQL-twinned but added after the final window freeze; locally
+        # dtype-strict-verified by scripts/check_oracle.py at two scales:
+        "q_shp_roundtrip": EQ.q_shp_roundtrip,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1252,6 +1255,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        "q_shp_roundtrip": """
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((p_partkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((p_partkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MIN(p_partkey) AS BIGINT) AS min_key,
+                   CAST(MAX(p_partkey) AS BIGINT) AS max_key
+            FROM part GROUP BY p_brand ORDER BY brand
+        """,
         "q_gpkg_roundtrip": """
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -13,6 +13,7 @@ __all__ = [
     "q_sample_lattice", "q_pipeline_chain", "q_audio_features",
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
+    "q_shp_roundtrip",
 ]
 
 
@@ -304,6 +305,77 @@ def q_gpkg_roundtrip(sf_dir: str):
             Max("fid", alias_name="max_fid"),
         )
         .sort("nationkey")
+    )
+
+
+def q_shp_roundtrip(sf_dir: str):
+    """ESRI Shapefile driver identity round-trip, SQL-twinnable (the
+    q_gpkg_roundtrip pattern over the third vector driver): part rows
+    become .shp Point records with exactly-representable coordinates plus
+    .dbf attributes (numeric key, text brand), written through the
+    bounded single-writer sink, read back by the .shx record-range-sharded
+    distributed reader, decoded and aggregated per brand. Exercises:
+    WKB<->shape-record conversion, DBF fixed-width encode/parse, .shx
+    sharding (sources/shapefile.py; reference
+    ogr/ogrsf_frmts/shape/shape2ogr.cpp, shapefil.h)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.sources.shapefile import read_shapefile, write_shapefile
+
+    ds = _rpt(os.path.join(sf_dir, "part.parquet"),
+              columns=["p_partkey", "p_brand"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["p_partkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        n = len(k)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = x.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = y.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+            "key": pa.array(k, pa.int64()),
+            "brand": t["p_brand"],
+        })
+
+    n_rows = ds.count()
+    base = f"/tmp/gdal_ray_fixtures/shp_part_{n_rows}"
+    write_shapefile(ds.map_batches(to_features, batch_format="pyarrow"),
+                    base)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "brand": df["brand"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "key": df["key"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Min as AMin
+
+    return (
+        read_shapefile(base, shard_records=512)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            AMin("key", alias_name="min_key"),
+            Max("key", alias_name="max_key"),
+        )
+        .sort("brand")
     )
 
 
