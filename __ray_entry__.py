@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned but added after the final window freeze; locally
         # dtype-strict-verified by scripts/check_oracle.py at two scales:
         "q_shp_roundtrip": EQ.q_shp_roundtrip,
+        "q_csv_roundtrip": EQ.q_csv_roundtrip,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1255,6 +1256,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        "q_csv_roundtrip": """
+            SELECT o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((o_orderkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((o_orderkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+            FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """,
         "q_shp_roundtrip": """
             SELECT p_brand AS brand,
                    CAST(COUNT(*) AS BIGINT) AS n,

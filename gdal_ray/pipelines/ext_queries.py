@@ -13,7 +13,7 @@ __all__ = [
     "q_sample_lattice", "q_pipeline_chain", "q_audio_features",
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
-    "q_shp_roundtrip",
+    "q_shp_roundtrip", "q_csv_roundtrip",
 ]
 
 
@@ -376,6 +376,79 @@ def q_shp_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("brand")
+    )
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV layer driver identity round-trip, SQL-twinnable (completes the
+    vector-driver set: GeoJSON, GeoPackage, Shapefile, CSV). Order rows
+    become WKB Points exported as a WKT column (AS_WKT mode), one atomic
+    .csv shard per block, read back through ray.data.read_csv + WKT->WKB
+    conversion, aggregated per priority. WKT serialization is
+    shortest-round-trip (repr), so coordinates survive bit-exact
+    (property-tested in tests/test_codecs_property.py). Exercises:
+    WKB->WKT->WKB codec, sharded CSV write/read (sources/csvlayer.py;
+    reference ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp)."""
+    import shutil
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.sources.csvlayer import read_csv_layer, write_csv_layer
+
+    ds = _rpt(os.path.join(sf_dir, "orders.parquet"),
+              columns=["o_orderkey", "o_orderpriority"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        n = len(k)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = x.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = y.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+            "key": pa.array(k, pa.int64()),
+            "priority": t["o_orderpriority"],
+        })
+
+    n_rows = ds.count()
+    out = f"/tmp/gdal_ray_fixtures/csv_orders_{n_rows}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_csv_layer(ds.map_batches(to_features, batch_format="pyarrow"),
+                    out).materialize()  # tiny shard summary
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "priority": df["priority"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "key": df["key"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Min as AMin
+
+    return (
+        read_csv_layer(out, wkt_col="wkt")
+        .map_batches(finish, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            AMin("key", alias_name="min_key"),
+            Max("key", alias_name="max_key"),
+        )
+        .sort("priority")
     )
 
 
