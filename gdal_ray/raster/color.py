@@ -23,6 +23,8 @@ __all__ = [
     "dither_ordered",
     "dither_floyd_steinberg",
     "quantize_image",
+    "color_relief",
+    "parse_color_ramp",
 ]
 
 
@@ -150,3 +152,107 @@ def quantize_image(img: np.ndarray, n_colors: int = 256, method: str = "fs"):
         q = img.astype(np.int64) >> 3
         return pal, cube[q[..., 0], q[..., 1], q[..., 2]]
     raise ValueError(f"unknown dither method {method!r}")
+
+
+def parse_color_ramp(text: str, src_min: float | None = None,
+                     src_max: float | None = None,
+                     nodata: float | None = None) -> list:
+    """gdaldem color-relief color-file parser
+    (``apps/gdaldem_lib.cpp`` GDALColorReliefParseColorFile): one entry
+    per line, ``<elev> <r> <g> <b> [a]``; elevation may be a ``N%``
+    percentage of the band range (needs ``src_min``/``src_max``) and the
+    keyword ``nv`` maps to the band's nodata value (entry dropped when no
+    nodata is given). Returns [(value, r, g, b, a), ...] sorted by value."""
+    ramp = []
+    for line in text.splitlines():
+        line = line.split("#")[0].strip().replace(",", " ")
+        if not line:
+            continue
+        parts = line.split()
+        key = parts[0].lower()
+        if key == "nv":
+            if nodata is None:
+                continue
+            val = float(nodata)
+        elif key.endswith("%"):
+            if src_min is None or src_max is None:
+                raise ValueError("percentage ramp entry needs src_min/src_max")
+            val = src_min + float(key[:-1]) / 100.0 * (src_max - src_min)
+        else:
+            val = float(key)
+        rgba = [int(p) for p in parts[1:5]]
+        while len(rgba) < 4:
+            rgba.append(255)
+        ramp.append((val, *rgba))
+    ramp.sort(key=lambda e: e[0])
+    return ramp
+
+
+def color_relief(arr: np.ndarray, ramp, mode: str = "interpolate"):
+    """gdaldem color-relief (``apps/gdaldem_lib.cpp``
+    GDALColorReliefGetRGBA): map each pixel through a sorted
+    value->RGBA ramp. Returns (h, w, 4) uint8.
+
+    ``mode``: ``interpolate`` (default; linear blend between the two
+    bracketing entries, channel = clamp(trunc(0.5 + lo + ratio*(hi-lo)))
+    exactly like the reference's LinearInterpolation), ``exact`` (only
+    pixels equal to a ramp value get its color, everything else
+    transparent black — COLOR_SELECTION_EXACT_ENTRY), ``nearest``
+    (closer bracketing entry wins, ties to the upper —
+    COLOR_SELECTION_NEAREST_ENTRY). Values outside the ramp clamp to the
+    end colors. A leading NaN ramp entry colors NaN pixels (the
+    reference's nv-from-nodata path for float rasters); with no NaN
+    entry, NaN pixels take the last entry (searchsorted sends NaN past
+    the end, matching the reference's unchecked binary search)."""
+    ramp = [tuple(e) if len(e) == 5 else (*e, 255) for e in ramp]
+    nan_color = None
+    if ramp and np.isnan(ramp[0][0]):
+        nan_color = np.array(ramp[0][1:], dtype=np.uint8)
+        ramp = ramp[1:]
+    if not ramp:
+        raise ValueError("empty color ramp")
+    vals = np.array([e[0] for e in ramp], dtype=np.float64)
+    if not np.all(np.diff(vals) > 0):
+        raise ValueError("ramp values must be strictly increasing")
+    colors = np.array([e[1:] for e in ramp], dtype=np.float64)  # (n, 4)
+    n = len(vals)
+
+    v = arr.astype(np.float64).ravel()
+    nan_mask = np.isnan(v)
+    i = np.searchsorted(vals, v, side="left")  # first vals[i] >= v
+    lo = np.clip(i - 1, 0, n - 1)
+    hi = np.clip(i, 0, n - 1)
+    exact = (i < n) & (vals[hi] == v)
+    below = i == 0
+    above = i == n
+
+    out = np.empty((v.size, 4), dtype=np.float64)
+    if mode == "exact":
+        out[:] = 0.0
+        out[exact] = colors[hi[exact]]
+    elif mode == "nearest":
+        d_lo = v - vals[lo]
+        d_hi = vals[hi] - v
+        pick_hi = above | exact | (~below & (d_hi <= d_lo))
+        idx = np.where(pick_hi, hi, lo)
+        idx[below] = 0
+        out[:] = colors[idx]
+    elif mode == "interpolate":
+        out[:] = colors[np.where(above, n - 1, hi)]
+        mid = ~(below | above | exact | nan_mask)
+        if mid.any():
+            ratio = (v[mid] - vals[lo[mid]]) / (vals[hi[mid]] - vals[lo[mid]])
+            c0 = colors[lo[mid]]
+            c1 = colors[hi[mid]]
+            # trunc(0.5 + x) then clamp — the reference's static_cast<int>
+            out[mid] = np.clip(np.trunc(0.5 + c0 + ratio[:, None] * (c1 - c0)),
+                               0.0, 255.0)
+    else:
+        raise ValueError(f"unknown color-relief mode {mode!r}")
+    if nan_color is not None:
+        out[nan_mask] = nan_color
+    elif mode == "exact":
+        out[nan_mask] = 0.0
+    else:
+        out[nan_mask] = colors[n - 1]
+    return out.reshape(*arr.shape, 4).astype(np.uint8)

@@ -23,7 +23,8 @@ def _grids(batch: pa.Table):
 
 
 def dem_metrics_batch(batch: pa.Table) -> pa.Table:
-    """rasters -> hillshade/slope/TRI/TPI/roughness checksums + means.
+    """rasters -> hillshade/slope/TRI/TPI/roughness/color-relief
+    checksums + means.
 
     The per-image embarrassingly-parallel form of gdaldem
     (apps/gdaldem_lib.cpp:3530); checksums give a compact exactness probe
@@ -36,7 +37,10 @@ def dem_metrics_batch(batch: pa.Table) -> pa.Table:
         "tri_mean": [],
         "tpi_mean": [],
         "roughness_max": [],
+        "color_relief_cksum": [],
     }
+    from gdal_ray.raster.color import color_relief, parse_color_ramp
+
     for rid, dem in _grids(batch):
         hs = K.hillshade(dem, ewres=1.0, nsres=-1.0)
         rows["raster_id"].append(rid)
@@ -47,6 +51,16 @@ def dem_metrics_batch(batch: pa.Table) -> pa.Table:
         rows["tri_mean"].append(float(K.tri(dem).mean()))
         rows["tpi_mean"].append(float(K.tpi(dem).mean()))
         rows["roughness_max"].append(float(K.roughness(dem).max()))
+        lo, hi = float(dem.min()), float(dem.max())
+        ramp = parse_color_ramp(
+            "0% 0 50 0\n50% 120 200 80\n100% 255 255 255",
+            src_min=lo, src_max=hi if hi > lo else lo + 1.0,
+        )
+        rgba = color_relief(dem, ramp)
+        rows["color_relief_cksum"].append(
+            checksum_image(rgba[..., 0]) ^ checksum_image(rgba[..., 1])
+            ^ checksum_image(rgba[..., 2])
+        )
     return pa.table(
         {
             "raster_id": pa.array(rows["raster_id"], pa.string()),
@@ -56,6 +70,7 @@ def dem_metrics_batch(batch: pa.Table) -> pa.Table:
             "tri_mean": pa.array(rows["tri_mean"]),
             "tpi_mean": pa.array(rows["tpi_mean"]),
             "roughness_max": pa.array(rows["roughness_max"]),
+            "color_relief_cksum": pa.array(rows["color_relief_cksum"], pa.int32()),
         }
     )
 
