@@ -6,8 +6,16 @@ Kernels mirror ``alg/gdalgrid.h:50-98`` / ``alg/gdalgrid.cpp``:
   a point exactly on a node short-circuits to its value;
 - nearest: value of the nearest point (ties: first in input order, the
   quadtree-iteration order GDAL uses);
+- invdistnn: ``GDALGridInverseDistanceToAPowerNearestNeighbor`` — invdist
+  restricted to the ``max_points`` nearest points (by smoothed distance)
+  inside ``radius``, nodata when fewer than ``min_points`` found;
 - average / minimum / maximum / range / count: moving-window metrics over
-  points within ``radius`` (circular window), nodata where empty.
+  points within ``radius`` (circular window), nodata where empty;
+- average_distance: mean node-to-point distance in the window
+  (``GDALGridDataMetricAverageDistance``);
+- average_distance_pts: mean pairwise distance between the window's
+  points (``GDALGridDataMetricAverageDistancePts``; unordered pairs,
+  nodata with fewer than two points).
 
 The distributed form: output tiles keyed by cell id, input points routed to
 tiles via k-ring replication (groupby(cell).map_groups with these kernels);
@@ -33,6 +41,8 @@ def grid_points(
     smoothing=0.0,
     radius=np.inf,
     nodata=0.0,
+    max_points=12,
+    min_points=0,
 ):
     """Compute an (h, w) grid from points; node centers via the
     geotransform (node value sampled at pixel centers, gdal_grid layout)."""
@@ -46,6 +56,12 @@ def grid_points(
     # (nodes, points) distances, chunked over nodes
     out = np.full(w * h, np.float64(nodata))
     chunk = max(1, 2_000_000 // max(1, len(px)))
+    pair_d = None
+    if algorithm == "average_distance_pts":
+        # point-to-point distances don't depend on the node — compute once
+        ddx = px[:, None] - px[None, :]
+        ddy = py[:, None] - py[None, :]
+        pair_d = np.sqrt(ddx * ddx + ddy * ddy)
     for s in range(0, len(gx), chunk):
         dx = gx[s : s + chunk, None] - px[None, :]
         dy = gy[s : s + chunk, None] - py[None, :]
@@ -63,6 +79,52 @@ def grid_points(
             if hit.any():
                 first = exact.argmax(axis=1)
                 vals[hit] = pv[first[hit]]
+            out[s : s + chunk] = vals
+        elif algorithm == "invdistnn":
+            # alg/gdalgrid.cpp:241: candidates within TRUE radius, ranked
+            # by SMOOTHED squared distance, capped at max_points nearest;
+            # a smoothed distance under 1e-13 short-circuits to the value
+            r2 = d2 + smoothing * smoothing
+            exact = r2 < 1e-13
+            r2m = np.where(d2 <= radius * radius, r2, np.inf)
+            npts = r2m.shape[1]
+            k = npts if max_points <= 0 else min(max_points, npts)
+            if k < npts:
+                idx = np.argpartition(r2m, k - 1, axis=1)[:, :k]
+                rsel = np.take_along_axis(r2m, idx, axis=1)
+                vsel = pv[idx]
+            else:
+                rsel, vsel = r2m, np.broadcast_to(pv, r2m.shape)
+            ok = np.isfinite(rsel)
+            wgt = np.where(ok, 1.0 / np.maximum(rsel, 1e-300) ** (power / 2.0), 0.0)
+            num = (wgt * vsel).sum(axis=1)
+            den = wgt.sum(axis=1)
+            cnt = ok.sum(axis=1)
+            vals = np.where(
+                (den > 0) & (cnt >= min_points),
+                num / np.where(den == 0, 1, den), nodata,
+            )
+            hit = exact.any(axis=1)
+            if hit.any():
+                vals[hit] = pv[exact.argmax(axis=1)[hit]]
+            out[s : s + chunk] = vals
+        elif algorithm == "average_distance":
+            inside = d2 <= radius * radius
+            cnt = inside.sum(axis=1)
+            acc = np.where(inside, np.sqrt(d2), 0.0).sum(axis=1)
+            vals = np.where(
+                (cnt > 0) & (cnt >= min_points),
+                acc / np.maximum(cnt, 1), nodata,
+            )
+            out[s : s + chunk] = vals
+        elif algorithm == "average_distance_pts":
+            inside = (d2 <= radius * radius).astype(np.float64)
+            cnt = inside.sum(axis=1)
+            # sum over unordered point pairs both inside this node's
+            # window: diag(inside @ D @ inside.T) / 2, D symmetric, diag 0
+            tot = ((inside @ pair_d) * inside).sum(axis=1) / 2.0
+            n_pairs = cnt * (cnt - 1.0) / 2.0
+            vals = np.where(n_pairs > 0, tot / np.maximum(n_pairs, 1.0), nodata)
             out[s : s + chunk] = vals
         elif algorithm == "nearest":
             if np.isfinite(radius):

@@ -553,3 +553,81 @@ def test_contour_polygons_bands_tile_domain():
     below, above = contour_polygons(a2, [5.0])
     assert len(below["rings"]) == 2 and len(above["rings"]) == 1
     assert abs(below["area"] + above["area"] - 49.0) < 1e-9
+
+
+def test_grid_invdistnn_matches_scalar_oracle():
+    """invdistnn vs a per-node scalar replica of
+    GDALGridInverseDistanceToAPowerNearestNeighbor (alg/gdalgrid.cpp:241):
+    candidates within the TRUE radius ranked by smoothed squared distance,
+    capped at max_points, weight 1/r_smoothed^power."""
+    rng = np.random.default_rng(31)
+    px = rng.uniform(0, 8, 40)
+    py = rng.uniform(0, 8, 40)
+    pv = rng.uniform(-5, 5, 40)
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    radius, smoothing, power, max_points, min_points = 3.0, 0.5, 2.0, 6, 2
+    got = grid_points(px, py, pv, 8, 8, gt, algorithm="invdistnn",
+                      power=power, smoothing=smoothing, radius=radius,
+                      nodata=-999.0, max_points=max_points,
+                      min_points=min_points)
+    for r in range(8):
+        for c in range(8):
+            nx, ny = c + 0.5, r + 0.5
+            d2 = (px - nx) ** 2 + (py - ny) ** 2
+            r2 = d2 + smoothing * smoothing
+            cand = sorted(r2[d2 <= radius * radius])[:max_points]
+            idx_sorted = np.argsort(r2, kind="stable")
+            sel = [i for i in idx_sorted if d2[i] <= radius * radius][:max_points]
+            if len(sel) < min_points:
+                want = -999.0
+            else:
+                wgt = 1.0 / r2[sel] ** (power / 2.0)
+                want = float((wgt * pv[sel]).sum() / wgt.sum())
+            assert got[r, c] == pytest.approx(want, rel=1e-12, abs=1e-12), (r, c)
+
+
+def test_grid_distance_metrics_match_scalar_oracle():
+    """average_distance / average_distance_pts vs per-node scalar replicas
+    of GDALGridDataMetricAverageDistance[Pts] (alg/gdalgrid.cpp:1977,2283)."""
+    rng = np.random.default_rng(33)
+    px = rng.uniform(0, 6, 25)
+    py = rng.uniform(0, 6, 25)
+    pv = np.zeros(25)
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    radius = 2.0
+    ad = grid_points(px, py, pv, 6, 6, gt, algorithm="average_distance",
+                     radius=radius, nodata=-1.0)
+    adp = grid_points(px, py, pv, 6, 6, gt,
+                      algorithm="average_distance_pts",
+                      radius=radius, nodata=-1.0)
+    for r in range(6):
+        for c in range(6):
+            nx, ny = c + 0.5, r + 0.5
+            d = np.sqrt((px - nx) ** 2 + (py - ny) ** 2)
+            sel = np.nonzero(d <= radius)[0]
+            want_ad = float(d[sel].mean()) if len(sel) else -1.0
+            assert ad[r, c] == pytest.approx(want_ad, rel=1e-12), (r, c)
+            if len(sel) < 2:
+                want_adp = -1.0
+            else:
+                tot, n_pairs = 0.0, 0
+                for a in range(len(sel)):
+                    for b in range(a + 1, len(sel)):
+                        i, j = sel[a], sel[b]
+                        tot += float(np.hypot(px[i] - px[j], py[i] - py[j]))
+                        n_pairs += 1
+                want_adp = tot / n_pairs
+            assert adp[r, c] == pytest.approx(want_adp, rel=1e-12), (r, c)
+
+
+def test_grid_invdistnn_exact_hit_and_cap():
+    # node sitting on a point short-circuits regardless of neighbors
+    px = np.array([0.5, 0.6, 2.0])
+    py = np.array([0.5, 0.5, 2.0])
+    pv = np.array([7.0, 100.0, -3.0])
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    g = grid_points(px, py, pv, 3, 3, gt, algorithm="invdistnn",
+                    radius=10.0, smoothing=0.0, max_points=1)
+    assert g[0, 0] == 7.0
+    # max_points=1 makes every other node take its single nearest value
+    assert g[2, 2] == -3.0
