@@ -152,6 +152,47 @@ def interpolate_at_point_cubic(band: np.ndarray, px: np.ndarray, py: np.ndarray)
     return acc
 
 
+def _bspline_weight(t):
+    """Cubic B-spline kernel (alg/gdalresamplingkernels.h:45
+    CubicSplineKernel): (1/6)[(t+2)^3_+ - 4(t+1)^3_+ + 6 t^3_+ - 4(t-1)^3_+],
+    the one-sided-cube form; symmetric, support |t| < 2, partition of unity."""
+    a = np.where(t + 2.0 > 0.0, (t + 2.0) ** 3, 0.0)
+    b = np.where(t + 1.0 > 0.0, (t + 1.0) ** 3, 0.0)
+    c = np.where(t > 0.0, t**3, 0.0)
+    d = np.where(t - 1.0 > 0.0, (t - 1.0) ** 3, 0.0)
+    return np.where(t > 2.0, 0.0, (a - 4.0 * b + 6.0 * c - 4.0 * d) / 6.0)
+
+
+def interpolate_at_point_cubicspline(band: np.ndarray, px: np.ndarray,
+                                     py: np.ndarray) -> np.ndarray:
+    """Cubic B-spline read at fractional pixel coordinates
+    (gdallocationinfo -r cubicspline; GRIORA_CubicSpline in
+    ``alg/gdal_interpolateatpoint.cpp:315-321`` — same 4x4 tap loop as the
+    cubic arm but with CubicSplineKernel weights, normalized by the weight
+    sum exactly as the reference's dfSumH/dfSumWeight). A smoothing
+    (approximating, not interpolating) spline: it does NOT reproduce the
+    sample values at integer offsets."""
+    h, w = band.shape[:2]
+    fx = np.clip(px - 0.5, 0, w - 1)
+    fy = np.clip(py - 0.5, 0, h - 1)
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    f = band.astype(np.float64)
+    acc = np.zeros_like(fx, dtype=np.float64)
+    wsum = np.zeros_like(fx, dtype=np.float64)
+    for dy in range(-1, 3):
+        wyv = _bspline_weight(wy - dy)
+        iy = np.clip(y0 + dy, 0, h - 1)
+        for dx in range(-1, 3):
+            wv = wyv * _bspline_weight(wx - dx)
+            ix = np.clip(x0 + dx, 0, w - 1)
+            acc = acc + wv * f[iy, ix]
+            wsum = wsum + wv
+    return acc / wsum
+
+
 def resample_average(img, factor):
     """Integer-factor box average (overview AVERAGE kernel,
     gcore/overview.cpp:1144 on exact-factor grids)."""

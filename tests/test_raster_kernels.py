@@ -631,3 +631,45 @@ def test_grid_invdistnn_exact_hit_and_cap():
     assert g[0, 0] == 7.0
     # max_points=1 makes every other node take its single nearest value
     assert g[2, 2] == -3.0
+
+
+def test_interpolate_cubicspline_matches_scalar_oracle():
+    """Vectorized B-spline point read vs a scalar replica of the reference
+    tap loop (alg/gdal_interpolateatpoint.cpp:315-331: fPoint = kernel
+    index - delta, CubicSplineKernel weights, dfSumH/dfSumWeight)."""
+    from gdal_ray.raster.kernels import interpolate_at_point_cubicspline
+
+    def k(t):
+        if t > 2.0:
+            return 0.0
+        a = (t + 2.0) ** 3 if t + 2.0 > 0 else 0.0
+        b = (t + 1.0) ** 3 if t + 1.0 > 0 else 0.0
+        c = t**3 if t > 0 else 0.0
+        d = (t - 1.0) ** 3 if t - 1.0 > 0 else 0.0
+        return (a - 4.0 * b + 6.0 * c - 4.0 * d) / 6.0
+
+    rng = np.random.default_rng(17)
+    band = rng.uniform(0, 100, (12, 15))
+    px = rng.uniform(0.0, 15.0, 40)
+    py = rng.uniform(0.0, 12.0, 40)
+    got = interpolate_at_point_cubicspline(band, px, py)
+    for i in range(len(px)):
+        fx = min(max(px[i] - 0.5, 0.0), 14.0)
+        fy = min(max(py[i] - 0.5, 0.0), 11.0)
+        x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+        dx_f, dy_f = fx - x0, fy - y0
+        num = den = 0.0
+        for kj in range(4):
+            for ki in range(4):
+                # reference: fPoint = (kernel index - 1) - delta (signed)
+                wgt = k((kj - 1) - dx_f) * k((ki - 1) - dy_f)
+                yy = min(max(y0 + ki - 1, 0), 11)
+                xx = min(max(x0 + kj - 1, 0), 14)
+                num += band[yy, xx] * wgt
+                den += wgt
+        assert got[i] == pytest.approx(num / den, rel=1e-12), i
+    # smoothing spline: flat fields reproduce exactly
+    flat = np.full((8, 8), 7.25)
+    assert np.allclose(
+        interpolate_at_point_cubicspline(flat, px % 8, py % 8), 7.25
+    )
