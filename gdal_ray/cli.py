@@ -104,6 +104,7 @@ def cmd_info(path: str) -> dict:
         info = {
             "driver": "GeoTIFF",
             "size": [h["w"], h["h"]],
+            "bands": h["spp"],
             "dtype": str(np.dtype(h["dtype"]).name),
             "blocks": ([h["tile_w"], h["tile_h"]]
                        if h["tiled"] else [h["tile_w"], h["tile_h"]]),
@@ -178,12 +179,16 @@ def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
 
     h = read_tiff_header(src)
     full = np.zeros((h["n_tiles_y"] * h["tile_h"],
-                     h["n_tiles_x"] * h["tile_w"]), dtype=h["dtype"])
+                     h["n_tiles_x"] * h["tile_w"], h["spp"]), dtype=h["dtype"])
     for i in range(len(h["offsets"])):
         ty, tx = divmod(i, h["n_tiles_x"])
+        t = read_tile(src, h, i)
         full[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
-             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(src, h, i)
+             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = (
+            t if t.ndim == 3 else t[:, :, None])
     arr = full[: h["h"], : h["w"]]
+    if h["spp"] == 1:
+        arr = arr[:, :, 0]
     gt = list(h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
     if srcwin:
         x, y, w, ww = srcwin

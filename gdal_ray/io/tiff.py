@@ -79,9 +79,11 @@ def read_tiff_header(path: str) -> dict:
             buf = fh.read()
     t = _read_ifd(buf, bo)
     w, h = t[256][0], t[257][0]
-    spp = t.get(277, [1])[0]
-    if spp != 1:
-        raise ValueError(f"only single-band TIFF supported (got {spp} samples)")
+    spp = int(t.get(277, [1])[0])
+    if spp > 1 and t.get(284, [1])[0] != 1:
+        raise ValueError("multi-band TIFF requires chunky PlanarConfig=1")
+    if len(set(t.get(258, [8]))) > 1:
+        raise ValueError("per-band BitsPerSample must be uniform")
     bits = t.get(258, [8])[0]
     sfmt = t.get(339, [1])[0]
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt, "u")
@@ -118,7 +120,7 @@ def read_tiff_header(path: str) -> dict:
         "tile_h": int(tile_h), "offsets": [int(o) for o in offsets],
         "bytecounts": [int(c) for c in counts], "compression": int(comp),
         "predictor": int(pred), "gt": gt, "epsg": epsg, "bo": bo,
-        "tiled": tiled,
+        "tiled": tiled, "spp": spp,
         "n_tiles_x": (int(w) + int(tile_w) - 1) // int(tile_w),
         "n_tiles_y": (int(h) + int(tile_h) - 1) // int(tile_h),
     }
@@ -236,8 +238,9 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def read_tile(path_or_bytes, hdr: dict, idx: int) -> np.ndarray:
-    """Decode tile/strip ``idx`` -> (tile_h, tile_w) array (edge tiles
-    padded by the format; strips may be short on the last one)."""
+    """Decode tile/strip ``idx`` -> (tile_h, tile_w) array, or
+    (tile_h, tile_w, spp) for chunky multi-band files (edge tiles padded
+    by the format; strips may be short on the last one)."""
     off, cnt = hdr["offsets"][idx], hdr["bytecounts"][idx]
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = bytes(path_or_bytes[off:off + cnt])
@@ -258,9 +261,15 @@ def read_tile(path_or_bytes, hdr: dict, idx: int) -> np.ndarray:
         raise ValueError(f"unsupported TIFF compression {comp}")
     dt = hdr["dtype"]
     tw = hdr["tile_w"]
-    th = len(data) // (tw * dt.itemsize) if not hdr["tiled"] else hdr["tile_h"]
-    arr = np.frombuffer(data, dtype=dt, count=tw * th).reshape(th, tw)
+    spp = hdr.get("spp", 1)
+    th = (len(data) // (tw * spp * dt.itemsize)
+          if not hdr["tiled"] else hdr["tile_h"])
+    arr = np.frombuffer(data, dtype=dt, count=tw * th * spp)
+    arr = arr.reshape(th, tw, spp) if spp > 1 else arr.reshape(th, tw)
     if hdr["predictor"] == 2:
+        # horizontal differencing runs between SAME-sample values of
+        # adjacent pixels (tif_predict.c), which in the chunky (th,tw,spp)
+        # layout is exactly a cumsum along the pixel axis
         arr = np.cumsum(
             arr.astype({"u": "u8", "i": "i8", "f": arr.dtype}[arr.dtype.kind]),
             axis=1,
@@ -294,12 +303,15 @@ def _pack_tags(entries, data_start):
 
 def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
                   tile: int = 256, compress: str = "deflate") -> None:
-    """(H, W) array -> tiled single-band GeoTIFF (little-endian,
-    Deflate or uncompressed)."""
+    """(H, W) or chunky (H, W, bands) array -> tiled GeoTIFF
+    (little-endian, Deflate or uncompressed; multi-band uses
+    PlanarConfig=1 with RGB photometric for >=3 bands)."""
     arr = np.ascontiguousarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("write_geotiff takes a single-band (H, W) array")
-    h, w = arr.shape
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("write_geotiff takes (H, W) or (H, W, bands)")
+    h, w, spp = arr.shape
     dt = arr.dtype.newbyteorder("<")
     arr = arr.astype(dt)
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -308,7 +320,7 @@ def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
     tiles = []
     for ty in range(nty):
         for tx in range(ntx):
-            block = np.zeros((tile, tile), dtype=dt)
+            block = np.zeros((tile, tile, spp), dtype=dt)
             sub = arr[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
             block[:sub.shape[0], :sub.shape[1]] = sub
             raw = block.tobytes()
@@ -330,10 +342,16 @@ def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
            1024, 0, 1, 2 if is_geographic else 1,
            2048 if is_geographic else 3072, 0, 1, int(epsg or 32767)]
     entries = [
-        (256, 3, [w]), (257, 3, [h]), (258, 3, [dt.itemsize * 8]),
-        (259, 3, [comp_tag]), (262, 3, [1]), (277, 3, [1]),
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [dt.itemsize * 8] * spp),
+        (259, 3, [comp_tag]), (262, 3, [2 if spp >= 3 else 1]),
+        (277, 3, [spp]), (284, 3, [1]),
         (322, 3, [tile]), (323, 3, [tile]),
-        (339, 3, [sfmt]),
+        (339, 3, [sfmt] * spp),
+    ]
+    if spp > 3:
+        # unassociated alpha / extra channels (TIFF tag ExtraSamples)
+        entries.append((338, 3, [2] * (spp - 3)))
+    entries += [
         (33550, 12, [abs(gt[1]), abs(gt[5]), 0.0]),
         (33922, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
         (34735, 3, gkd),

@@ -70,14 +70,23 @@ def read_geotiff_tiles(paths: str | list[str], columns=None,
                 # crop the format's edge padding to the image extent
                 x0, y0 = tx * hdr["tile_w"], ty * hdr["tile_h"]
                 arr = arr[: hdr["h"] - y0, : hdr["w"] - x0]
-                rows["raster_id"].append(f"{stem}#{ty}_{tx}")
-                rows["pixels"].append(
-                    arr.astype(np.float64 if arr.dtype.kind == "f"
-                               else np.int64).ravel()
+                # multi-band (chunky) files fan out to one standard
+                # single-band row per band — the raster-row schema stays
+                # fixed, band index lives in the id suffix
+                per_band = (
+                    [(f"{stem}#{ty}_{tx}", arr)] if arr.ndim == 2
+                    else [(f"{stem}#{ty}_{tx}_b{k}", arr[:, :, k])
+                          for k in range(arr.shape[2])]
                 )
-                rows["w"].append(arr.shape[1])
-                rows["h"].append(arr.shape[0])
-                rows["gt"].append(_tile_gt(gt, x0, y0))
+                for rid, band in per_band:
+                    rows["raster_id"].append(rid)
+                    rows["pixels"].append(
+                        band.astype(np.float64 if band.dtype.kind == "f"
+                                    else np.int64).ravel()
+                    )
+                    rows["w"].append(band.shape[1])
+                    rows["h"].append(band.shape[0])
+                    rows["gt"].append(_tile_gt(gt, x0, y0))
         return pa.table({
             "raster_id": pa.array(rows["raster_id"], pa.string()),
             "pixels": pa.array([r.tolist() for r in rows["pixels"]]),

@@ -136,3 +136,26 @@ def test_main_arg_parsing(tif, tmp_path, capsys):
         main(["frobnicate"])
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_translate_rgb_multiband(tmp_path):
+    """RGB GeoTIFF through info + translate: band count reported, window
+    + rescale operate on all bands, chunky layout round-trips."""
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, (80, 120, 3)).astype("uint8")
+    src = str(tmp_path / "rgb.tif")
+    write_geotiff(src, a, GT, epsg=32633, tile=64, compress="lzw")
+    info = cmd_info(src)
+    assert info["bands"] == 3 and info["size"] == [120, 80]
+    dst = str(tmp_path / "rgb_out.tif")
+    res = cmd_translate(src, dst, srcwin=[10, 5, 60, 40], compress="deflate")
+    assert res["size"] == [60, 40]
+    h = read_tiff_header(dst)
+    assert h["spp"] == 3
+    out = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                    h["n_tiles_x"] * h["tile_w"], 3), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        out[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+            tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(dst, h, i)
+    assert np.array_equal(out[: h["h"], : h["w"]], a[5:45, 10:70])

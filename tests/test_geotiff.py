@@ -158,3 +158,68 @@ def test_gate_query_matches_direct(ray_session):
                                        "sum_v", "min_v", "max_v"])
     got = got.sort_values(["img_key", "ty", "tx"]).reset_index(drop=True)
     assert got.astype("int64").equals(want.astype("int64"))
+
+
+def _reassemble_nd(path):
+    h = read_tiff_header(path)
+    spp = h["spp"]
+    out = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                    h["n_tiles_x"] * h["tile_w"], spp), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        t = read_tile(path, h, i)
+        out[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+            tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = (
+            t if t.ndim == 3 else t[:, :, None])
+    return out[: h["h"], : h["w"]], h
+
+
+@pytest.mark.parametrize("bands,dt,comp", [
+    (3, "uint8", "deflate"), (3, "uint8", "lzw"), (3, "uint16", "packbits"),
+    (4, "uint8", "none"), (2, "float32", "deflate"),
+])
+def test_multiband_roundtrip(tmp_path, bands, dt, comp):
+    """Chunky (PlanarConfig=1) multi-band write/read identity: RGB, RGBA
+    (ExtraSamples), and a 2-band float file across the codec set."""
+    rng = np.random.default_rng(bands)
+    hi = 4000 if dt == "uint16" else 200
+    a = rng.integers(0, hi, (70, 90, bands)).astype(dt) if dt != "float32" \
+        else rng.uniform(-5, 5, (70, 90, bands)).astype(dt)
+    p = str(tmp_path / f"mb{bands}.tif")
+    write_geotiff(p, a, GT, epsg=32633, tile=64, compress=comp)
+    out, h = _reassemble_nd(p)
+    assert h["spp"] == bands and h["w"] == 90 and h["h"] == 70
+    assert np.array_equal(out, a)
+    assert h["gt"] == GT and h["epsg"] == 32633
+
+
+def test_multiband_single_band_files_unchanged(tmp_path):
+    """spp stays 1 and read_tile stays 2-D for single-band files (the
+    whole existing raster pipeline depends on that shape)."""
+    a = np.arange(32 * 40, dtype=np.uint8).reshape(32, 40)
+    p = str(tmp_path / "sb.tif")
+    write_geotiff(p, a, GT, tile=16)
+    h = read_tiff_header(p)
+    assert h["spp"] == 1
+    assert read_tile(p, h, 0).ndim == 2
+
+
+def test_multiband_distributed_read_fans_out_per_band(tmp_path, ray_session):
+    """read_geotiff_tiles on an RGB file emits one standard single-band
+    raster row per band (id suffix _b<k>), so every downstream raster
+    stage consumes multi-band files unchanged."""
+    from gdal_ray.sources.geotiff import read_geotiff_tiles
+
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 256, (100, 130, 3)).astype("uint8")
+    p = str(tmp_path / "rgb.tif")
+    write_geotiff(p, a, GT, epsg=32633, tile=64)
+    df = read_geotiff_tiles(p).to_pandas()
+    assert len(df) == 2 * 3 * 3  # 2x3 tile grid x 3 bands
+    for _, r in df.iterrows():
+        stem, suffix = r["raster_id"].rsplit("_b", 1)
+        ty, tx = map(int, stem.split("#")[1].split("_"))
+        k = int(suffix)
+        want = a[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64, k]
+        got = np.asarray(r["pixels"], dtype=np.int64).reshape(r["h"], r["w"])
+        assert np.array_equal(got, want)
