@@ -6,6 +6,9 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray ogr2ogr <src> <dst>          # vector convert
     python -m gdal_ray translate <src.tif> <dst.tif>
         [--srcwin x y w h] [--scale a b] [--compress deflate|lzw|...]
+    python -m gdal_ray dem <mode> <src.tif> <dst.tif>  # gdaldem
+        mode: hillshade|slope|aspect|tri|tpi|roughness|color-relief
+        [--color-file ramp.txt] [--z FACTOR] [--compress ...]
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -174,21 +177,10 @@ def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
                   compress: str = "deflate") -> dict:
     """gdal_translate core: window subset + linear rescale between
     GeoTIFFs, through the real kernels (raster/kernels.py)."""
-    from gdal_ray.io.tiff import read_tiff_header, read_tile, write_geotiff
+    from gdal_ray.io.tiff import write_geotiff
     from gdal_ray.raster.kernels import rescale_linear, translate_window
 
-    h = read_tiff_header(src)
-    full = np.zeros((h["n_tiles_y"] * h["tile_h"],
-                     h["n_tiles_x"] * h["tile_w"], h["spp"]), dtype=h["dtype"])
-    for i in range(len(h["offsets"])):
-        ty, tx = divmod(i, h["n_tiles_x"])
-        t = read_tile(src, h, i)
-        full[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
-             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = (
-            t if t.ndim == 3 else t[:, :, None])
-    arr = full[: h["h"], : h["w"]]
-    if h["spp"] == 1:
-        arr = arr[:, :, 0]
+    arr, h = _read_full_tiff(src)
     gt = list(h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
     if srcwin:
         x, y, w, ww = srcwin
@@ -200,6 +192,67 @@ def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
     write_geotiff(dst, np.ascontiguousarray(arr), gt, epsg=h["epsg"],
                   compress=compress)
     return {"size": [arr.shape[1], arr.shape[0]], "dtype": str(arr.dtype)}
+
+
+def _read_full_tiff(src: str):
+    from gdal_ray.io.tiff import read_tiff_header, read_tile
+
+    h = read_tiff_header(src)
+    full = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                     h["n_tiles_x"] * h["tile_w"], h["spp"]), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        t = read_tile(src, h, i)
+        full[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = (
+            t if t.ndim == 3 else t[:, :, None])
+    arr = full[: h["h"], : h["w"]]
+    return (arr[:, :, 0] if h["spp"] == 1 else arr), h
+
+
+def cmd_dem(mode: str, src: str, dst: str, color_file: str | None = None,
+            z: float = 1.0, compress: str = "deflate") -> dict:
+    """gdaldem over GeoTIFF (apps/gdaldem_lib.cpp modes): hillshade,
+    slope, aspect, TRI, TPI, roughness emit single-band rasters;
+    color-relief reads a ramp file (percent entries resolved against the
+    band range) and emits a 4-band RGBA GeoTIFF."""
+    from gdal_ray.io.tiff import write_geotiff
+    from gdal_ray.raster import kernels as K
+
+    dem, h = _read_full_tiff(src)
+    if dem.ndim == 3:
+        dem = dem[:, :, 0]
+    dem = dem.astype(np.float64)
+    gt = h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    ew, ns = gt[1], gt[5]
+    if mode == "hillshade":
+        out = K.hillshade(dem, ewres=ew, nsres=ns, z=z)
+    elif mode == "slope":
+        out = K.slope_horn(dem, ewres=ew, nsres=ns).astype(np.float32)
+    elif mode == "aspect":
+        out = K.aspect(dem).astype(np.float32)
+    elif mode == "tri":
+        out = K.tri(dem).astype(np.float32)
+    elif mode == "tpi":
+        out = K.tpi(dem).astype(np.float32)
+    elif mode == "roughness":
+        out = K.roughness(dem).astype(np.float32)
+    elif mode == "color-relief":
+        from gdal_ray.raster.color import color_relief, parse_color_ramp
+
+        if color_file is None:
+            raise SystemExit("color-relief needs a color file argument")
+        with open(color_file) as fh:
+            ramp = parse_color_ramp(fh.read(), src_min=float(dem.min()),
+                                    src_max=float(dem.max()))
+        out = color_relief(dem, ramp)
+    else:
+        raise SystemExit(f"unknown dem mode {mode!r}")
+    write_geotiff(dst, np.ascontiguousarray(out), gt, epsg=h["epsg"],
+                  compress=compress)
+    return {"mode": mode, "size": [out.shape[1], out.shape[0]],
+            "bands": 1 if out.ndim == 2 else out.shape[2],
+            "dtype": str(out.dtype)}
 
 
 def main(argv=None):
@@ -232,6 +285,26 @@ def main(argv=None):
                 i += 1
         print(json.dumps(cmd_translate(pos[0], pos[1], srcwin, scale,
                                        compress)))
+    elif cmd == "dem":
+        color_file, zf, compress = None, 1.0, "deflate"
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "--color-file":
+                color_file = args[i + 1]
+                i += 2
+            elif args[i] == "--z":
+                zf = float(args[i + 1])
+                i += 2
+            elif args[i] == "--compress":
+                compress = args[i + 1]
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        print(json.dumps(cmd_dem(pos[0], pos[1], pos[2],
+                                 color_file=color_file, z=zf,
+                                 compress=compress)))
     else:
         raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
 

@@ -159,3 +159,37 @@ def test_translate_rgb_multiband(tmp_path):
         out[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = read_tile(dst, h, i)
     assert np.array_equal(out[: h["h"], : h["w"]], a[5:45, 10:70])
+
+
+def test_dem_command_modes(tmp_path):
+    """gdaldem CLI surface: hillshade matches the kernel, color-relief
+    reads a percent ramp file and writes a 4-band RGBA GeoTIFF."""
+    from gdal_ray.cli import cmd_dem
+    from gdal_ray.raster.kernels import hillshade
+
+    rng = np.random.default_rng(41)
+    dem = rng.uniform(100, 900, (90, 110)).astype("float32")
+    src = str(tmp_path / "dem.tif")
+    write_geotiff(src, dem, GT, epsg=32633)
+
+    dst = str(tmp_path / "hs.tif")
+    res = cmd_dem("hillshade", src, dst)
+    assert res["bands"] == 1 and res["dtype"] == "uint8"
+    out, h = _reassemble(dst)
+    want = hillshade(dem.astype(np.float64), ewres=GT[1], nsres=GT[5])
+    assert np.array_equal(out, want)
+    assert h["gt"] == GT and h["epsg"] == 32633
+
+    ramp = tmp_path / "ramp.txt"
+    ramp.write_text("0% 0 0 120\n50% 30 200 30\n100% 255 255 255\n")
+    dst2 = str(tmp_path / "cr.tif")
+    res2 = cmd_dem("color-relief", src, dst2, color_file=str(ramp))
+    assert res2["bands"] == 4
+    h2 = read_tiff_header(dst2)
+    assert h2["spp"] == 4
+    # min maps to the first ramp color, max to the last
+    t0 = read_tile(dst2, h2, 0)
+    assert t0.shape[2] == 4
+
+    with pytest.raises(SystemExit):
+        cmd_dem("wat", src, dst)
