@@ -16,6 +16,9 @@ __all__ = [
     "resample_nearest",
     "resample_bilinear",
     "resample_average",
+    "resample_nearest_factor",
+    "resample_rms",
+    "resample_gauss",
     "reclassify",
     "hillshade",
     "slope_horn",
@@ -205,6 +208,86 @@ def resample_average(img, factor):
     else:
         s = img.reshape(h2, factor, w2, factor).astype(np.float64).mean(axis=(1, 3))
     return cast_clip(s, img.dtype) if np.issubdtype(img.dtype, np.integer) else s
+
+
+def resample_nearest_factor(img, factor):
+    """Integer-factor NEAREST decimation (overview NEAREST kernel:
+    src offset trunc(0.5 + i*factor) = the block's top-left sample)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    return img[: h2 * factor : factor, : w2 * factor : factor].copy()
+
+
+def resample_rms(img, factor):
+    """Integer-factor RMS (quadratic mean) decimation
+    (gcore/overview.cpp GDALResampleChunk_ConvolutionT RMS /
+    ComputeIntegerRMS at :289): float data takes sqrt(mean(v^2));
+    integer data returns the integer r minimizing |r^2 - mean(v^2)|
+    (r+1 wins when 2r(r+1)+1 < 2*mean)."""
+    h, w = img.shape[:2]
+    h2, w2 = h // factor, w // factor
+    img2 = img[: h2 * factor, : w2 * factor]
+    if img.ndim == 3:
+        out = np.empty((h2, w2, img.shape[2]), dtype=img.dtype)
+        for c in range(img.shape[2]):
+            out[:, :, c] = resample_rms(img2[:, :, c], factor)
+        return out
+    sq = img2.astype(np.float64) ** 2
+    mean_sq = sq.reshape(h2, factor, w2, factor).mean(axis=(1, 3))
+    if np.issubdtype(img.dtype, np.floating):
+        return np.sqrt(mean_sq).astype(img.dtype)
+    r = np.floor(np.sqrt(mean_sq))
+    r = np.where(2.0 * r * (r + 1.0) + 1.0 < 2.0 * mean_sq, r + 1.0, r)
+    return r.astype(img.dtype)
+
+
+_GAUSS_KERNELS = {
+    3: np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64),
+    5: np.array([[1, 4, 6, 4, 1], [4, 16, 24, 16, 4], [6, 24, 36, 24, 6],
+                 [4, 16, 24, 16, 4], [1, 4, 6, 4, 1]], dtype=np.float64),
+    7: np.array([[1, 6, 15, 20, 15, 6, 1]], dtype=np.float64).T
+       @ np.array([[1, 6, 15, 20, 15, 6, 1]], dtype=np.float64) / 1.0,
+}
+
+
+def resample_gauss(img, factor=2):
+    """Integer-factor GAUSS decimation (gcore/overview.cpp
+    GDALResampleChunk_Gauss:1824): binomial matrix 3x3 for factor<=2,
+    5x5 for <=4, 7x7 beyond; window starts at
+    factor*i + (factor+1)//2 - dim//2, truncated at the image edges with
+    the weight sum renormalized over the surviving taps."""
+    h, w = img.shape[:2]
+    if img.ndim == 3:
+        h2, w2 = h // factor, w // factor
+        out = np.empty((h2, w2, img.shape[2]), dtype=img.dtype)
+        for c in range(img.shape[2]):
+            out[:, :, c] = resample_gauss(img[:, :, c], factor)
+        return out
+    dim = 3 if factor <= 2 else (5 if factor <= 4 else 7)
+    ker = _GAUSS_KERNELS[dim]
+    h2, w2 = h // factor, w // factor
+    base = (factor + 1) // 2 - dim // 2
+    ys0 = factor * np.arange(h2) + base
+    xs0 = factor * np.arange(w2) + base
+    num = np.zeros((h2, w2), dtype=np.float64)
+    den = np.zeros((h2, w2), dtype=np.float64)
+    f = img.astype(np.float64)
+    for dy in range(dim):
+        ys = ys0 + dy
+        my = (ys >= 0) & (ys < h)
+        if not my.any():
+            continue
+        for dx in range(dim):
+            xs = xs0 + dx
+            mx = (xs >= 0) & (xs < w)
+            if not mx.any():
+                continue
+            sel = np.ix_(ys[my], xs[mx])
+            idx = np.ix_(np.nonzero(my)[0], np.nonzero(mx)[0])
+            num[idx] += ker[dy, dx] * f[sel]
+            den[idx] += ker[dy, dx]
+    out = num / den
+    return cast_clip(out, img.dtype) if np.issubdtype(img.dtype, np.integer) else out.astype(img.dtype)
 
 
 def reclassify(img, mapping: dict, default=None):

@@ -673,3 +673,59 @@ def test_interpolate_cubicspline_matches_scalar_oracle():
     assert np.allclose(
         interpolate_at_point_cubicspline(flat, px % 8, py % 8), 7.25
     )
+
+
+def test_resample_rms_matches_scalar_oracle():
+    """RMS overview vs the reference's ComputeIntegerRMS rule
+    (gcore/overview.cpp:289): integer r minimizing |r^2 - mean(v^2)|."""
+    from gdal_ray.raster.kernels import resample_rms
+
+    rng = np.random.default_rng(51)
+    a = rng.integers(0, 256, (10, 12)).astype(np.uint8)
+    got = resample_rms(a, 2)
+    for i in range(5):
+        for j in range(6):
+            blk = a[2 * i:2 * i + 2, 2 * j:2 * j + 2].astype(np.float64)
+            mean_sq = (blk**2).mean()
+            r = int(np.floor(np.sqrt(mean_sq)))
+            if 2 * r * (r + 1) + 1 < 2 * mean_sq:
+                r += 1
+            assert got[i, j] == r, (i, j)
+    # float path: plain quadratic mean
+    f = rng.uniform(0, 10, (6, 6)).astype(np.float64)
+    gotf = resample_rms(f, 3)
+    blk = f[:3, :3]
+    assert gotf[0, 0] == pytest.approx(np.sqrt((blk**2).mean()), rel=1e-12)
+
+
+def test_resample_gauss_matches_scalar_oracle():
+    """GAUSS overview vs a scalar replica of GDALResampleChunk_Gauss
+    (gcore/overview.cpp:1824): 3x3 binomial at factor 2, window start
+    2i + 1 - 1, edge truncation renormalizes the weight sum."""
+    from gdal_ray.raster.kernels import resample_gauss
+
+    rng = np.random.default_rng(53)
+    a = rng.uniform(0, 100, (9, 11))
+    got = resample_gauss(a, 2)
+    ker = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)
+    for i in range(4):
+        for j in range(5):
+            num = den = 0.0
+            for dy in range(3):
+                for dx in range(3):
+                    y, x = 2 * i + dy, 2 * j + dx
+                    if y < 9 and x < 11:
+                        num += ker[dy, dx] * a[y, x]
+                        den += ker[dy, dx]
+            assert got[i, j] == pytest.approx(num / den, rel=1e-12), (i, j)
+    # factor-4 path picks the 5x5 binomial, window start 4i+2-2
+    got4 = resample_gauss(a[:8, :8], 4)
+    assert got4.shape == (2, 2)
+
+
+def test_resample_nearest_factor():
+    from gdal_ray.raster.kernels import resample_nearest_factor
+
+    a = np.arange(30).reshape(5, 6)
+    got = resample_nearest_factor(a, 2)
+    assert np.array_equal(got, a[:4:2, :6:2])
