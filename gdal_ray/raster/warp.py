@@ -31,7 +31,8 @@ from gdal_ray.geo import mercator as M
 from gdal_ray.geo import stereo as SO
 from gdal_ray.geo import tmerc as TM
 
-__all__ = ["suggest_output_grid", "warp_image", "warp_image_transform"]
+__all__ = ["suggest_output_grid", "warp_image", "warp_image_transform",
+           "warp_image_area"]
 
 
 def _pyproj_to_4326(gx, gy, srs):
@@ -333,4 +334,177 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
         mask = np.zeros((dst_h, dst_w), dtype=np.int32)
         rasterize_wkb(mask, cutline_wkb, dst_gt, 1)
         out[mask == 0] = fill
+    return out, dst_gt
+
+
+_AREA_OPS = ("average", "rms", "sum", "min", "max", "med", "q1", "q3", "mode")
+
+
+def _area_window_bounds(src_gt, w, h, src_srs, dst_srs, dst_gt, dst_w, dst_h):
+    """Per-dst-pixel integer source windows from the transformed pixel
+    CORNERS (GWKAverageOrModeThread, alg/gdalwarpkernel.cpp:6763-6840:
+    TL corner (iDstX, iDstY) and BR corner (iDstX+1, iDstY+1) through the
+    inverse chain, EPS-snapped floor/ceil, empty windows bumped by one)."""
+    inv = A.invert_geotransform(src_gt)
+    cols, rows = np.meshgrid(np.arange(dst_w + 1, dtype=np.float64),
+                             np.arange(dst_h + 1, dtype=np.float64))
+    dx, dy = A.apply_geotransform(dst_gt, cols, rows)
+    sx, sy = _fwd(dx, dy, dst_srs, src_srs)
+    px, py = A.apply_geotransform(inv, sx, sy)
+    x_tl, x_br = px[:-1, :-1], px[1:, 1:]
+    y_tl, y_br = py[:-1, :-1], py[1:, 1:]
+    xmin = np.minimum(x_tl, x_br)
+    xmax = np.maximum(x_tl, x_br)
+    ymin = np.minimum(y_tl, y_br)
+    ymax = np.maximum(y_tl, y_br)
+    EPS = 1e-10
+    ok = (np.isfinite(xmin) & np.isfinite(xmax)
+          & np.isfinite(ymin) & np.isfinite(ymax)
+          & (xmax > -EPS) & (xmin < w + EPS)
+          & (ymax > -EPS) & (ymin < h + EPS))
+    sxmin = np.maximum(np.floor(np.where(ok, xmin, 0.0) + EPS), 0.0).astype(np.int64)
+    sxmax = np.minimum(np.ceil(np.where(ok, xmax, 0.0) - EPS), float(w)).astype(np.int64)
+    bump = (sxmin == sxmax) & (sxmax < w)
+    sxmax = sxmax + bump
+    symin = np.maximum(np.floor(np.where(ok, ymin, 0.0) + EPS), 0.0).astype(np.int64)
+    symax = np.minimum(np.ceil(np.where(ok, ymax, 0.0) - EPS), float(h)).astype(np.int64)
+    bump = (symin == symax) & (symax < h)
+    symax = symax + bump
+    ok &= (sxmin < sxmax) & (symin < symax)
+    return ok, sxmin, sxmax, symin, symax, xmin, xmax, ymin, ymax
+
+
+def warp_image_area(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None,
+                    dst_h=None, op="average", fill=0, src_nodata=None,
+                    mode_ties="min"):
+    """Area-statistics warp (gdalwarp -r average/rms/sum/min/max/med/q1/q3/
+    mode; GWKAverageOrModeThread, alg/gdalwarpkernel.cpp:6508): each dst
+    pixel reduces the source pixels under its footprint.
+
+    Parity notes (matching the reference):
+    - average / rms / sum weight border source pixels by their covered
+      fraction (COMPUTE_WEIGHT / COMPUTE_WEIGHT_Y macros);
+    - min / max / med / q1 / q3 / mode take every window pixel unweighted;
+    - quantiles pick sorted[ceil(q*n - 1)] (:7604-7607);
+    - ``sum`` returns float64 (mass-preserving weighted sum can exceed
+      the input dtype range); everything else keeps the input dtype;
+    - ``src_nodata`` pixels never contribute (all-band match for 3-D input,
+      UNIFIED_SRC_NODATA semantics); an all-invalid window emits ``fill``;
+    - ``mode_ties``: the reference's MODE_TIES warp option — "min"/"max"
+      pick the smallest/largest tied value (GWKTS_Min/Max); its scan-order
+      FIRST default is approximated by "min" here (deterministic under
+      any traversal), which differs only when two values tie exactly.
+    """
+    if op not in _AREA_OPS:
+        raise ValueError(f"unknown area op {op!r}")
+    h, w = img.shape[:2]
+    if dst_gt is None:
+        dst_gt, dst_w, dst_h = suggest_output_grid(src_gt, w, h, src_srs, dst_srs)
+    ok, sxmin, sxmax, symin, symax, xmin, xmax, ymin, ymax = \
+        _area_window_bounds(src_gt, w, h, src_srs, dst_srs, dst_gt, dst_w, dst_h)
+    if src_nodata is None:
+        valid = np.ones((h, w), dtype=bool)
+    elif img.ndim == 3:
+        valid = ~(img == src_nodata).all(axis=2)
+    else:
+        valid = img != src_nodata
+    nb = img.shape[2] if img.ndim == 3 else 1
+    f = img.reshape(h, w, nb).astype(np.float64)
+    kx = np.where(ok, sxmax - sxmin, 0)
+    ky = np.where(ok, symax - symin, 0)
+    kx_max, ky_max = int(kx.max(initial=0)), int(ky.max(initial=0))
+    weighted = op in ("average", "rms", "sum")
+    collect = op in ("med", "q1", "q3", "mode")
+    shape2 = (dst_h, dst_w)
+    num = np.zeros(shape2 + (nb,))
+    den = np.zeros(shape2)
+    mn = np.full(shape2 + (nb,), np.inf)
+    mx = np.full(shape2 + (nb,), -np.inf)
+    any_valid = np.zeros(shape2, dtype=bool)
+    gathered = (np.full(shape2 + (ky_max * kx_max, nb), np.nan)
+                if collect else None)
+    for dy in range(ky_max):
+        in_y = ok & (dy < ky)
+        iy = np.clip(symin + dy, 0, h - 1)
+        # COMPUTE_WEIGHT_Y: border rows weight by their covered fraction
+        wy = np.where(
+            dy == 0,
+            np.where(ky == 1, 1.0, 1.0 - (ymin - symin)),
+            np.where(symin + dy + 1 == symax, 1.0 - (symax - ymax), 1.0),
+        )
+        for dx in range(kx_max):
+            m = in_y & (dx < kx)
+            if not m.any():
+                continue
+            ix = np.clip(sxmin + dx, 0, w - 1)
+            m = m & valid[iy, ix]
+            if not m.any():
+                continue
+            vals = f[iy, ix]  # (dst_h, dst_w, nb)
+            if weighted:
+                wx = np.where(
+                    dx == 0,
+                    np.where(kx == 1, 1.0, 1.0 - (xmin - sxmin)),
+                    np.where(sxmin + dx + 1 == sxmax, 1.0 - (sxmax - xmax), 1.0),
+                )
+                wgt = np.where(m, wx * wy, 0.0)
+                wgt = np.maximum(wgt, 0.0)
+                v = vals**2 if op == "rms" else vals
+                num += wgt[..., None] * np.where(m[..., None], v, 0.0)
+                den += wgt
+            else:
+                any_valid |= m
+                if op in ("min", "max"):
+                    sel = np.where(m[..., None], vals, np.nan)
+                    mn = np.fmin(mn, sel)
+                    mx = np.fmax(mx, sel)
+                else:
+                    gathered[..., dy * kx_max + dx, :] = np.where(
+                        m[..., None], vals, np.nan
+                    )
+    out = np.full(shape2 + (nb,), float(fill))
+    if op in ("average", "rms", "sum"):
+        got = den > 0
+        if op == "sum":
+            out[got] = num[got]
+        else:
+            r = num[got] / den[got][:, None]
+            out[got] = np.sqrt(r) if op == "rms" else r
+    elif op in ("min", "max"):
+        src = mn if op == "min" else mx
+        out[any_valid] = src[any_valid]
+    elif op in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[op]
+        srt = np.sort(gathered, axis=2)  # NaNs sort to the end
+        n = np.isfinite(gathered).sum(axis=2)  # (dst_h, dst_w, nb)
+        idx = np.maximum(np.ceil(q * n - 1), 0).astype(np.int64)
+        pick = np.take_along_axis(srt, idx[..., None, :], axis=2)[..., 0, :]
+        has = (n > 0).all(axis=-1)
+        out[has] = pick[has]
+    else:  # mode
+        srt = np.sort(gathered, axis=2)
+        n_val = np.isfinite(srt).sum(axis=2)
+        K = srt.shape[2]
+        best_val = srt[:, :, 0, :].copy()
+        best_cnt = np.where(np.isfinite(best_val), 1, 0)
+        run_val = best_val.copy()
+        run_cnt = best_cnt.copy()
+        for k in range(1, K):
+            cur = srt[:, :, k, :]
+            same = cur == run_val
+            run_cnt = np.where(same, run_cnt + 1, np.where(np.isfinite(cur), 1, 0))
+            run_val = np.where(same, run_val, cur)
+            better = (run_cnt > best_cnt) if mode_ties != "max" else (
+                (run_cnt > best_cnt)
+                | ((run_cnt == best_cnt) & np.isfinite(run_val)))
+            best_cnt = np.where(better, run_cnt, best_cnt)
+            best_val = np.where(better, run_val, best_val)
+        has = n_val > 0
+        out[has] = best_val[has]
+    if np.issubdtype(img.dtype, np.integer) and op != "sum":
+        info = np.iinfo(img.dtype)
+        out = np.clip(np.floor(out + 0.5), info.min, info.max)
+    out = out.astype(img.dtype if op != "sum" else np.float64)
+    if img.ndim == 2:
+        out = out[:, :, 0]
     return out, dst_gt

@@ -729,3 +729,114 @@ def test_resample_nearest_factor():
     a = np.arange(30).reshape(5, 6)
     got = resample_nearest_factor(a, 2)
     assert np.array_equal(got, a[:4:2, :6:2])
+
+
+def _area_oracle(img, src_gt, dst_gt, dst_w, dst_h, op, nodata=None):
+    """Scalar replica of GWKAverageOrModeThread's per-pixel loop
+    (alg/gdalwarpkernel.cpp:6763-7610) for an identity SRS chain."""
+    import math
+
+    from gdal_ray.geo import affine as A
+
+    inv = A.invert_geotransform(src_gt)
+    h, w = img.shape
+    out = np.full((dst_h, dst_w), np.nan)
+    EPS = 1e-10
+    for i in range(dst_h):
+        for j in range(dst_w):
+            gx0, gy0 = A.apply_geotransform(dst_gt, float(j), float(i))
+            gx1, gy1 = A.apply_geotransform(dst_gt, float(j + 1), float(i + 1))
+            x0, y0 = A.apply_geotransform(inv, gx0, gy0)
+            x1, y1 = A.apply_geotransform(inv, gx1, gy1)
+            xmin, xmax = min(x0, x1), max(x0, x1)
+            ymin, ymax = min(y0, y1), max(y0, y1)
+            if not (xmax > -EPS and xmin < w + EPS
+                    and ymax > -EPS and ymin < h + EPS):
+                continue
+            sxmin = int(max(math.floor(xmin + EPS), 0))
+            sxmax = int(min(math.ceil(xmax - EPS), w))
+            if sxmin == sxmax and sxmax < w:
+                sxmax += 1
+            symin = int(max(math.floor(ymin + EPS), 0))
+            symax = int(min(math.ceil(ymax - EPS), h))
+            if symin == symax and symax < h:
+                symax += 1
+            vals, wgts = [], []
+            for sy in range(symin, symax):
+                wy = (1.0 if symin + 1 == symax else 1.0 - (ymin - symin)) \
+                    if sy == symin else (
+                    1.0 - (symax - ymax) if sy + 1 == symax else 1.0)
+                for sx in range(sxmin, sxmax):
+                    wx = (wy if sxmin + 1 == sxmax
+                          else wy * (1.0 - (xmin - sxmin))) \
+                        if sx == sxmin else (
+                        wy * (1.0 - (sxmax - xmax)) if sx + 1 == sxmax else wy)
+                    if wx <= 0:
+                        continue
+                    v = float(img[sy, sx])
+                    if nodata is not None and v == nodata:
+                        continue
+                    vals.append(v)
+                    wgts.append(wx)
+            if not vals:
+                continue
+            v = np.array(vals)
+            g = np.array(wgts)
+            if op == "average":
+                out[i, j] = (v * g).sum() / g.sum()
+            elif op == "rms":
+                out[i, j] = np.sqrt((v * v * g).sum() / g.sum())
+            elif op == "sum":
+                out[i, j] = (v * g).sum()
+            elif op == "min":
+                out[i, j] = v.min()
+            elif op == "max":
+                out[i, j] = v.max()
+            elif op in ("med", "q1", "q3"):
+                q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[op]
+                s = np.sort(v)
+                out[i, j] = s[max(int(np.ceil(q * len(s) - 1)), 0)]
+            elif op == "mode":
+                uq, cnt = np.unique(v, return_counts=True)
+                out[i, j] = uq[np.argmax(cnt)]  # smallest tied value
+    return out
+
+
+@pytest.mark.parametrize("op", ["average", "rms", "sum", "min", "max",
+                                "med", "q1", "q3", "mode"])
+def test_warp_area_matches_scalar_oracle(op):
+    """warp_image_area vs the scalar window/weight replica on a
+    half-pixel-offset 2.5x downsample (fractional border weights) with
+    nodata holes."""
+    from gdal_ray.raster.warp import warp_image_area
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 40, (20, 24)).astype(np.float64)
+    img[rng.uniform(size=img.shape) < 0.1] = -1.0  # nodata holes
+    src_gt = (1000.0, 10.0, 0.0, 2000.0, 0.0, -10.0)
+    dst_gt = (1005.0, 25.0, 0.0, 1995.0, 0.0, -25.0)
+    dst_w, dst_h = 9, 8
+    got, _ = warp_image_area(img, src_gt, "EPSG:3857", "EPSG:3857",
+                             dst_gt=dst_gt, dst_w=dst_w, dst_h=dst_h,
+                             op=op, fill=np.nan, src_nodata=-1.0)
+    want = _area_oracle(img, src_gt, dst_gt, dst_w, dst_h, op, nodata=-1.0)
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12, equal_nan=True), op
+
+
+def test_warp_area_exact_2x2_average():
+    """Aligned 2x downsample: average equals the box mean exactly and
+    sum preserves total mass."""
+    from gdal_ray.raster.warp import warp_image_area
+
+    rng = np.random.default_rng(63)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    src_gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+    dst_gt = (0.0, 2.0, 0.0, 16.0, 0.0, -2.0)
+    got, _ = warp_image_area(img, src_gt, "EPSG:3857", "EPSG:3857",
+                             dst_gt=dst_gt, dst_w=8, dst_h=8, op="average")
+    blocks = img.reshape(8, 2, 8, 2).astype(np.float64).mean(axis=(1, 3))
+    assert np.array_equal(got, np.clip(np.floor(blocks + 0.5), 0, 255)
+                          .astype(np.uint8))
+    s, _ = warp_image_area(img, src_gt, "EPSG:3857", "EPSG:3857",
+                           dst_gt=dst_gt, dst_w=8, dst_h=8, op="sum")
+    assert s.sum() == pytest.approx(img.astype(np.float64).sum())
