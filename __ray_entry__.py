@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_warp_4326_images": RQ.q_warp_4326_images,
         "q_warp_utm": RQ.q_warp_utm,
         "q_warp_lcc": RQ.q_warp_lcc,
+        "q_warp_area": RQ.q_warp_area,
         "q_embed_near_dup_lsh": RQ.q_embed_near_dup_lsh,
         "q_poly_intersect_pairs": RQ.q_poly_intersect_pairs,
         "q_poly_intersection_area": RQ.q_poly_intersection_area,

@@ -578,6 +578,65 @@ def q_warp_utm(sf_dir: str):
     )
 
 
+def q_warp_area(sf_dir: str):
+    """gdalwarp -r average / -r med as a pipeline: the EPSG:4326 slice
+    warped to EPSG:3857 at HALF resolution through the area-statistics
+    kernel (warp_image_area: footprint windows + fractional border
+    weights), reporting both checksums per image. Fused like the other
+    warp queries — only tiny result rows leave the read task."""
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.flagship import fused_image_apply
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import suggest_output_grid, warp_image_area
+    from gdal_ray.stages.geo import _gt_matrix
+
+    d = corpus_for_sf(sf_dir)
+
+    def per_image(batch: pa.Table) -> pa.Table:
+        keep = [i for i, s in enumerate(batch["srs"].to_pylist()) if s == "EPSG:4326"]
+        rows = {"image_id": [], "dst_w": [], "dst_h": [],
+                "avg_cksum": [], "med_cksum": []}
+        if keep:
+            batch2 = batch.take(pa.array(keep))
+            gts = _gt_matrix(batch2)
+            blobs = batch2["bytes"].to_pylist()
+            fmts = batch2["fmt"].to_pylist()
+            ids = batch2["image_id"].to_pylist()
+            for i in range(len(ids)):
+                img = C.decode_image(blobs[i], fmts[i])
+                h, w = img.shape[:2]
+                gt, dw, dh = suggest_output_grid(
+                    tuple(gts[i]), w, h, "EPSG:4326", "EPSG:3857")
+                # half-resolution dst grid -> every dst pixel aggregates
+                # a ~2x2 source footprint (the op's actual use case)
+                gt2 = (gt[0], gt[1] * 2, gt[2], gt[3], gt[4], gt[5] * 2)
+                dw2, dh2 = max(1, dw // 2), max(1, dh // 2)
+                avg, _ = warp_image_area(
+                    img[:, :, 0], tuple(gts[i]), "EPSG:4326", "EPSG:3857",
+                    dst_gt=gt2, dst_w=dw2, dst_h=dh2, op="average")
+                med, _ = warp_image_area(
+                    img[:, :, 0], tuple(gts[i]), "EPSG:4326", "EPSG:3857",
+                    dst_gt=gt2, dst_w=dw2, dst_h=dh2, op="med")
+                rows["image_id"].append(ids[i])
+                rows["dst_w"].append(dw2)
+                rows["dst_h"].append(dh2)
+                rows["avg_cksum"].append(checksum_image(avg))
+                rows["med_cksum"].append(checksum_image(med))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "dst_w": pa.array(rows["dst_w"], pa.int32()),
+                "dst_h": pa.array(rows["dst_h"], pa.int32()),
+                "avg_cksum": pa.array(rows["avg_cksum"], pa.int32()),
+                "med_cksum": pa.array(rows["med_cksum"], pa.int32()),
+            }
+        )
+
+    return fused_image_apply(
+        d, per_image, columns=["image_id", "bytes", "fmt"], with_placements=True
+    )
+
+
 def q_warp_lcc(sf_dir: str):
     """gdalwarp to Lambert Conformal Conic (geo/conic.py seam): the 3857
     slice of the corpus warped to LCC:33,45,23,-96, reporting dst grid +

@@ -216,6 +216,17 @@ def warp_image(img, src_gt, src_srs, dst_srs, dst_gt=None, dst_w=None, dst_h=Non
       whose centers fall outside are set to ``fill`` (the cutline mask is
       rasterized with the engine's own scanline burner).
     """
+    if resampling in _AREA_OPS:
+        out, dst_gt = warp_image_area(
+            img, src_gt, src_srs, dst_srs, dst_gt=dst_gt, dst_w=dst_w,
+            dst_h=dst_h, op=resampling, fill=fill, src_nodata=src_nodata)
+        if cutline_wkb is not None:
+            from gdal_ray.raster.rasterize import rasterize_wkb
+
+            mask = np.zeros(out.shape[:2], dtype=np.int32)
+            rasterize_wkb(mask, cutline_wkb, dst_gt, 1)
+            out[mask == 0] = fill
+        return out, dst_gt
     h, w = img.shape[:2]
     if dst_gt is None:
         dst_gt, dst_w, dst_h = suggest_output_grid(src_gt, w, h, src_srs, dst_srs)

@@ -77,3 +77,46 @@ def test_roundtrip_stage_matches_oracle(corpus, ray_session):
     assert (got["checksum"] == want["checksum"]).all()
     for rid in want.index:
         assert list(got.loc[rid, "pixel_counts"]) == list(want.loc[rid, "pixel_counts"])
+
+
+def test_warp_area_query_matches_direct(ray_session):
+    """q_warp_area pipeline rows == single-process recompute (decode +
+    warp_image_area average/med per image) for the sf0.001 corpus."""
+    from gdal_ray.io import codec as C
+    from gdal_ray.pipelines.corpus_queries import corpus_for_sf
+    from gdal_ray.pipelines.rasterq import q_warp_area
+    from gdal_ray.raster.checksum import checksum_image
+    from gdal_ray.raster.warp import suggest_output_grid, warp_image_area
+
+    got = q_warp_area("/root/testdata/sf0.001").to_pandas() \
+        .set_index("image_id").sort_index()
+    assert len(got) > 0
+
+    d = corpus_for_sf("/root/testdata/sf0.001")
+    imgs = pq.read_table(f"{d}/images.parquet").to_pandas()
+    pls = pq.read_table(f"{d}/placements.parquet").to_pandas() \
+        .set_index("image_id")
+    checked = 0
+    for _, r in imgs.iterrows():
+        if checked >= 5 or r["image_id"] not in got.index:
+            continue
+        pl = pls.loc[r["image_id"]]
+        if pl["srs"] != "EPSG:4326":
+            continue
+        img = C.decode_image(r["bytes"], r["fmt"])
+        gt = tuple(float(v) for v in pl["gt"])
+        h, w = img.shape[:2]
+        ogt, dw, dh = suggest_output_grid(gt, w, h, "EPSG:4326", "EPSG:3857")
+        gt2 = (ogt[0], ogt[1] * 2, ogt[2], ogt[3], ogt[4], ogt[5] * 2)
+        dw2, dh2 = max(1, dw // 2), max(1, dh // 2)
+        avg, _ = warp_image_area(img[:, :, 0], gt, "EPSG:4326", "EPSG:3857",
+                                 dst_gt=gt2, dst_w=dw2, dst_h=dh2,
+                                 op="average")
+        med, _ = warp_image_area(img[:, :, 0], gt, "EPSG:4326", "EPSG:3857",
+                                 dst_gt=gt2, dst_w=dw2, dst_h=dh2, op="med")
+        row = got.loc[r["image_id"]]
+        assert (row["dst_w"], row["dst_h"]) == (dw2, dh2)
+        assert row["avg_cksum"] == checksum_image(avg)
+        assert row["med_cksum"] == checksum_image(med)
+        checked += 1
+    assert checked >= 3
