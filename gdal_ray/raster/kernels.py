@@ -560,6 +560,40 @@ def nearblack(img, threshold=15, set_value=0, white=False):
     return out, changed
 
 
+def nearblack_floodfill(img, threshold=15, set_value=0, white=False):
+    """Flood-fill collar removal (the reference's -alg floodfill path,
+    apps/nearblack_lib_floodfill.cpp): 4-connected fill of near-black
+    pixels REACHABLE from the image border, so collars that wrap around
+    corners or run along the top/bottom edges are caught where the
+    per-row scan of :func:`nearblack` stops at the first interior pixel.
+    Interior near-black islands (not border-connected) stay untouched.
+    Returns (out_img, n_changed)."""
+    out = img.copy()
+    ref = 255 if white else 0
+    near = (np.abs(img.astype(np.int32) - ref) <= threshold).all(axis=2)
+    collar = np.zeros_like(near)
+    collar[0, :] = near[0, :]
+    collar[-1, :] = near[-1, :]
+    collar[:, 0] = near[:, 0]
+    collar[:, -1] = near[:, -1]
+    # iterative 4-neighbor propagation to a fixed point (passes bounded
+    # by the longest collar path; each pass is fully vectorized)
+    while True:
+        grow = collar.copy()
+        grow[1:, :] |= collar[:-1, :]
+        grow[:-1, :] |= collar[1:, :]
+        grow[:, 1:] |= collar[:, :-1]
+        grow[:, :-1] |= collar[:, 1:]
+        grow &= near
+        if (grow == collar).all():
+            break
+        collar = grow
+    changed = int(collar.sum())
+    if changed:
+        out[collar] = set_value
+    return out, changed
+
+
 def _is_pow2(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 

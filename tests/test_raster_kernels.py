@@ -840,3 +840,46 @@ def test_warp_area_exact_2x2_average():
     s, _ = warp_image_area(img, src_gt, "EPSG:3857", "EPSG:3857",
                            dst_gt=dst_gt, dst_w=8, dst_h=8, op="sum")
     assert s.sum() == pytest.approx(img.astype(np.float64).sum())
+
+
+def test_nearblack_floodfill_matches_bfs_oracle():
+    """Flood-fill collar vs a scalar BFS from the border; wrap-around
+    collars are removed while interior near-black islands survive."""
+    from collections import deque
+
+    from gdal_ray.raster.kernels import nearblack, nearblack_floodfill
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(60, 256, (30, 40, 3)).astype(np.uint8)
+    # L-shaped collar along top edge and down the right side + a corner
+    # wrap, plus an interior island that must survive
+    img[:3, :, :] = 2
+    img[:, -4:, :] = 3
+    img[10:14, 0:2, :] = 1
+    img[15:18, 15:18, :] = 4  # island
+    got, n = nearblack_floodfill(img, threshold=15, set_value=255)
+
+    near = (np.abs(img.astype(np.int32)) <= 15).all(axis=2)
+    h, w = near.shape
+    seen = np.zeros_like(near)
+    dq = deque()
+    for y in range(h):
+        for x in range(w):
+            if (y in (0, h - 1) or x in (0, w - 1)) and near[y, x]:
+                seen[y, x] = True
+                dq.append((y, x))
+    while dq:
+        y, x = dq.popleft()
+        for yy, xx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+            if 0 <= yy < h and 0 <= xx < w and near[yy, xx] and not seen[yy, xx]:
+                seen[yy, xx] = True
+                dq.append((yy, xx))
+    want = img.copy()
+    want[seen] = 255
+    assert np.array_equal(got, want)
+    assert n == int(seen.sum())
+    # island untouched by floodfill; row-scan nearblack also leaves it
+    assert (got[15:18, 15:18] == 4).all()
+    # the wrap-around side collar is caught (row-scan would catch only
+    # rows touching the edge runs)
+    assert (got[:3, :] == 255).all() and (got[:, -4:] == 255).all()
