@@ -51,17 +51,23 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray, level: int = 6) -> bytes:
-    """uint8 image (H,W) or (H,W,C in {1,3,4}) -> PNG bytes (filter 0)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    """(H,W) or (H,W,C in {1,3,4}) image -> PNG bytes (filter 0).
+    uint16 input writes a 16-bit PNG (big-endian samples per the spec);
+    anything else is written as 8-bit."""
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(img, dtype=np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     # prepend filter byte 0 to each scanline
-    raw = np.empty((h, w * c + 1), dtype=np.uint8)
+    bpr = w * c * (depth // 8)
+    body = (img.astype(">u2").view(np.uint8).reshape(h, bpr)
+            if depth == 16 else img.reshape(h, bpr))
+    raw = np.empty((h, bpr + 1), dtype=np.uint8)
     raw[:, 0] = 0
-    raw[:, 1:] = img.reshape(h, w * c)
+    raw[:, 1:] = body
     idat = zlib.compress(raw.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -76,12 +82,18 @@ def _paeth(a, b, c):
 
 
 def decode_png(buf: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (H, W, C). Supports 8-bit gray/RGB/RGBA, all filters."""
+    """PNG bytes -> (H, W, C) uint8 (or uint16 for 16-bit files).
+    Supports 8/16-bit gray/RGB/RGBA, 8-bit palette (PLTE + optional tRNS
+    -> expanded RGB/RGBA like the reference PNG driver), all filters
+    (defiltering runs on bytes with the spec's bpp left-neighbor)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     off = 8
     idat = []
     w = h = c = None
+    depth = 8
+    plte = trns = None
+    paletted = False
     while off < len(buf):
         (length,) = struct.unpack_from(">I", buf, off)
         tag = buf[off + 4 : off + 8]
@@ -89,43 +101,69 @@ def decode_png(buf: bytes) -> np.ndarray:
         off += 12 + length
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or interlace != 0:
-                raise ValueError("only 8-bit non-interlaced PNG supported")
-            c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if color_type == 3:
+                if depth != 8:
+                    raise ValueError("only 8-bit palette PNG supported")
+                paletted = True
+                c = 1
+            else:
+                if depth not in (8, 16):
+                    raise ValueError("only 8/16-bit PNG supported")
+                c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
+    bpp = c * (depth // 8)  # filter left-neighbor offset, in BYTES
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * c + 1
+    stride = w * bpp + 1
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
     data = raw[:, 1:].copy()
-    if (filters == 0).all():  # our own fast path
-        return data.reshape(h, w, c)
-    prev = np.zeros(w * c, dtype=np.uint8)
-    for y in range(h):
-        f = filters[y]
-        line = data[y]
-        if f == 0:
-            pass
-        elif f == 2:  # Up
-            line += prev
+    if not (filters == 0).all():  # our own writer's fast path is all-0
+        prev = np.zeros(w * bpp, dtype=np.uint8)
+        for y in range(h):
+            f = filters[y]
+            line = data[y]
+            if f == 0:
+                pass
+            elif f == 2:  # Up
+                line += prev
+            else:
+                # Sub/Average/Paeth need the sequential left neighbor
+                for x in range(w * bpp):
+                    a = line[x - bpp] if x >= bpp else np.uint8(0)
+                    b = prev[x]
+                    if f == 1:
+                        line[x] = line[x] + a
+                    elif f == 3:
+                        line[x] = line[x] + np.uint8((int(a) + int(b)) // 2)
+                    elif f == 4:
+                        cc = prev[x - bpp] if x >= bpp else np.uint8(0)
+                        line[x] = line[x] + _paeth(
+                            np.asarray(a), np.asarray(b), np.asarray(cc)
+                        )
+            prev = line
+    if paletted:
+        idx = data.reshape(h, w)
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            table = np.concatenate([plte, alpha[:, None]], axis=1)
         else:
-            # Sub/Average/Paeth need the sequential left neighbor
-            for x in range(w * c):
-                a = line[x - c] if x >= c else np.uint8(0)
-                b = prev[x]
-                if f == 1:
-                    line[x] = line[x] + a
-                elif f == 3:
-                    line[x] = line[x] + np.uint8((int(a) + int(b)) // 2)
-                elif f == 4:
-                    cc = prev[x - c] if x >= c else np.uint8(0)
-                    line[x] = line[x] + _paeth(
-                        np.asarray(a), np.asarray(b), np.asarray(cc)
-                    )
-        prev = line
+            table = plte
+        return table[idx]
+    if depth == 16:
+        arr = data.reshape(h, w * c * 2).view(">u2").astype(np.uint16)
+        return arr.reshape(h, w, c)
     return data.reshape(h, w, c)
 
 

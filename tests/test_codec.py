@@ -129,3 +129,72 @@ def test_checksum_matches_scalar_oracle():
     f = arr.astype(np.float64) + 0.25
     conv = np.floor(f + 0.5).astype(np.int64)
     assert checksum_image(f) == O.checksum_scalar(conv.ravel().tolist())
+
+
+def test_png_16bit_roundtrip():
+    """16-bit gray + RGB PNGs round-trip exactly (big-endian samples)."""
+    from gdal_ray.io.codec import decode_png, encode_png
+
+    rng = np.random.default_rng(81)
+    g = rng.integers(0, 65536, (33, 47)).astype(np.uint16)
+    out = decode_png(encode_png(g))
+    assert out.dtype == np.uint16 and out.shape == (33, 47, 1)
+    assert np.array_equal(out[:, :, 0], g)
+    rgb = rng.integers(0, 65536, (20, 21, 3)).astype(np.uint16)
+    out = decode_png(encode_png(rgb))
+    assert out.dtype == np.uint16 and np.array_equal(out, rgb)
+
+
+def test_png_16bit_sub_filter():
+    """Hand-built 16-bit PNG with the Sub filter: the byte-wise bpp=2
+    left-neighbor defilter reconstructs the samples exactly."""
+    import struct
+    import zlib
+
+    from gdal_ray.io.codec import _PNG_SIG, _chunk, decode_png
+
+    vals = np.array([[1000, 1500, 2000, 64000],
+                     [0, 65535, 300, 301]], dtype=np.uint16)
+    h, w = vals.shape
+    be = vals.astype(">u2").view(np.uint8).reshape(h, w * 2)
+    rows = []
+    for y in range(h):
+        line = be[y].astype(np.int32)
+        filt = line.copy()
+        for x in range(len(line) - 1, 1, -1):
+            filt[x] = (line[x] - line[x - 2]) % 256
+        rows.append(bytes([1]) + bytes(filt.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    buf = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + _chunk(b"IEND", b""))
+    out = decode_png(buf)
+    assert np.array_equal(out[:, :, 0], vals)
+
+
+def test_png_palette_with_trns():
+    """8-bit palette PNG expands through PLTE (+tRNS alpha) to RGBA."""
+    import struct
+    import zlib
+
+    from gdal_ray.io.codec import _PNG_SIG, _chunk, decode_png
+
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    trns = bytes([10, 200])  # entry 2 defaults to opaque
+    h, w = idx.shape
+    raw = b"".join(bytes([0]) + bytes(idx[y]) for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    buf = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+           + _chunk(b"tRNS", trns)
+           + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    out = decode_png(buf)
+    assert out.shape == (2, 3, 4)
+    assert tuple(out[0, 0]) == (255, 0, 0, 10)
+    assert tuple(out[0, 1]) == (0, 255, 0, 200)
+    assert tuple(out[0, 2]) == (0, 0, 255, 255)
+    # without tRNS: plain RGB
+    buf_rgb = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+               + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    out2 = decode_png(buf_rgb)
+    assert out2.shape == (2, 3, 3) and tuple(out2[1, 0]) == (0, 0, 255)
