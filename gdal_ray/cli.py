@@ -9,6 +9,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray dem <mode> <src.tif> <dst.tif>  # gdaldem
         mode: hillshade|slope|aspect|tri|tpi|roughness|color-relief
         [--color-file ramp.txt] [--z FACTOR] [--compress ...]
+    python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
+        [--pixel] [-r near|bilinear|cubic|cubicspline]
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -255,6 +257,40 @@ def cmd_dem(mode: str, src: str, dst: str, color_file: str | None = None,
             "dtype": str(out.dtype)}
 
 
+def cmd_locationinfo(src: str, x: float, y: float, geoloc: bool = True,
+                     resample: str = "near") -> dict:
+    """gdallocationinfo (apps/gdallocationinfo.cpp:373): map a
+    georeferenced (or pixel/line with ``geoloc=False``) coordinate
+    through the inverse geotransform and read the band value with the
+    selected GRIORA kernel (near/bilinear/cubic/cubicspline)."""
+    from gdal_ray.geo.affine import apply_geotransform, invert_geotransform
+    from gdal_ray.raster import kernels as K
+
+    arr, h = _read_full_tiff(src)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    gt = h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    if geoloc:
+        inv = invert_geotransform(gt)
+        px, py = apply_geotransform(inv, np.array([x]), np.array([y]))
+    else:
+        px, py = np.array([float(x)]), np.array([float(y)])
+    col, row = int(np.floor(px[0])), int(np.floor(py[0]))
+    if not (0 <= col < h["w"] and 0 <= row < h["h"]):
+        return {"pixel": [col, row], "inside": False}
+    if resample in ("near", "nearest"):
+        val = float(arr[row, col])
+    elif resample == "bilinear":
+        val = float(K.interpolate_at_point_bilinear(arr, px, py)[0])
+    elif resample == "cubic":
+        val = float(K.interpolate_at_point_cubic(arr, px, py)[0])
+    elif resample == "cubicspline":
+        val = float(K.interpolate_at_point_cubicspline(arr, px, py)[0])
+    else:
+        raise SystemExit(f"unknown resample {resample!r}")
+    return {"pixel": [col, row], "inside": True, "value": val}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -305,6 +341,23 @@ def main(argv=None):
         print(json.dumps(cmd_dem(pos[0], pos[1], pos[2],
                                  color_file=color_file, z=zf,
                                  compress=compress)))
+    elif cmd == "locationinfo":
+        resample, geoloc = "near", True
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "-r":
+                resample = args[i + 1]
+                i += 2
+            elif args[i] == "--pixel":
+                geoloc = False
+                i += 1
+            else:
+                pos.append(args[i])
+                i += 1
+        print(json.dumps(cmd_locationinfo(pos[0], float(pos[1]),
+                                          float(pos[2]), geoloc=geoloc,
+                                          resample=resample)))
     else:
         raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
 

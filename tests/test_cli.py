@@ -193,3 +193,38 @@ def test_dem_command_modes(tmp_path):
 
     with pytest.raises(SystemExit):
         cmd_dem("wat", src, dst)
+
+
+def test_locationinfo(tif, capsys):
+    """gdallocationinfo surface: geo and pixel addressing, all four
+    GRIORA kernels, outside-raster reporting."""
+    from gdal_ray.cli import cmd_locationinfo, main
+    from gdal_ray.raster.kernels import (
+        interpolate_at_point_bilinear,
+        interpolate_at_point_cubicspline,
+    )
+
+    src, a = tif  # GT = [500000, 10, 0, 4000000, 0, -10], 200x120 uint16
+    # geo coordinate of pixel center (col 7, row 3)
+    gx, gy = 500000.0 + 7.5 * 10.0, 4000000.0 - 3.5 * 10.0
+    r = cmd_locationinfo(src, gx, gy)
+    assert r["inside"] and r["pixel"] == [7, 3]
+    assert r["value"] == float(a[3, 7])
+    # pixel addressing
+    r2 = cmd_locationinfo(src, 7.5, 3.5, geoloc=False)
+    assert r2["value"] == r["value"]
+    # interpolated kernels match direct calls
+    px, py = np.array([7.25]), np.array([3.75])
+    r3 = cmd_locationinfo(src, 7.25, 3.75, geoloc=False, resample="bilinear")
+    assert r3["value"] == float(interpolate_at_point_bilinear(
+        a.astype(np.float64), px, py)[0])
+    r4 = cmd_locationinfo(src, 7.25, 3.75, geoloc=False,
+                          resample="cubicspline")
+    assert r4["value"] == float(interpolate_at_point_cubicspline(
+        a.astype(np.float64), px, py)[0])
+    # outside
+    assert cmd_locationinfo(src, 0.0, 0.0)["inside"] is False
+    # argv surface
+    main(["locationinfo", src, "7.5", "3.5", "--pixel", "-r", "cubic"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["inside"] is True
