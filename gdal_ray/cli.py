@@ -11,6 +11,9 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
         [--color-file ramp.txt] [--z FACTOR] [--compress ...]
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
+    python -m gdal_ray tindex <dst.(gpkg|shp|geojsonl|...)> <a.tif> [b.tif ...]
+    python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H
+        [--burn V] [--extent minx miny maxx maxy] [--compress ...]
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -291,6 +294,64 @@ def cmd_locationinfo(src: str, x: float, y: float, geoloc: bool = True,
     return {"pixel": [col, row], "inside": True, "value": val}
 
 
+def cmd_tindex(out_path: str, tif_paths: list) -> int:
+    """gdaltindex (apps/gdaltindex_lib.cpp:448): one footprint polygon
+    per raster with a ``location`` attribute, written through whichever
+    vector driver the output extension selects."""
+    import struct
+
+    import pandas as pd
+
+    rows = []
+    for p in tif_paths:
+        from gdal_ray.io.tiff import read_tiff_header
+
+        h = read_tiff_header(p)
+        gt = h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+        xs = [gt[0], gt[0] + h["w"] * gt[1]]
+        ys = [gt[3] + h["h"] * gt[5], gt[3]]
+        ring = [(xs[0], ys[1]), (xs[1], ys[1]), (xs[1], ys[0]),
+                (xs[0], ys[0]), (xs[0], ys[1])]
+        wkb = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
+        for px, py in ring:
+            wkb += struct.pack("<dd", px, py)
+        rows.append({"geometry": wkb, "location": os.path.abspath(p),
+                     "epsg": h["epsg"] or 0})
+    _ensure_ray()
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    _vector_write(ds, out_path)
+    return len(rows)
+
+
+def cmd_rasterize(src: str, dst: str, size, burn: float = 1.0,
+                  extent=None, compress: str = "deflate") -> dict:
+    """gdal_rasterize core (apps/gdal_rasterize_lib.cpp:959): burn every
+    vector geometry into a new GeoTIFF of ``size`` pixels over ``extent``
+    (defaults to the layer envelope), center-containment scanline rule."""
+    from gdal_ray.geo.wkb import wkb_envelope
+    from gdal_ray.io.tiff import write_geotiff
+    from gdal_ray.raster.rasterize import rasterize_wkb
+
+    _ensure_ray()
+    geoms = [bytes(b) for b in
+             _vector_read(src).to_pandas()["geometry"] if b is not None]
+    if extent is None:
+        envs = np.array([wkb_envelope(g) for g in geoms])
+        extent = [envs[:, 0].min(), envs[:, 1].min(),
+                  envs[:, 2].max(), envs[:, 3].max()]
+    w_px, h_px = int(size[0]), int(size[1])
+    gt = [extent[0], (extent[2] - extent[0]) / w_px, 0.0,
+          extent[3], 0.0, -(extent[3] - extent[1]) / h_px]
+    out = np.zeros((h_px, w_px), dtype=np.float64)
+    for g in geoms:
+        rasterize_wkb(out, g, gt, burn)
+    write_geotiff(dst, out.astype(np.float32), gt, compress=compress)
+    return {"size": [w_px, h_px], "burned": len(geoms),
+            "nonzero": int((out != 0).sum())}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -358,6 +419,33 @@ def main(argv=None):
         print(json.dumps(cmd_locationinfo(pos[0], float(pos[1]),
                                           float(pos[2]), geoloc=geoloc,
                                           resample=resample)))
+    elif cmd == "tindex":
+        n = cmd_tindex(args[0], args[1:])
+        print(json.dumps({"tiles": n, "dst": args[0]}))
+    elif cmd == "rasterize":
+        size, burn, extent, compress = None, 1.0, None, "deflate"
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "--size":
+                size = [int(args[i + 1]), int(args[i + 2])]
+                i += 3
+            elif args[i] == "--burn":
+                burn = float(args[i + 1])
+                i += 2
+            elif args[i] == "--extent":
+                extent = [float(v) for v in args[i + 1:i + 5]]
+                i += 5
+            elif args[i] == "--compress":
+                compress = args[i + 1]
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        if size is None:
+            raise SystemExit("rasterize needs --size W H")
+        print(json.dumps(cmd_rasterize(pos[0], pos[1], size, burn,
+                                       extent, compress)))
     else:
         raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
 

@@ -228,3 +228,34 @@ def test_locationinfo(tif, capsys):
     main(["locationinfo", src, "7.5", "3.5", "--pixel", "-r", "cubic"])
     out = json.loads(capsys.readouterr().out)
     assert out["inside"] is True
+
+
+def test_tindex_and_rasterize(tif, vec, tmp_path, ray_session):
+    """gdaltindex footprints land in a GeoPackage with location
+    attributes; gdal_rasterize burns the geojson polygons into a GeoTIFF
+    with the center-containment scanline rule."""
+    from gdal_ray.cli import cmd_rasterize, cmd_tindex
+    from gdal_ray.geo.wkb import wkb_envelope
+    from gdal_ray.sources.gpkg import read_gpkg
+
+    src, a = tif
+    src2 = str(tmp_path / "second.tif")
+    write_geotiff(src2, a[:40, :50], [0.0, 1.0, 0.0, 40.0, 0.0, -1.0],
+                  epsg=4326)
+    idx = str(tmp_path / "index.gpkg")
+    assert cmd_tindex(idx, [src, src2]) == 2
+    df = read_gpkg(idx).to_pandas().sort_values("location").reset_index(drop=True)
+    assert len(df) == 2
+    envs = {loc: wkb_envelope(bytes(g))
+            for loc, g in zip(df["location"], df["geometry"])}
+    assert envs[src] == (GT[0], GT[3] - 120 * 10.0, GT[0] + 200 * 10.0, GT[3])
+    assert envs[src2] == (0.0, 0.0, 50.0, 40.0)
+
+    # rasterize the 6 unit squares (x in 0..6, y in 0..1) at 1px per 0.25
+    dst = str(tmp_path / "burn.tif")
+    res = cmd_rasterize(vec, dst, size=[24, 4], burn=7.0)
+    assert res["burned"] == 6
+    out, h = _reassemble(dst)
+    assert out.shape == (4, 24)
+    assert (out == 7.0).all()  # squares tile the extent exactly
+    assert h["gt"][0] == 0.0 and h["gt"][1] == 0.25
