@@ -11,6 +11,7 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
         [--color-file ramp.txt] [--z FACTOR] [--compress ...]
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
+    python -m gdal_ray buildvrt <dst.vrt> <a.tif> [b.tif ...]  # gdalbuildvrt
     python -m gdal_ray tindex <dst.(gpkg|shp|geojsonl|...)> <a.tif> [b.tif ...]
     python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H
         [--burn V] [--extent minx miny maxx maxy] [--compress ...]
@@ -102,6 +103,25 @@ def _vector_write(ds, path: str):
 
 def cmd_info(path: str) -> dict:
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".vrt":
+        from gdal_ray.sources.vrt import read_vrt
+
+        m = read_vrt(path)
+        gt = m["gt"]
+        return {
+            "driver": "VRT",
+            "size": [m["w"], m["h"]],
+            "bands": len(m["bands"]),
+            "dtype": str(m["dtype"].name),
+            "epsg": m["epsg"],
+            "nodata": m["nodata"],
+            "sources": [e["path"] for e in m["bands"][0]],
+            "geotransform": gt,
+            "origin": [gt[0], gt[3]],
+            "pixel_size": [gt[1], gt[5]],
+            "extent": [gt[0], gt[3] + m["h"] * gt[5],
+                       gt[0] + m["w"] * gt[1], gt[3]],
+        }
     if ext in (".tif", ".tiff"):
         from gdal_ray.io.tiff import read_tiff_header
 
@@ -419,6 +439,11 @@ def main(argv=None):
         print(json.dumps(cmd_locationinfo(pos[0], float(pos[1]),
                                           float(pos[2]), geoloc=geoloc,
                                           resample=resample)))
+    elif cmd == "buildvrt":
+        from gdal_ray.sources.vrt import build_vrt
+
+        res = build_vrt(args[1:], args[0])
+        print(json.dumps({"dst": args[0], **res}))
     elif cmd == "tindex":
         n = cmd_tindex(args[0], args[1:])
         print(json.dumps({"tiles": n, "dst": args[0]}))
