@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dtype-strict-verified by scripts/check_oracle.py at two scales:
         "q_shp_roundtrip": EQ.q_shp_roundtrip,
         "q_csv_roundtrip": EQ.q_csv_roundtrip,
+        "q_vrt_lattice": RL.q_vrt_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1257,6 +1258,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # VRT union round-trip: per-source aggregates over the shared
+        # closed-form grids, keys recovered from DstRect placement
+        "q_vrt_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              (s_suppkey*7 + r*13 + c*5) % 251 AS v
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7
+                         AND s_suppkey <= 32)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v
+            FROM g GROUP BY k ORDER BY img_key
+        """,
         "q_csv_roundtrip": """
             SELECT o_orderpriority AS priority,
                    CAST(COUNT(*) AS BIGINT) AS n,

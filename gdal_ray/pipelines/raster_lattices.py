@@ -45,6 +45,7 @@ __all__ = [
     "q_fillnodata_lattice",
     "q_zonal_lattice",
     "q_point_query_lattice",
+    "q_vrt_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -474,6 +475,78 @@ def q_geotiff_lattice(sf_dir: str):
             Max("max_v", alias_name="max_v"),
         )
         .sort(["img_key", "ty", "tx"])
+    )
+
+
+def q_vrt_lattice(sf_dir: str):
+    """VRT driver round-trip with a closed-form twin: the first 32
+    supplier grids write as real tiled GeoTIFFs on one shared 10 m grid,
+    ONE gdalbuildvrt-style .vrt unites them (sources/vrt.py — union
+    extent, SimpleSource SrcRect/DstRect), the distributed per-source
+    reader pulls every source back through the VRT placement, and per-
+    source pixel aggregates compare against GRID_SQL. The source key is
+    recovered from the DstRect-placed geotransform (origin = 100*k), so
+    the check fails if placement math drifts. Ref:
+    frmts/vrt/vrtdataset.cpp, apps/gdalbuildvrt_lib.cpp:1946."""
+    import pandas as pd
+
+    from gdal_ray.sources.vrt import build_vrt, read_vrt_tiles
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out_dir = "/tmp/gdal_ray_fixtures/vrt_lattice"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_key(batch: pa.Table) -> pa.Table:
+        from gdal_ray.io.tiff import write_geotiff
+
+        paths = []
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            if k > 32:
+                continue
+            p = os.path.join(out_dir, f"v{k:06d}.tif")
+            if not os.path.exists(p):
+                gt = [100.0 * k, 10.0, 0.0, 0.0, 0.0, -10.0]
+                write_geotiff(p + ".tmp", grid_for_key(k).astype(np.int32),
+                              gt, epsg=3857, tile=8, compress="deflate")
+                os.replace(p + ".tmp", p)
+            paths.append(p)
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    paths = sorted(
+        _suppliers(sf_dir).map_batches(
+            write_key, batch_format="pyarrow"
+        ).to_pandas()["path"]
+    )
+    vrt = os.path.join(out_dir, f"union_{len(paths)}.vrt")
+    build_vrt(list(paths), vrt)
+
+    def per_source(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["pixels"]
+        return pd.DataFrame({
+            # origin x = 100*k by construction (placement-sensitive)
+            "img_key": batch["gt"].map(
+                lambda g: int(round(g[0] / 100.0))
+            ).astype(np.int64),
+            "n_px": (batch["w"].astype(np.int64)
+                     * batch["h"].astype(np.int64)),
+            "sum_v": v.map(lambda p: int(np.sum(p))),
+            "min_v": v.map(lambda p: int(np.min(p))),
+            "max_v": v.map(lambda p: int(np.max(p))),
+        })
+
+    return (
+        read_vrt_tiles(vrt)
+        .map_batches(per_source, batch_format="pandas")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_v", alias_name="sum_v"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .sort("img_key")
     )
 
 
