@@ -21,12 +21,50 @@ shards by tile ranges: each Ray task reads only its tiles' byte ranges
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
 import numpy as np
 
-__all__ = ["read_tiff_header", "read_tile", "write_geotiff"]
+__all__ = ["read_tiff_header", "read_tile", "write_geotiff",
+           "read_world_file", "write_world_file"]
+
+
+def _world_paths(path: str):
+    base, ext = os.path.splitext(path)
+    cands = [base + ".wld"]
+    if len(ext) == 4:  # .tif -> .tfw (first+last letter + w, the GDAL rule)
+        cands.insert(0, base + "." + ext[1] + ext[3] + "w")
+    return cands
+
+
+def read_world_file(path: str):
+    """ESRI world-file sidecar (gcore/gdal_misc.cpp GDALReadWorldFile):
+    six lines A D B E C F where (C, F) is the CENTER of the upper-left
+    pixel; returns a geotransform or None when no sidecar exists."""
+    for wf in _world_paths(path):
+        if os.path.exists(wf):
+            with open(wf) as fh:
+                vals = [float(v) for v in fh.read().split()[:6]]
+            if len(vals) != 6:
+                return None
+            a, d, b, e, c, f = vals
+            return [c - a / 2.0 - b / 2.0, a, b,
+                    f - d / 2.0 - e / 2.0, d, e]
+    return None
+
+
+def write_world_file(path: str, gt) -> str:
+    """Write the sidecar (GDALWriteWorldFile layout) next to ``path``."""
+    wf = _world_paths(path)[0]
+    cx = gt[0] + gt[1] / 2.0 + gt[2] / 2.0
+    cy = gt[3] + gt[4] / 2.0 + gt[5] / 2.0
+    with open(wf, "w") as fh:
+        fh.write("\n".join(repr(float(v))
+                           for v in (gt[1], gt[4], gt[2], gt[5], cx, cy)))
+        fh.write("\n")
+    return wf
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -107,6 +145,8 @@ def read_tiff_header(path: str) -> dict:
         sx, sy = t[33550][0], t[33550][1]
         px, py, _, gx, gy, _ = t[33922][:6]
         gt = [gx - px * sx, sx, 0.0, gy + py * sy, 0.0, -sy]
+    else:
+        gt = read_world_file(path)
     epsg = None
     if 34735 in t:
         gk = t[34735]
