@@ -11,6 +11,7 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
         [--color-file ramp.txt] [--z FACTOR] [--compress ...]
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
+    python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
     python -m gdal_ray buildvrt <dst.vrt> <a.tif> [b.tif ...]  # gdalbuildvrt
     python -m gdal_ray tindex <dst.(gpkg|shp|geojsonl|...)> <a.tif> [b.tif ...]
     python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H
@@ -372,6 +373,42 @@ def cmd_rasterize(src: str, dst: str, size, burn: float = 1.0,
             "nonzero": int((out != 0).sum())}
 
 
+def cmd_contour(src: str, dst: str, interval: float, base: float = 0.0) -> int:
+    """gdal_contour (apps/gdal_contour.cpp / alg/contour.cpp): iso-lines
+    at base + k*interval across the band range, written as WKB
+    LineStrings with an ELEV attribute through the vector driver the
+    output extension selects."""
+    import struct
+
+    import pandas as pd
+
+    from gdal_ray.raster.contour import contour_lines
+
+    dem, h = _read_full_tiff(src)
+    if dem.ndim == 3:
+        dem = dem[:, :, 0]
+    dem = dem.astype(np.float64)
+    gt = h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    lo, hi = float(dem.min()), float(dem.max())
+    k0 = int(np.ceil((lo - base) / interval))
+    k1 = int(np.floor((hi - base) / interval))
+    levels = [base + k * interval for k in range(k0, k1 + 1)
+              if lo < base + k * interval < hi]
+    rows = []
+    for line in contour_lines(dem, levels, gt=tuple(gt)):
+        pts = line["coords"]
+        wkb = struct.pack("<BII", 1, 2, len(pts))
+        wkb += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        rows.append({"geometry": wkb, "ELEV": line["level"]})
+    _ensure_ray()
+    import ray.data as rd
+
+    if not rows:
+        return 0
+    _vector_write(rd.from_pandas(pd.DataFrame(rows)), dst)
+    return len(rows)
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -439,6 +476,22 @@ def main(argv=None):
         print(json.dumps(cmd_locationinfo(pos[0], float(pos[1]),
                                           float(pos[2]), geoloc=geoloc,
                                           resample=resample)))
+    elif cmd == "contour":
+        interval, base = 10.0, 0.0
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] in ("-i", "--interval"):
+                interval = float(args[i + 1])
+                i += 2
+            elif args[i] == "--base":
+                base = float(args[i + 1])
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        n = cmd_contour(pos[0], pos[1], interval, base)
+        print(json.dumps({"contours": n, "dst": pos[1]}))
     elif cmd == "buildvrt":
         from gdal_ray.sources.vrt import build_vrt
 

@@ -259,3 +259,34 @@ def test_tindex_and_rasterize(tif, vec, tmp_path, ray_session):
     assert out.shape == (4, 24)
     assert (out == 7.0).all()  # squares tile the extent exactly
     assert h["gt"][0] == 0.0 and h["gt"][1] == 0.25
+
+
+def test_contour_command(tmp_path, ray_session):
+    """gdal_contour CLI: a linear ramp DEM produces straight iso-lines at
+    base + k*interval, exported as WKB LineStrings with ELEV."""
+    from gdal_ray.cli import cmd_contour
+    from gdal_ray.sources.gpkg import read_gpkg
+
+    # ramp: value = row index * 10 -> levels every 25 cross between rows
+    dem = (np.arange(20, dtype=np.float64)[:, None]
+           * 10.0 * np.ones((1, 30))).astype(np.float32)
+    src = str(tmp_path / "ramp.tif")
+    write_geotiff(src, dem, [0.0, 1.0, 0.0, 20.0, 0.0, -1.0], epsg=32633)
+    dst = str(tmp_path / "contours.gpkg")
+    n = cmd_contour(src, dst, interval=25.0)
+    assert n > 0
+    df = read_gpkg(dst).to_pandas()
+    assert len(df) == n
+    levels = sorted(df["ELEV"].unique())
+    # range is (0, 190): expect 25..175 in steps of 25
+    assert levels == [25.0 * k for k in range(1, 8)]
+    # each contour of a pure ramp is a horizontal line: constant y
+    import struct
+    for _, r in df.iterrows():
+        b = bytes(r["geometry"])
+        assert struct.unpack_from("<I", b, 1)[0] == 2  # LineString
+        npts = struct.unpack_from("<I", b, 5)[0]
+        pts = np.frombuffer(b, dtype="<f8", count=npts * 2,
+                            offset=9).reshape(npts, 2)
+        assert np.ptp(pts[:, 1]) < 1e-9
+        assert np.ptp(pts[:, 0]) > 25.0  # spans most of the width
