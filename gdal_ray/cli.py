@@ -102,8 +102,54 @@ def _vector_write(ds, path: str):
     raise SystemExit(f"unsupported output format: {path}")
 
 
+def _read_raster_any(path: str):
+    """(array, gt, epsg) for any supported raster extension."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".asc":
+        from gdal_ray.io.aaigrid import read_aaigrid
+
+        arr, gt, _ = read_aaigrid(path)
+        return arr, gt, None
+    if ext == ".vrt":
+        from gdal_ray.sources.vrt import read_vrt, vrt_mosaic
+
+        arr, gt = vrt_mosaic(path)
+        return arr, gt, read_vrt(path)["epsg"]
+    arr, h = _read_full_tiff(path)
+    return arr, list(h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]), h["epsg"]
+
+
+def _write_raster_any(path: str, arr, gt, epsg=None, compress="deflate"):
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".asc":
+        from gdal_ray.io.aaigrid import write_aaigrid
+
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        return write_aaigrid(path, arr, gt)
+    from gdal_ray.io.tiff import write_geotiff
+
+    return write_geotiff(path, np.ascontiguousarray(arr), gt, epsg=epsg,
+                         compress=compress)
+
+
 def cmd_info(path: str) -> dict:
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".asc":
+        from gdal_ray.io.aaigrid import read_aaigrid
+
+        arr, gt, nodata = read_aaigrid(path)
+        return {
+            "driver": "AAIGrid",
+            "size": [arr.shape[1], arr.shape[0]],
+            "bands": 1,
+            "nodata": nodata,
+            "geotransform": gt,
+            "origin": [gt[0], gt[3]],
+            "pixel_size": [gt[1], gt[5]],
+            "extent": [gt[0], gt[3] + arr.shape[0] * gt[5],
+                       gt[0] + arr.shape[1] * gt[1], gt[3]],
+        }
     if ext == ".vrt":
         from gdal_ray.sources.vrt import read_vrt
 
@@ -201,13 +247,12 @@ def cmd_ogr2ogr(src: str, dst: str) -> int:
 
 def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
                   compress: str = "deflate") -> dict:
-    """gdal_translate core: window subset + linear rescale between
-    GeoTIFFs, through the real kernels (raster/kernels.py)."""
-    from gdal_ray.io.tiff import write_geotiff
+    """gdal_translate core: window subset + linear rescale between any
+    supported raster formats (GeoTIFF, VRT, AAIGrid), through the real
+    kernels (raster/kernels.py)."""
     from gdal_ray.raster.kernels import rescale_linear, translate_window
 
-    arr, h = _read_full_tiff(src)
-    gt = list(h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    arr, gt, epsg = _read_raster_any(src)
     if srcwin:
         x, y, w, ww = srcwin
         arr = translate_window(arr, x, y, w, ww)
@@ -215,8 +260,7 @@ def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
               gt[3] + y * gt[5], gt[4], gt[5]]
     if scale:
         arr = rescale_linear(arr.astype(np.float64), scale[0], scale[1])
-    write_geotiff(dst, np.ascontiguousarray(arr), gt, epsg=h["epsg"],
-                  compress=compress)
+    _write_raster_any(dst, arr, gt, epsg=epsg, compress=compress)
     return {"size": [arr.shape[1], arr.shape[0]], "dtype": str(arr.dtype)}
 
 
