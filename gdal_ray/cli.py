@@ -12,6 +12,10 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
     python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
+    python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
+        steps: filter/derive/select/rename/sort/limit/sample/distinct plus
+        geometry swap-xy/segmentize/simplify/reproject/centroid/make-valid/
+        explode-collections (quote the ! in most shells)
     python -m gdal_ray buildvrt <dst.vrt> <a.tif> [b.tif ...]  # gdalbuildvrt
     python -m gdal_ray tindex <dst.(gpkg|shp|geojsonl|...)> <a.tif> [b.tif ...]
     python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H
@@ -453,6 +457,57 @@ def cmd_contour(src: str, dst: str, interval: float, base: float = 0.0) -> int:
     return len(rows)
 
 
+def _parse_param(v: str):
+    if "," in v:
+        return [_parse_param(p) for p in v.split(",")]
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def cmd_pipeline(tokens: list) -> dict:
+    """The reference's new step-pipeline CLI
+    (``gdal pipeline read src ! step k=v ! ... ! write dst``,
+    apps/gdalalg_abstract_pipeline.h:392-410) over the engine's
+    registered step set (pipelines/registry.py): read/write bracket a
+    lazy chain of Dataset transforms; any driver extension works on
+    either end."""
+    from gdal_ray.pipelines.registry import Pipeline, list_steps
+
+    groups, cur = [], []
+    for t in tokens:
+        if t == "!":
+            groups.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    groups.append(cur)
+    if (len(groups) < 2 or not groups[0] or not groups[-1]
+            or groups[0][0] != "read" or groups[-1][0] != "write"
+            or len(groups[0]) < 2 or len(groups[-1]) < 2):
+        raise SystemExit(
+            "pipeline must be: read <src> ! [step k=v ...]* ! write <dst>\n"
+            f"known steps: {', '.join(list_steps())}")
+    src, dst = groups[0][1], groups[-1][1]
+    steps = []
+    for g in groups[1:-1]:
+        params = {}
+        for kv in g[1:]:
+            k, _, v = kv.partition("=")
+            params[k.replace("-", "_")] = _parse_param(v)
+        steps.append((g[0], params))
+    _ensure_ray()
+    pipe = Pipeline(steps)
+    ds = pipe.run(_vector_read(src))
+    n = _vector_write(ds, dst)
+    return {"rows": int(n or 0), "dst": dst, "chain": pipe.describe()}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -520,6 +575,8 @@ def main(argv=None):
         print(json.dumps(cmd_locationinfo(pos[0], float(pos[1]),
                                           float(pos[2]), geoloc=geoloc,
                                           resample=resample)))
+    elif cmd == "pipeline":
+        print(json.dumps(cmd_pipeline(args)))
     elif cmd == "contour":
         interval, base = 10.0, 0.0
         pos = []

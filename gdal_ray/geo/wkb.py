@@ -298,3 +298,53 @@ def wkb_envelope(buf):
     mn = allpts.min(axis=0)
     mx = allpts.max(axis=0)
     return float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])
+
+
+def map_coords(buf, fn):
+    """Structure-preserving coordinate transform of a 2-D WKB geometry:
+    ``fn((M, 2) array) -> (M', 2) array`` is applied to the point / each
+    line / each ring and the original geometry class (single vs Multi) is
+    re-encoded. The workhorse behind the vector-pipeline steps (swap-xy,
+    segmentize, simplify, reproject — the gdalalg_vector_* step family).
+    Curves linearize and Z/M drop on the way through (the engine's
+    canonical 2-D layer form)."""
+    little, gtype, extra, off = _decode_geom(buf, 0)
+    base = gtype % 1000 if gtype < 3000 else gtype  # tolerate ISO Z codes
+    if base in (_WKB_POINT,):
+        fmt = "<dd" if little else ">dd"
+        x, y = struct.unpack_from(fmt, buf, off)
+        out = np.asarray(fn(np.array([[x, y]], dtype=np.float64)))
+        return encode_point(out[0, 0], out[0, 1])
+    if base in (_WKB_LINESTRING, _WKB_CIRCULARSTRING, _WKB_COMPOUNDCURVE):
+        return encode_linestring(fn(decode_lines(buf)[0]))
+    if base in (_WKB_MULTILINESTRING, _WKB_MULTICURVE):
+        return encode_multilinestring([fn(ln) for ln in decode_lines(buf)])
+    if base in (_WKB_POLYGON, _WKB_CURVEPOLYGON):
+        return encode_polygon([fn(r) for r in decode_polygons(buf)[0]])
+    if base in (_WKB_MULTIPOLYGON, _WKB_MULTISURFACE):
+        return encode_multipolygon(
+            [[fn(r) for r in rings] for rings in decode_polygons(buf)]
+        )
+    raise ValueError(f"unsupported WKB geometry for map_coords (type {gtype})")
+
+
+def explode(buf):
+    """Multi-part WKB -> list of single-part WKB blobs (the reference's
+    explode-collections step, apps/gdalalg_vector_explode_collections);
+    single-part input passes through as a one-element list."""
+    little, gtype, extra, off = _decode_geom(buf, 0)
+    if gtype in (_WKB_MULTILINESTRING, _WKB_MULTICURVE):
+        return [encode_linestring(ln) for ln in decode_lines(buf)]
+    if gtype in (_WKB_MULTIPOLYGON, _WKB_MULTISURFACE):
+        return [encode_polygon(rings) for rings in decode_polygons(buf)]
+    if gtype == 4:  # MultiPoint
+        ngeom, off2 = _rd_u32(buf, off, little)
+        out = []
+        for _ in range(ngeom):
+            l2, g2, e2, off2 = _decode_geom(buf, off2)
+            fmt = "<dd" if l2 else ">dd"
+            x, y = struct.unpack_from(fmt, buf, off2)
+            off2 += 16 + 8 * e2
+            out.append(encode_point(x, y))
+        return out
+    return [bytes(buf)]

@@ -124,3 +124,108 @@ def _step_distinct(ds, keys: list):
     return (
         ds.groupby(list(keys)).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
     )
+
+
+# ---- geometry steps (the gdalalg_vector_* step family,
+# apps/gdalalg_vector_pipeline.cpp:123-164) over the canonical WKB
+# ``geometry`` column; each is a vectorized per-batch map --------------------
+
+def _geom_map(ds, fn, geom_col: str = "geometry"):
+    def gm(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out[geom_col] = [None if b is None else fn(bytes(b))
+                         for b in batch[geom_col]]
+        return out
+
+    return ds.map_batches(gm, batch_format="pandas")
+
+
+@register_step("swap-xy")
+def _step_swap_xy(ds, geom_col: str = "geometry"):
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import map_coords
+
+    return _geom_map(ds, lambda b: map_coords(b, GO.swap_xy), geom_col)
+
+
+@register_step("segmentize")
+def _step_segmentize(ds, max_length: float, geom_col: str = "geometry"):
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import map_coords
+
+    def seg(b):
+        return map_coords(b, lambda pts: GO.segmentize(pts, float(max_length)))
+
+    return _geom_map(ds, seg, geom_col)
+
+
+@register_step("simplify")
+def _step_simplify(ds, tolerance: float, geom_col: str = "geometry"):
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import map_coords
+
+    def simp(b):
+        return map_coords(b, lambda pts: GO.simplify_dp(pts, float(tolerance)))
+
+    return _geom_map(ds, simp, geom_col)
+
+
+@register_step("reproject")
+def _step_reproject(ds, src_srs: str, dst_srs: str,
+                    geom_col: str = "geometry"):
+    from gdal_ray.geo.wkb import map_coords
+    from gdal_ray.raster.warp import _fwd
+
+    def rp(b):
+        def coords(pts):
+            import numpy as np
+
+            x, y = _fwd(pts[:, 0], pts[:, 1], src_srs, dst_srs)
+            return np.stack([x, y], axis=1)
+
+        return map_coords(b, coords)
+
+    return _geom_map(ds, rp, geom_col)
+
+
+@register_step("centroid")
+def _step_centroid(ds, geom_col: str = "geometry"):
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import decode_polygons, encode_point
+
+    def cen(b):
+        cx, cy = GO.polygon_centroid(decode_polygons(b)[0])
+        return encode_point(cx, cy)
+
+    return _geom_map(ds, cen, geom_col)
+
+
+@register_step("make-valid")
+def _step_make_valid(ds, geom_col: str = "geometry"):
+    from gdal_ray.geo.booleanops import make_valid_ring
+    from gdal_ray.geo.wkb import decode_polygons, encode_multipolygon
+
+    def mv(b):
+        fixed = []
+        for rings in decode_polygons(b):
+            fixed.extend([[r2] for r2 in make_valid_ring(rings[0])]
+                         if len(rings) == 1 else [rings])
+        return encode_multipolygon(fixed)
+
+    return _geom_map(ds, mv, geom_col)
+
+
+@register_step("explode-collections")
+def _step_explode(ds, geom_col: str = "geometry"):
+    from gdal_ray.geo.wkb import explode
+
+    def ex(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            for part in explode(bytes(r[geom_col])):
+                r2 = r.copy()
+                r2[geom_col] = part
+                rows.append(r2)
+        return pd.DataFrame(rows).reset_index(drop=True) if rows else batch.iloc[:0]
+
+    return ds.map_batches(ex, batch_format="pandas")

@@ -290,3 +290,27 @@ def test_contour_command(tmp_path, ray_session):
                             offset=9).reshape(npts, 2)
         assert np.ptp(pts[:, 1]) < 1e-9
         assert np.ptp(pts[:, 0]) > 25.0  # spans most of the width
+
+
+def test_pipeline_command(vec, tmp_path, ray_session, capsys):
+    """CLI step-pipeline: read geojson ! filter ! swap-xy ! write gpkg."""
+    import numpy as np
+
+    from gdal_ray.cli import main
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.sources.gpkg import read_gpkg
+
+    dst = str(tmp_path / "piped.gpkg")
+    main(["pipeline", "read", vec, "!", "filter", "expr=v > 3",
+          "!", "swap-xy", "!", "write", dst])
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 3  # v = x*1.5 > 3 -> x in {3,4,5}
+    df = read_gpkg(dst).to_pandas()
+    assert len(df) == 3
+    # swapped: the unit squares now span y in [x, x+1], x in [0, 1]
+    ring = W.decode_polygons(bytes(df.sort_values("name")
+                                   .iloc[0]["geometry"]))[0][0]
+    assert ring[:, 0].min() == 0.0 and ring[:, 0].max() == 1.0
+    assert ring[:, 1].min() == 3.0 and ring[:, 1].max() == 4.0
+    with pytest.raises(SystemExit):
+        main(["pipeline", "read", vec, "!", "write"])

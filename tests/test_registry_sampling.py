@@ -134,3 +134,51 @@ def test_lance_seam_and_parquet_fallback(tmp_path, ray_session):
     if not has_lance:
         with pytest.raises(RuntimeError, match="lance package is unavailable"):
             read_table(str(tmp_path), "things")
+
+
+def test_geometry_pipeline_steps(ray_session):
+    """The gdalalg_vector step family over WKB: swap-xy/segmentize/
+    simplify/centroid/explode against scalar expectations."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.registry import Pipeline
+
+    square = W.encode_polygon(
+        [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])])
+    mline = W.encode_multilinestring(
+        [np.array([[0.0, 0.0], [10.0, 0.0]]),
+         np.array([[0.0, 5.0], [0.0, 9.0]])])
+    ds = rd.from_pandas(pd.DataFrame({
+        "fid": [1, 2], "geometry": [square, mline]}))
+
+    # swap-xy is an involution
+    out = Pipeline([("swap-xy", {}), ("swap-xy", {})]).run(ds).to_pandas()
+    assert bytes(out["geometry"][0]) == square
+
+    # segmentize: the 10-unit line at max 2.5 gains interior vertices
+    seg = Pipeline([("segmentize", {"max_length": 2.5})]).run(ds).to_pandas()
+    segline = W.decode_lines(bytes(seg["geometry"][1]))[0]
+    assert len(segline) == 5 and segline[1][0] == 2.5
+
+    # centroid of the square (polygon row only)
+    cen = Pipeline([("centroid", {})]).run(
+        ds.filter(lambda r: r["fid"] == 1)).to_pandas()
+    x, y = W.decode_points([bytes(cen["geometry"][0])])
+    assert (x[0], y[0]) == (2.0, 2.0)
+
+    # explode-collections doubles the multi-line row
+    ex = Pipeline([("explode-collections", {})]).run(ds).to_pandas()
+    assert len(ex) == 3 and list(ex["fid"]) == [1, 2, 2]
+
+    # reproject 4326 -> 3857 and back is identity within float tolerance
+    ll = W.encode_point(12.0, 55.0)
+    ds2 = rd.from_pandas(pd.DataFrame({"geometry": [ll]}))
+    rt = Pipeline([
+        ("reproject", {"src_srs": "EPSG:4326", "dst_srs": "EPSG:3857"}),
+        ("reproject", {"src_srs": "EPSG:3857", "dst_srs": "EPSG:4326"}),
+    ]).run(ds2).to_pandas()
+    x2, y2 = W.decode_points([bytes(rt["geometry"][0])])
+    assert abs(x2[0] - 12.0) < 1e-9 and abs(y2[0] - 55.0) < 1e-9
