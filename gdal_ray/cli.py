@@ -12,6 +12,7 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
     python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
+    python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
         steps: filter/derive/select/rename/sort/limit/sample/distinct plus
         geometry swap-xy/segmentize/simplify/reproject/centroid/make-valid/
@@ -508,6 +509,28 @@ def cmd_pipeline(tokens: list) -> dict:
     return {"rows": int(n or 0), "dst": dst, "chain": pipe.describe()}
 
 
+def cmd_sql(sql: str, data_dir: str, out: str | None = None,
+            limit: int = 20) -> dict:
+    """ogrinfo -sql / ExecuteSQL: run the parsed OGR SQL engine
+    (gdal_ray/sql.py) against the parquet tables under ``data_dir``.
+    Prints up to ``limit`` rows as JSON records, or writes the full
+    result to ``out`` (.parquet / any vector extension)."""
+    from gdal_ray.sql import execute_sql
+
+    _ensure_ray()
+    ds = execute_sql(sql, data_dir)
+    if out:
+        if out.endswith(".parquet"):
+            ds.write_parquet(out)
+            n = ds.count()
+        else:
+            n = int(_vector_write(ds, out) or 0)
+        return {"rows": n, "dst": out}
+    df = ds.limit(int(limit)).to_pandas()
+    return {"columns": list(df.columns),
+            "rows": json.loads(df.to_json(orient="records"))}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -577,6 +600,21 @@ def main(argv=None):
                                           resample=resample)))
     elif cmd == "pipeline":
         print(json.dumps(cmd_pipeline(args)))
+    elif cmd == "sql":
+        out_p, limit = None, 20
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "--out":
+                out_p = args[i + 1]
+                i += 2
+            elif args[i] == "--limit":
+                limit = int(args[i + 1])
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        print(json.dumps(cmd_sql(pos[0], pos[1], out_p, limit), default=str))
     elif cmd == "contour":
         interval, base = 10.0, 0.0
         pos = []

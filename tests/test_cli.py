@@ -314,3 +314,23 @@ def test_pipeline_command(vec, tmp_path, ray_session, capsys):
     assert ring[:, 1].min() == 3.0 and ring[:, 1].max() == 4.0
     with pytest.raises(SystemExit):
         main(["pipeline", "read", vec, "!", "write"])
+
+
+def test_sql_command(tmp_path, ray_session, capsys):
+    """CLI OGR SQL over the sf0.001 tables: inline JSON rows and parquet
+    export."""
+    from gdal_ray.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    main(["sql",
+          "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+          sf])
+    out = json.loads(capsys.readouterr().out)
+    assert out["columns"] == ["o_orderpriority", "n"]
+    assert sum(r["n"] for r in out["rows"]) > 0
+    dst = str(tmp_path / "res.parquet")
+    main(["sql", "SELECT c_custkey FROM customer WHERE c_custkey <= 5",
+          sf, "--out", dst])
+    res = json.loads(capsys.readouterr().out)
+    assert res["rows"] == 6  # keys start at 0
