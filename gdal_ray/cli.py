@@ -115,6 +115,11 @@ def _read_raster_any(path: str):
 
         arr, gt, _ = read_aaigrid(path)
         return arr, gt, None
+    if ext == ".xyz":
+        from gdal_ray.io.xyz import read_xyz
+
+        arr, gt = read_xyz(path)
+        return arr, gt, None
     if ext == ".vrt":
         from gdal_ray.sources.vrt import read_vrt, vrt_mosaic
 
@@ -132,6 +137,12 @@ def _write_raster_any(path: str, arr, gt, epsg=None, compress="deflate"):
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         return write_aaigrid(path, arr, gt)
+    if ext == ".xyz":
+        from gdal_ray.io.xyz import write_xyz
+
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        return write_xyz(path, arr, gt)
     from gdal_ray.io.tiff import write_geotiff
 
     return write_geotiff(path, np.ascontiguousarray(arr), gt, epsg=epsg,

@@ -68,3 +68,69 @@ def test_asc_cli_conversion(tmp_path, capsys):
     assert info["geotransform"] == gt
     out, ogt, _ = read_aaigrid(asc)
     assert np.array_equal(out, a)
+
+
+# ---------------- XYZ gridded text (io/xyz.py) ----------------
+
+def test_xyz_roundtrip(tmp_path):
+    from gdal_ray.io.xyz import read_xyz, write_xyz
+
+    rng = np.random.default_rng(109)
+    a = rng.integers(-10, 500, (9, 13)).astype(np.float64)
+    gt = [1000.0, 25.0, 0.0, 2000.0, 0.0, -25.0]
+    p = str(tmp_path / "g.xyz")
+    write_xyz(p, a, gt)
+    out, ogt = read_xyz(p)
+    assert np.array_equal(out, a)
+    assert np.allclose(ogt, gt)
+
+
+def test_xyz_shuffled_rows_and_header(tmp_path):
+    """Lines in arbitrary order with a header still rebuild the grid
+    (the reference sorts by inferred coordinates)."""
+    from gdal_ray.io.xyz import read_xyz
+
+    lines = ["X Y Z"]
+    rng = np.random.default_rng(111)
+    vals = {}
+    for r in range(3):
+        for c in range(4):
+            x, y = 10.0 + c * 2.0, 50.0 - r * 2.0
+            v = float(rng.integers(0, 99))
+            vals[(r, c)] = v
+            lines.append(f"{x},{y},{v}")
+    body = lines[:1] + [lines[1:][i] for i in
+                        rng.permutation(12)]
+    p = tmp_path / "s.xyz"
+    p.write_text("\n".join(body) + "\n")
+    out, gt = read_xyz(str(p))
+    assert out.shape == (3, 4)
+    for (r, c), v in vals.items():
+        assert out[r, c] == v
+    assert gt == [9.0, 2.0, 0.0, 51.0, 0.0, -2.0]
+
+
+def test_xyz_rejects_uneven(tmp_path):
+    from gdal_ray.io.xyz import read_xyz
+
+    p = tmp_path / "bad.xyz"
+    p.write_text("0 0 1\n1 0 2\n3 0 3\n")
+    with pytest.raises(ValueError, match="unevenly"):
+        read_xyz(str(p))
+
+
+def test_xyz_cli_conversion(tmp_path, capsys):
+    from gdal_ray.cli import main
+    from gdal_ray.io.tiff import write_geotiff
+    from gdal_ray.io.xyz import read_xyz
+
+    a = (np.arange(30, dtype=np.float64).reshape(5, 6) * 3.0)
+    gt = [0.0, 10.0, 0.0, 50.0, 0.0, -10.0]
+    src = str(tmp_path / "in.tif")
+    write_geotiff(src, a.astype(np.float32), gt)
+    xyz = str(tmp_path / "out.xyz")
+    main(["translate", src, xyz])
+    capsys.readouterr()
+    out, ogt = read_xyz(xyz)
+    assert np.array_equal(out, a)
+    assert np.allclose(ogt, gt)
