@@ -229,3 +229,48 @@ def _step_explode(ds, geom_col: str = "geometry"):
         return pd.DataFrame(rows).reset_index(drop=True) if rows else batch.iloc[:0]
 
     return ds.map_batches(ex, batch_format="pandas")
+
+
+@register_step("clip")
+def _step_clip(ds, bbox: list = None, wkb_hex: str = None,
+               geom_col: str = "geometry"):
+    """Clip step (gdalalg_vector_clip): polygon geometries clip against a
+    bbox [minx, miny, maxx, maxy] or an arbitrary clip polygon passed as
+    hex WKB; pieces that survive re-emit as a (Multi)Polygon, rows whose
+    geometry vanishes are dropped. Clipping runs through the engine's
+    exact constructive kernels (geo/booleanops.polygon_intersection)."""
+    import numpy as np
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.booleanops import polygon_intersection
+    from gdal_ray.geo.wkb import (decode_polygons, encode_multipolygon,
+                                  encode_polygon)
+
+    if (bbox is None) == (wkb_hex is None):
+        raise ValueError("clip needs exactly one of bbox= or wkb_hex=")
+    if bbox is not None:
+        minx, miny, maxx, maxy = (float(v) for v in bbox)
+        clip_ring = np.array([[minx, miny], [maxx, miny],
+                              [maxx, maxy], [minx, maxy]])
+    else:
+        clip_ring = decode_polygons(bytes.fromhex(wkb_hex))[0][0]
+
+    def cl(batch: pd.DataFrame) -> pd.DataFrame:
+        geoms, keep = [], []
+        for i, b in enumerate(batch[geom_col]):
+            if b is None:
+                continue
+            pieces = []
+            for rings in decode_polygons(bytes(b)):
+                pieces.extend(polygon_intersection(rings[0], clip_ring))
+            pieces = [p for p in pieces if abs(GO.ring_area(p)) > 1e-12]
+            if not pieces:
+                continue
+            keep.append(i)
+            geoms.append(encode_polygon([pieces[0]]) if len(pieces) == 1
+                         else encode_multipolygon([[p] for p in pieces]))
+        out = batch.iloc[keep].copy()
+        out[geom_col] = geoms
+        return out
+
+    return ds.map_batches(cl, batch_format="pandas")

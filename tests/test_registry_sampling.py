@@ -182,3 +182,30 @@ def test_geometry_pipeline_steps(ray_session):
     ]).run(ds2).to_pandas()
     x2, y2 = W.decode_points([bytes(rt["geometry"][0])])
     assert abs(x2[0] - 12.0) < 1e-9 and abs(y2[0] - 55.0) < 1e-9
+
+
+def test_clip_pipeline_step(ray_session):
+    """clip step: unit squares against a bbox — surviving area and
+    dropped rows match the closed form."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.registry import Pipeline
+
+    squares = [W.encode_polygon(
+        [np.array([[float(x), 0.0], [x + 1.0, 0.0],
+                   [x + 1.0, 1.0], [float(x), 1.0]])]) for x in range(6)]
+    ds = rd.from_pandas(pd.DataFrame({"fid": list(range(6)),
+                                      "geometry": squares}))
+    out = Pipeline([("clip", {"bbox": [1.5, 0.25, 3.5, 0.75]})]) \
+        .run(ds).to_pandas().sort_values("fid")
+    # squares 1, 2, 3 intersect; 0, 4, 5 drop
+    assert list(out["fid"]) == [1, 2, 3]
+    areas = []
+    for b in out["geometry"]:
+        rings = W.decode_polygons(bytes(b))
+        areas.append(sum(abs(GO.ring_area(r[0])) for r in rings))
+    assert areas == pytest.approx([0.25, 0.5, 0.25])
