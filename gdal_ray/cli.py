@@ -12,6 +12,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
     python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
+    python -m gdal_ray sieve|fillnodata|proximity|viewshed <src> <dst> [--opts]
+    python -m gdal_ray grid <src-points> <dst.tif> --size W H [-a invdist|...]
     python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
         steps: filter/derive/select/rename/sort/limit/sample/distinct plus
@@ -542,6 +544,75 @@ def cmd_sql(sql: str, data_dir: str, out: str | None = None,
             "rows": json.loads(df.to_json(orient="records"))}
 
 
+def cmd_raster_util(util: str, src: str, dst: str, **kw) -> dict:
+    """The gdal_* single-raster utilities (gdal_sieve.py,
+    gdal_fillnodata.py, gdal_proximity.py, gdal_viewshed) over the
+    engine's kernels; reads/writes any supported raster extension."""
+    from gdal_ray.raster import kernels as K
+
+    arr, gt, epsg = _read_raster_any(src)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    if util == "sieve":
+        out = K.sieve(arr, int(kw.get("threshold", 2)),
+                      connect8=bool(kw.get("connect8", False)))
+    elif util == "fillnodata":
+        out = K.fillnodata(arr.astype(np.float64),
+                           float(kw.get("nodata", 0.0)),
+                           max_iter=int(kw.get("max_iter", 100)))
+        out = out.astype(arr.dtype) if not np.issubdtype(
+            arr.dtype, np.floating) else out
+    elif util == "proximity":
+        target = float(kw.get("target", 0.0))
+        md = kw.get("max_dist")
+        out = K.proximity(arr == target,
+                          max_dist=float(md) if md is not None else None)
+        out = out.astype(np.float32)
+    elif util == "viewshed":
+        from gdal_ray.raster.viewshed import viewshed
+
+        out = viewshed(
+            arr.astype(np.float64), int(kw["oy"]), int(kw["ox"]),
+            observer_height=float(kw.get("observer_height", 2.0)),
+        ).astype(np.uint8) * 255
+    else:
+        raise SystemExit(f"unknown raster utility {util!r}")
+    _write_raster_any(dst, np.ascontiguousarray(out), gt, epsg=epsg,
+                      compress=kw.get("compress", "deflate"))
+    return {"util": util, "size": [out.shape[1], out.shape[0]],
+            "dtype": str(out.dtype)}
+
+
+def cmd_grid(src: str, dst: str, size, algorithm: str = "invdist",
+             zfield: str = "z", radius=None, extent=None,
+             compress: str = "deflate") -> dict:
+    """gdal_grid (apps/gdal_grid_lib.cpp): scattered vector points (WKB
+    Points + a z attribute) -> raster via raster/grid.py's algorithm set
+    (invdist/invdistnn/nearest/average/min/max/range/count/
+    average_distance/average_distance_pts/linear)."""
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.raster.grid import grid_linear, grid_points
+
+    _ensure_ray()
+    df = _vector_read(src).to_pandas()
+    px, py = decode_points([bytes(b) for b in df["geometry"]])
+    pv = df[zfield].to_numpy(dtype=np.float64)
+    if extent is None:
+        extent = [px.min(), py.min(), px.max(), py.max()]
+    w_px, h_px = int(size[0]), int(size[1])
+    gt = (extent[0], (extent[2] - extent[0]) / w_px, 0.0,
+          extent[3], 0.0, -(extent[3] - extent[1]) / h_px)
+    if algorithm == "linear":
+        out = grid_linear(px, py, pv, w_px, h_px, gt)
+    else:
+        out = grid_points(px, py, pv, w_px, h_px, gt, algorithm=algorithm,
+                          radius=float(radius) if radius else np.inf)
+    _write_raster_any(dst, out.astype(np.float32), list(gt),
+                      compress=compress)
+    return {"size": [w_px, h_px], "n_points": len(px),
+            "algorithm": algorithm}
+
+
 def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     if not args:
@@ -611,6 +682,53 @@ def main(argv=None):
                                           resample=resample)))
     elif cmd == "pipeline":
         print(json.dumps(cmd_pipeline(args)))
+    elif cmd in ("sieve", "fillnodata", "proximity", "viewshed"):
+        kw = {}
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i].startswith("--"):
+                key = args[i][2:].replace("-", "_")
+                if key == "connect8":
+                    kw[key] = True
+                    i += 1
+                else:
+                    kw[key] = args[i + 1]
+                    i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        print(json.dumps(cmd_raster_util(cmd, pos[0], pos[1], **kw)))
+    elif cmd == "grid":
+        size, alg, zf, radius, extent, compress = None, "invdist", "z", None, None, "deflate"
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] == "--size":
+                size = [int(args[i + 1]), int(args[i + 2])]
+                i += 3
+            elif args[i] in ("-a", "--algorithm"):
+                alg = args[i + 1]
+                i += 2
+            elif args[i] == "--zfield":
+                zf = args[i + 1]
+                i += 2
+            elif args[i] == "--radius":
+                radius = float(args[i + 1])
+                i += 2
+            elif args[i] == "--extent":
+                extent = [float(v) for v in args[i + 1:i + 5]]
+                i += 5
+            elif args[i] == "--compress":
+                compress = args[i + 1]
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        if size is None:
+            raise SystemExit("grid needs --size W H")
+        print(json.dumps(cmd_grid(pos[0], pos[1], size, alg, zf, radius,
+                                  extent, compress)))
     elif cmd == "sql":
         out_p, limit = None, 20
         pos = []

@@ -334,3 +334,66 @@ def test_sql_command(tmp_path, ray_session, capsys):
           sf, "--out", dst])
     res = json.loads(capsys.readouterr().out)
     assert res["rows"] == 6  # keys start at 0
+
+
+def test_raster_utility_commands(tmp_path, capsys):
+    """sieve/fillnodata/proximity/viewshed CLI: each matches its kernel
+    on a small crafted raster."""
+    from gdal_ray.cli import cmd_raster_util
+    from gdal_ray.raster.kernels import fillnodata, proximity, sieve
+    from gdal_ray.raster.viewshed import viewshed
+
+    a = np.full((20, 20), 5, dtype=np.int32)
+    a[3, 3] = 9            # 1-px speck for sieve
+    a[10:12, 10:12] = 0    # nodata hole / proximity target
+    src = str(tmp_path / "u.tif")
+    write_geotiff(src, a, GT, epsg=32633)
+
+    d1 = str(tmp_path / "sieved.tif")
+    cmd_raster_util("sieve", src, d1, threshold=2)
+    out1, _ = _reassemble(d1)
+    assert np.array_equal(out1, sieve(a, 2))
+    assert out1[3, 3] == 5
+
+    d2 = str(tmp_path / "filled.tif")
+    cmd_raster_util("fillnodata", src, d2, nodata=0)
+    out2, _ = _reassemble(d2)
+    assert np.array_equal(out2.astype(np.float64),
+                          fillnodata(a.astype(np.float64), 0.0))
+    assert (out2[10:12, 10:12] != 0).all()
+
+    d3 = str(tmp_path / "prox.tif")
+    cmd_raster_util("proximity", src, d3, target=0)
+    out3, h3 = _reassemble(d3)
+    assert h3["dtype"] == np.dtype("<f4")
+    assert np.allclose(out3, proximity(a == 0).astype(np.float32))
+    assert out3[10, 10] == 0.0 and out3[0, 0] > 10.0
+
+    d4 = str(tmp_path / "vs.tif")
+    cmd_raster_util("viewshed", src, d4, ox=10, oy=10)
+    out4, _ = _reassemble(d4)
+    want4 = viewshed(a.astype(np.float64), 10, 10).astype(np.uint8) * 255
+    assert np.array_equal(out4, want4)
+
+
+def test_grid_command(vec, tmp_path, ray_session, capsys):
+    """gdal_grid CLI: point layer with z attribute -> nearest grid."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.cli import _vector_write, cmd_grid
+    from gdal_ray.geo.wkb import encode_point
+
+    pts = pd.DataFrame({
+        "geometry": [encode_point(float(x) + 0.5, 0.5) for x in range(6)],
+        "z": [float(10 * x) for x in range(6)],
+    })
+    src = str(tmp_path / "pts.gpkg")
+    _vector_write(rd.from_pandas(pts), src)
+    dst = str(tmp_path / "grid.tif")
+    res = cmd_grid(src, dst, size=[6, 1], algorithm="nearest",
+                   extent=[0.0, 0.0, 6.0, 1.0])
+    assert res["n_points"] == 6
+    out, h = _reassemble(dst)
+    assert np.array_equal(out[0], np.array([0, 10, 20, 30, 40, 50],
+                                           dtype=np.float32))
