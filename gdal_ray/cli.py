@@ -12,6 +12,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
     python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
+    python -m gdal_ray warp <src> <dst> -t_srs EPSG:3857 [-s_srs ...]
+        [-r near|bilinear|cubic|lanczos|average|rms|sum|min|max|med|q1|q3|mode]
     python -m gdal_ray sieve|fillnodata|proximity|viewshed <src> <dst> [--opts]
     python -m gdal_ray grid <src-points> <dst.tif> --size W H [-a invdist|...]
     python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
@@ -583,6 +585,32 @@ def cmd_raster_util(util: str, src: str, dst: str, **kw) -> dict:
             "dtype": str(out.dtype)}
 
 
+def cmd_warp(src: str, dst: str, s_srs: str | None, t_srs: str,
+             resample: str = "nearest", src_nodata=None,
+             compress: str = "deflate") -> dict:
+    """gdalwarp (apps/gdalwarp_lib.cpp): reproject between any supported
+    SRS pair with the full resampling set — point kernels
+    (near/bilinear/cubic/lanczos) and area statistics
+    (average/rms/sum/min/max/med/q1/q3/mode); output grid from the
+    suggested extent."""
+    from gdal_ray.raster.warp import warp_image
+
+    arr, gt, epsg = _read_raster_any(src)
+    if s_srs is None:
+        if not epsg:
+            raise SystemExit("source has no SRS; pass --s_srs")
+        s_srs = f"EPSG:{epsg}"
+    out, ogt = warp_image(
+        arr, tuple(gt), s_srs, t_srs, resampling=resample,
+        src_nodata=float(src_nodata) if src_nodata is not None else None)
+    t_epsg = (int(t_srs.split(":")[1])
+              if t_srs.upper().startswith("EPSG:") else None)
+    _write_raster_any(dst, np.ascontiguousarray(out), list(ogt),
+                      epsg=t_epsg, compress=compress)
+    return {"size": [out.shape[1], out.shape[0]], "dtype": str(out.dtype),
+            "dst_srs": t_srs, "geotransform": list(ogt)}
+
+
 def cmd_grid(src: str, dst: str, size, algorithm: str = "invdist",
              zfield: str = "z", radius=None, extent=None,
              compress: str = "deflate") -> dict:
@@ -682,6 +710,34 @@ def main(argv=None):
                                           resample=resample)))
     elif cmd == "pipeline":
         print(json.dumps(cmd_pipeline(args)))
+    elif cmd == "warp":
+        s_srs = t_srs = None
+        resample, nodata, compress = "nearest", None, "deflate"
+        pos = []
+        i = 0
+        while i < len(args):
+            if args[i] in ("-s_srs", "--s_srs"):
+                s_srs = args[i + 1]
+                i += 2
+            elif args[i] in ("-t_srs", "--t_srs"):
+                t_srs = args[i + 1]
+                i += 2
+            elif args[i] == "-r":
+                resample = args[i + 1]
+                i += 2
+            elif args[i] == "--src-nodata":
+                nodata = args[i + 1]
+                i += 2
+            elif args[i] == "--compress":
+                compress = args[i + 1]
+                i += 2
+            else:
+                pos.append(args[i])
+                i += 1
+        if t_srs is None:
+            raise SystemExit("warp needs -t_srs")
+        print(json.dumps(cmd_warp(pos[0], pos[1], s_srs, t_srs, resample,
+                                  nodata, compress)))
     elif cmd in ("sieve", "fillnodata", "proximity", "viewshed"):
         kw = {}
         pos = []

@@ -397,3 +397,29 @@ def test_grid_command(vec, tmp_path, ray_session, capsys):
     out, h = _reassemble(dst)
     assert np.array_equal(out[0], np.array([0, 10, 20, 30, 40, 50],
                                            dtype=np.float32))
+
+
+def test_warp_command(tif, tmp_path, capsys):
+    """gdalwarp CLI: 32633 -> 4326 nearest matches warp_image directly;
+    the area ops route through warp_image_area."""
+    from gdal_ray.cli import cmd_warp, main
+    from gdal_ray.raster.warp import warp_image
+
+    src, a = tif
+    dst = str(tmp_path / "w.tif")
+    res = cmd_warp(src, dst, None, "EPSG:4326")  # s_srs from the header
+    out, h = _reassemble(dst)
+    want, wgt = warp_image(a, tuple(GT), "EPSG:32633", "EPSG:4326")
+    assert np.array_equal(out, want)
+    assert h["gt"] == list(wgt) and h["epsg"] == 4326
+    assert res["size"] == [want.shape[1], want.shape[0]]
+
+    dst2 = str(tmp_path / "wa.tif")
+    main(["warp", src, dst2, "-t_srs", "EPSG:4326", "-r", "med"])
+    out2 = json.loads(capsys.readouterr().out)
+    want2, _ = warp_image(a, tuple(GT), "EPSG:32633", "EPSG:4326",
+                          resampling="med")
+    got2, _ = _reassemble(dst2)
+    assert np.array_equal(got2, want2)
+    with pytest.raises(SystemExit):
+        main(["warp", src, dst2])  # missing -t_srs
