@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shp_roundtrip": EQ.q_shp_roundtrip,
         "q_csv_roundtrip": EQ.q_csv_roundtrip,
         "q_vrt_lattice": RL.q_vrt_lattice,
+        "q_pipeline_geo": EQ.q_pipeline_geo,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1258,6 +1259,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # geometry-step chain: mercator forward in the engine's exact op
+        # order (numpy pi == DuckDB pi()), floors bit-identical
+        "q_pipeline_geo": """
+            WITH p AS (SELECT c_mktsegment AS segment,
+                              ((c_custkey % 360 - 180) + 0.5) AS lon,
+                              ((c_custkey % 140 - 70) + 0.25) AS lat
+                       FROM customer),
+                 m AS (SELECT segment,
+                              (lon * (2*pi()*6378137/2.0) / 180.0) AS mx,
+                              ((ln(tan((90.0 + lat) * pi() / 360.0))
+                                / (pi() / 180.0))
+                               * (2*pi()*6378137/2.0) / 180.0) AS my
+                       FROM p)
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(my) AS BIGINT)) AS BIGINT) AS sum_fx,
+                   CAST(SUM(CAST(FLOOR(mx) AS BIGINT)) AS BIGINT) AS sum_fy
+            FROM m GROUP BY segment ORDER BY segment
+        """,
         # VRT union round-trip: per-source aggregates over the shared
         # closed-form grids, keys recovered from DstRect placement
         "q_vrt_lattice": """

@@ -13,7 +13,7 @@ __all__ = [
     "q_sample_lattice", "q_pipeline_chain", "q_audio_features",
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
-    "q_shp_roundtrip", "q_csv_roundtrip",
+    "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
 ]
 
 
@@ -449,6 +449,72 @@ def q_csv_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("priority")
+    )
+
+
+def q_pipeline_geo(sf_dir: str):
+    """The gdalalg_vector GEOMETRY step family end-to-end with a SQL
+    twin: customer rows become WKB lon/lat Points, a registered step
+    chain reprojects them 4326->3857 (geo/mercator.py spherical
+    formulas) and swaps the axes (map_coords), and floored coordinates
+    aggregate per segment. The DuckDB twin replays the mercator math in
+    the engine's exact operation order (numpy pi == DuckDB pi()), so the
+    floors are bit-identical. Exercises: Pipeline(reproject, swap-xy),
+    WKB map_coords, point codec. Ref: apps/gdalalg_vector_pipeline.cpp
+    step registry."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.pipelines.registry import Pipeline
+
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"),
+              columns=["c_custkey", "c_mktsegment"])
+
+    def to_points(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"], dtype=np.int64)
+        lon = (k % 360 - 180).astype(np.float64) + 0.5
+        lat = (k % 140 - 70).astype(np.float64) + 0.25
+        n = len(k)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = lon.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = lat.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+            "segment": t["c_mktsegment"],
+        })
+
+    chained = Pipeline([
+        ("reproject", {"src_srs": "EPSG:4326", "dst_srs": "EPSG:3857"}),
+        ("swap-xy", {}),
+    ]).run(ds.map_batches(to_points, batch_format="pyarrow"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "segment": df["segment"],
+            "n": np.ones(len(df), dtype=np.int64),
+            # after swap-xy, x carries the mercator NORTHING
+            "fx": np.floor(x).astype(np.int64),
+            "fy": np.floor(y).astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        chained.map_batches(finish, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("fx", alias_name="sum_fx"),
+            Sum("fy", alias_name="sum_fy"),
+        )
+        .sort("segment")
     )
 
 
