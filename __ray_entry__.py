@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_csv_roundtrip": EQ.q_csv_roundtrip,
         "q_vrt_lattice": RL.q_vrt_lattice,
         "q_pipeline_geo": EQ.q_pipeline_geo,
+        "q_warp_area_lattice": RL.q_warp_area_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1259,6 +1260,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # area-statistics warp on aligned 2x2 blocks: 4*average = block
+        # sum, med = the reference's ceil(q*n-1) pick = 2nd smallest
+        "q_warp_area_lattice": """
+            WITH g AS (SELECT s_suppkey AS k, r, c,
+                              (s_suppkey*7 + r*13 + c*5) % 251 AS v,
+                              16 + s_suppkey % 7 AS w,
+                              12 + s_suppkey % 5 AS h
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7),
+                 e AS (SELECT k, r, c, v, r // 2 AS br, c // 2 AS bc
+                       FROM g WHERE r < 2 * (h // 2) AND c < 2 * (w // 2)),
+                 ranked AS (SELECT k, br, bc, v,
+                                   row_number() OVER (
+                                     PARTITION BY k, br, bc ORDER BY v
+                                   ) AS rn
+                            FROM e),
+                 blocks AS (SELECT k, br, bc, SUM(v) AS bsum,
+                                   MIN(v) AS bmin, MAX(v) AS bmax,
+                                   MAX(CASE WHEN rn = 2 THEN v END) AS bmed
+                            FROM ranked GROUP BY k, br, bc)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(bsum) AS BIGINT) AS sum_avg4,
+                   CAST(SUM(bmed) AS BIGINT) AS sum_med,
+                   CAST(SUM(bmin) AS BIGINT) AS sum_min,
+                   CAST(SUM(bmax) AS BIGINT) AS sum_max
+            FROM blocks GROUP BY k ORDER BY img_key
+        """,
         # geometry-step chain: mercator forward in the engine's exact op
         # order (numpy pi == DuckDB pi()), floors bit-identical
         "q_pipeline_geo": """

@@ -46,6 +46,7 @@ __all__ = [
     "q_zonal_lattice",
     "q_point_query_lattice",
     "q_vrt_lattice",
+    "q_warp_area_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -545,6 +546,67 @@ def q_vrt_lattice(sf_dir: str):
             Sum("sum_v", alias_name="sum_v"),
             Min("min_v", alias_name="min_v"),
             Max("max_v", alias_name="max_v"),
+        )
+        .sort("img_key")
+    )
+
+
+def q_warp_area_lattice(sf_dir: str):
+    """Area-statistics warp (gdalwarp -r average/med/min/max;
+    raster/warp.py warp_image_area) on the closed-form grids with a SQL
+    twin: an aligned identity-SRS 2x downsample makes every destination
+    pixel exactly one 2x2 source block, so 4*average is the block sum,
+    and the reference's quantile rule sorted[ceil(0.5*4 - 1)] picks the
+    block's SECOND-SMALLEST value — both integer-exact. Per-image sums
+    over the blocks compare against window functions in DuckDB. A window
+    or weighting bug shifts the sums immediately."""
+    import pandas as pd
+
+    from gdal_ray.raster.warp import warp_image_area
+
+    from ray.data.aggregate import Sum
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        rows = {"img_key": [], "n_blocks": [], "sum_avg4": [],
+                "sum_med": [], "sum_min": [], "sum_max": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k).astype(np.float64)
+            h2, w2 = g.shape[0] // 2, g.shape[1] // 2
+            g = g[: 2 * h2, : 2 * w2]
+            src_gt = (0.0, 10.0, 0.0, 0.0, 0.0, -10.0)
+            dst_gt = (0.0, 20.0, 0.0, 0.0, 0.0, -20.0)
+            outs = {}
+            for op in ("average", "med", "min", "max"):
+                arr, _ = warp_image_area(g, src_gt, "EPSG:3857",
+                                         "EPSG:3857", dst_gt=dst_gt,
+                                         dst_w=w2, dst_h=h2, op=op)
+                outs[op] = arr
+            rows["img_key"].append(k)
+            rows["n_blocks"].append(h2 * w2)
+            rows["sum_avg4"].append(int(np.round(4.0 * outs["average"]).sum()))
+            rows["sum_med"].append(int(outs["med"].sum()))
+            rows["sum_min"].append(int(outs["min"].sum()))
+            rows["sum_max"].append(int(outs["max"].sum()))
+        return pa.table({
+            "img_key": pa.array(rows["img_key"], pa.int64()),
+            "n_blocks": pa.array(rows["n_blocks"], pa.int64()),
+            "sum_avg4": pa.array(rows["sum_avg4"], pa.int64()),
+            "sum_med": pa.array(rows["sum_med"], pa.int64()),
+            "sum_min": pa.array(rows["sum_min"], pa.int64()),
+            "sum_max": pa.array(rows["sum_max"], pa.int64()),
+        })
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("sum_avg4", alias_name="sum_avg4"),
+            Sum("sum_med", alias_name="sum_med"),
+            Sum("sum_min", alias_name="sum_min"),
+            Sum("sum_max", alias_name="sum_max"),
         )
         .sort("img_key")
     )
