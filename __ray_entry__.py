@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vrt_lattice": RL.q_vrt_lattice,
         "q_pipeline_geo": EQ.q_pipeline_geo,
         "q_warp_area_lattice": RL.q_warp_area_lattice,
+        "q_color_relief_lattice": RL.q_color_relief_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -187,6 +188,19 @@ def oracle_sql() -> dict[str, str]:
     )
     ix = lattice.format(k="c_custkey")
     iy = "((c_custkey * 2246822519) % 4294967296)"
+
+    def _relief_ch(c0: int, c1: int, c2: int) -> str:
+        """One color-relief channel in the engine's exact op order
+        (raster/color.py color_relief interpolate branch): ratio =
+        (v - lo) / (hi - lo), channel = clamp(floor(0.5 + c0 +
+        ratio*(c1-c0))); ramp 0/128/256, exact hits at the entries."""
+        seg1 = (f"FLOOR(0.5 + {c0} + ((v - 0.0) / (128.0 - 0.0))"
+                f" * ({c1} - {c0}))")
+        seg2 = (f"FLOOR(0.5 + {c1} + ((v - 128.0) / (256.0 - 128.0))"
+                f" * ({c2} - {c1}))")
+        return (f"(CASE WHEN v = 0 THEN {c0} WHEN v = 128 THEN {c1} "
+                f"WHEN v < 128 THEN LEAST(255.0, GREATEST(0.0, {seg1})) "
+                f"ELSE LEAST(255.0, GREATEST(0.0, {seg2})) END)")
     # meters: ix*scale - originShift; pixels: (mx + originShift)/res
     # px = ((ix*scale - OS) + OS) / res  — keep the redundant -OS +OS to
     # mirror the engine's two-step (meters, then pixels) computation.
@@ -1260,6 +1274,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # color-relief on the /128-dyadic ramp: channel floors bit-exact
+        "q_color_relief_lattice": f"""
+            WITH g AS (SELECT s_suppkey AS k,
+                              CAST((s_suppkey*7 + r*13 + c*5) % 251
+                                   AS DOUBLE) AS v
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM({_relief_ch(10, 200, 20)}) AS BIGINT) AS sum_r,
+                   CAST(SUM({_relief_ch(250, 120, 40)}) AS BIGINT) AS sum_g,
+                   CAST(SUM({_relief_ch(30, 60, 240)}) AS BIGINT) AS sum_b
+            FROM g GROUP BY k ORDER BY img_key
+        """,
         # area-statistics warp on aligned 2x2 blocks: 4*average = block
         # sum, med = the reference's ceil(q*n-1) pick = 2nd smallest
         "q_warp_area_lattice": """

@@ -47,6 +47,7 @@ __all__ = [
     "q_point_query_lattice",
     "q_vrt_lattice",
     "q_warp_area_lattice",
+    "q_color_relief_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -607,6 +608,58 @@ def q_warp_area_lattice(sf_dir: str):
             Sum("sum_med", alias_name="sum_med"),
             Sum("sum_min", alias_name="sum_min"),
             Sum("sum_max", alias_name="sum_max"),
+        )
+        .sort("img_key")
+    )
+
+
+def q_color_relief_lattice(sf_dir: str):
+    """gdaldem color-relief (raster/color.py color_relief) on the
+    closed-form grids with a SQL twin: a fixed 3-entry ramp at
+    0 / 128 / 256 (v spans 0..250) makes every interpolation ratio a
+    /128 dyadic, and the reference's channel rule
+    clamp(trunc(0.5 + c0 + ratio*(c1-c0))) is replayed in DuckDB with
+    the identical operation order, so per-image channel sums are
+    bit-exact. The 128 breakpoint value itself must hit the EXACT entry
+    color (the bracketing rule), which the twin encodes as a CASE."""
+    import pandas as pd
+
+    from gdal_ray.raster.color import color_relief
+
+    from ray.data.aggregate import Sum
+
+    RAMP = [(0.0, 10, 250, 30, 255), (128.0, 200, 120, 60, 255),
+            (256.0, 20, 40, 240, 255)]
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        rows = {"img_key": [], "n_px": [], "sum_r": [], "sum_g": [],
+                "sum_b": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k).astype(np.float64)
+            rgba = color_relief(g, RAMP)
+            rows["img_key"].append(k)
+            rows["n_px"].append(g.size)
+            rows["sum_r"].append(int(rgba[..., 0].astype(np.int64).sum()))
+            rows["sum_g"].append(int(rgba[..., 1].astype(np.int64).sum()))
+            rows["sum_b"].append(int(rgba[..., 2].astype(np.int64).sum()))
+        return pa.table({
+            "img_key": pa.array(rows["img_key"], pa.int64()),
+            "n_px": pa.array(rows["n_px"], pa.int64()),
+            "sum_r": pa.array(rows["sum_r"], pa.int64()),
+            "sum_g": pa.array(rows["sum_g"], pa.int64()),
+            "sum_b": pa.array(rows["sum_b"], pa.int64()),
+        })
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_r", alias_name="sum_r"),
+            Sum("sum_g", alias_name="sum_g"),
+            Sum("sum_b", alias_name="sum_b"),
         )
         .sort("img_key")
     )
