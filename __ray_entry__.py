@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pipeline_geo": EQ.q_pipeline_geo,
         "q_warp_area_lattice": RL.q_warp_area_lattice,
         "q_color_relief_lattice": RL.q_color_relief_lattice,
+        "q_overview_rms_lattice": RL.q_overview_rms_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1274,6 +1275,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # integer-RMS overview rule replayed per 2x2 block; NEAREST is
+        # the block's top-left sample
+        "q_overview_rms_lattice": """
+            WITH g AS (SELECT s_suppkey AS k, r, c,
+                              (s_suppkey*7 + r*13 + c*5) % 251 AS v,
+                              16 + s_suppkey % 7 AS w,
+                              12 + s_suppkey % 5 AS h
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7),
+                 e AS (SELECT k, r, c, v, r // 2 AS br, c // 2 AS bc
+                       FROM g WHERE r < 2 * (h // 2) AND c < 2 * (w // 2)),
+                 blocks AS (SELECT k, br, bc,
+                                   SUM(v * v) AS sq,
+                                   MAX(CASE WHEN r % 2 = 0 AND c % 2 = 0
+                                            THEN v END) AS tl
+                            FROM e GROUP BY k, br, bc),
+                 rms AS (SELECT k, tl,
+                                CAST(FLOOR(SQRT(CAST(sq AS DOUBLE) / 4.0))
+                                     AS BIGINT) AS r0,
+                                CAST(sq AS DOUBLE) / 4.0 AS mean_sq
+                         FROM blocks)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(r0 + CASE WHEN 2.0 * r0 * (r0 + 1.0) + 1.0
+                                           < 2.0 * mean_sq
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                       AS sum_rms,
+                   CAST(SUM(tl) AS BIGINT) AS sum_near
+            FROM rms GROUP BY k ORDER BY img_key
+        """,
         # color-relief on the /128-dyadic ramp: channel floors bit-exact
         "q_color_relief_lattice": f"""
             WITH g AS (SELECT s_suppkey AS k,

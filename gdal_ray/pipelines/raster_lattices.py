@@ -48,6 +48,7 @@ __all__ = [
     "q_vrt_lattice",
     "q_warp_area_lattice",
     "q_color_relief_lattice",
+    "q_overview_rms_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -660,6 +661,49 @@ def q_color_relief_lattice(sf_dir: str):
             Sum("sum_r", alias_name="sum_r"),
             Sum("sum_g", alias_name="sum_g"),
             Sum("sum_b", alias_name="sum_b"),
+        )
+        .sort("img_key")
+    )
+
+
+def q_overview_rms_lattice(sf_dir: str):
+    """RMS + NEAREST overview kernels (raster/kernels.py resample_rms /
+    resample_nearest_factor) on the closed-form grids with a SQL twin:
+    per 2x2 block the integer-RMS rule (r minimizing |r^2 - sumSq/4|,
+    gcore/overview.cpp ComputeIntegerRMS) and the top-left NEAREST pick
+    are both integer-exact; per-image sums compare against the replayed
+    rule in DuckDB."""
+    from gdal_ray.raster.kernels import resample_nearest_factor, resample_rms
+
+    from ray.data.aggregate import Sum
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        rows = {"img_key": [], "n_blocks": [], "sum_rms": [],
+                "sum_near": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k).astype(np.int32)
+            rms = resample_rms(g, 2)
+            near = resample_nearest_factor(g, 2)
+            rows["img_key"].append(k)
+            rows["n_blocks"].append(rms.size)
+            rows["sum_rms"].append(int(rms.astype(np.int64).sum()))
+            rows["sum_near"].append(int(near.astype(np.int64).sum()))
+        return pa.table({
+            "img_key": pa.array(rows["img_key"], pa.int64()),
+            "n_blocks": pa.array(rows["n_blocks"], pa.int64()),
+            "sum_rms": pa.array(rows["sum_rms"], pa.int64()),
+            "sum_near": pa.array(rows["sum_near"], pa.int64()),
+        })
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("sum_rms", alias_name="sum_rms"),
+            Sum("sum_near", alias_name="sum_near"),
         )
         .sort("img_key")
     )
