@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_warp_area_lattice": RL.q_warp_area_lattice,
         "q_color_relief_lattice": RL.q_color_relief_lattice,
         "q_overview_rms_lattice": RL.q_overview_rms_lattice,
+        "q_bspline_lattice": RL.q_bspline_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1275,6 +1276,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # B-spline point read at pixel centers: 36*value is the [1,4,1]^2
+        # binomial over edge-clamped closed-form neighbors
+        "q_bspline_lattice": """
+            WITH d AS (SELECT s_suppkey AS k, r, c,
+                              16 + s_suppkey % 7 AS w,
+                              12 + s_suppkey % 5 AS h
+                       FROM supplier,
+                            generate_series(0, 16) t1(r),
+                            generate_series(0, 22) t2(c)
+                       WHERE r < 12 + s_suppkey % 5
+                         AND c < 16 + s_suppkey % 7),
+                 taps AS (SELECT k, r, c, w, h, di, dj,
+                                 (CASE WHEN di = 0 THEN 4 ELSE 1 END)
+                                 * (CASE WHEN dj = 0 THEN 4 ELSE 1 END)
+                                     AS wt,
+                                 GREATEST(0, LEAST(h - 1, r + di)) AS rr,
+                                 GREATEST(0, LEAST(w - 1, c + dj)) AS cc
+                          FROM d,
+                               generate_series(-1, 1) t3(di),
+                               generate_series(-1, 1) t4(dj)),
+                 px AS (SELECT k, r, c,
+                               SUM(wt * ((k*7 + rr*13 + cc*5) % 251))
+                                   AS v36
+                        FROM taps GROUP BY k, r, c)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v36) AS BIGINT) AS sum_36v
+            FROM px GROUP BY k ORDER BY img_key
+        """,
         # integer-RMS overview rule replayed per 2x2 block; NEAREST is
         # the block's top-left sample
         "q_overview_rms_lattice": """

@@ -49,6 +49,7 @@ __all__ = [
     "q_warp_area_lattice",
     "q_color_relief_lattice",
     "q_overview_rms_lattice",
+    "q_bspline_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -704,6 +705,47 @@ def q_overview_rms_lattice(sf_dir: str):
             Sum("n_blocks", alias_name="n_blocks"),
             Sum("sum_rms", alias_name="sum_rms"),
             Sum("sum_near", alias_name="sum_near"),
+        )
+        .sort("img_key")
+    )
+
+
+def q_bspline_lattice(sf_dir: str):
+    """Cubic B-spline point read (kernels.interpolate_at_point_
+    cubicspline) with a SQL twin: sampling every PIXEL CENTER collapses
+    the 4x4 tap window to the 3x3 binomial [1,4,1]x[1,4,1]/36 over
+    edge-clamped neighbors, and the grid value is a closed form, so
+    36*value is an exact integer the twin computes directly (the float
+    kernel lands within ulps; round(36*v) bridges them). Exercises the
+    smoothing-spline weights, normalization, and edge clamping."""
+    from gdal_ray.raster.kernels import interpolate_at_point_cubicspline
+
+    from ray.data.aggregate import Sum
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        rows = {"img_key": [], "n_px": [], "sum_36v": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k).astype(np.float64)
+            h, w = g.shape
+            cc, rr = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+            vals = interpolate_at_point_cubicspline(g, cc.ravel(), rr.ravel())
+            rows["img_key"].append(k)
+            rows["n_px"].append(vals.size)
+            rows["sum_36v"].append(int(np.round(36.0 * vals).sum()))
+        return pa.table({
+            "img_key": pa.array(rows["img_key"], pa.int64()),
+            "n_px": pa.array(rows["n_px"], pa.int64()),
+            "sum_36v": pa.array(rows["sum_36v"], pa.int64()),
+        })
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_36v", alias_name="sum_36v"),
         )
         .sort("img_key")
     )
