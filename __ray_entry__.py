@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_color_relief_lattice": RL.q_color_relief_lattice,
         "q_overview_rms_lattice": RL.q_overview_rms_lattice,
         "q_bspline_lattice": RL.q_bspline_lattice,
+        "q_gauss_lattice": RL.q_gauss_lattice,
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
@@ -1276,6 +1277,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY img_key, ty, tx
         """,
         # same identity-round-trip shape through the GeoPackage driver
+        # gauss overview: 144*value = (144/den)*binomial numerator, both
+        # integers for every truncated window (den in 16/12/9)
+        "q_gauss_lattice": """
+            WITH dims AS (SELECT s_suppkey AS k,
+                                 16 + s_suppkey % 7 AS w,
+                                 12 + s_suppkey % 5 AS h
+                          FROM supplier),
+                 dst AS (SELECT k, w, h, i, j
+                         FROM dims,
+                              generate_series(0, 7) t1(i),
+                              generate_series(0, 10) t2(j)
+                         WHERE i < h // 2 AND j < w // 2),
+                 taps AS (SELECT k, i, j,
+                                 (CASE WHEN di = 1 THEN 2 ELSE 1 END)
+                                 * (CASE WHEN dj = 1 THEN 2 ELSE 1 END)
+                                     AS wt,
+                                 2 * i + di AS rr, 2 * j + dj AS cc
+                          FROM dst,
+                               generate_series(0, 2) t3(di),
+                               generate_series(0, 2) t4(dj)
+                          WHERE 2 * i + di < h AND 2 * j + dj < w),
+                 px AS (SELECT k, i, j,
+                               SUM(wt * ((k*7 + rr*13 + cc*5) % 251))
+                                   AS num,
+                               SUM(wt) AS den
+                        FROM taps GROUP BY k, i, j)
+            SELECT CAST(k AS BIGINT) AS img_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM((144 // den) * num) AS BIGINT) AS sum_144v
+            FROM px GROUP BY k ORDER BY img_key
+        """,
         # B-spline point read at pixel centers: 36*value is the [1,4,1]^2
         # binomial over edge-clamped closed-form neighbors
         "q_bspline_lattice": """

@@ -50,6 +50,7 @@ __all__ = [
     "q_color_relief_lattice",
     "q_overview_rms_lattice",
     "q_bspline_lattice",
+    "q_gauss_lattice",
     "grid_for_key",
     "GRID_SQL",
 ]
@@ -746,6 +747,45 @@ def q_bspline_lattice(sf_dir: str):
         .aggregate(
             Sum("n_px", alias_name="n_px"),
             Sum("sum_36v", alias_name="sum_36v"),
+        )
+        .sort("img_key")
+    )
+
+
+def q_gauss_lattice(sf_dir: str):
+    """GAUSS overview kernel (raster/kernels.resample_gauss, factor 2)
+    with a SQL twin: the 3x3 binomial numerator and the edge-truncated
+    weight sum are both integers, and every possible truncated weight sum
+    (16 interior, 12 edge, 9 corner) divides 144 — so 144*value is an
+    exact integer the twin computes directly; round() bridges the float
+    kernel's ulps. Covers the window placement, truncation, and
+    renormalization rules of GDALResampleChunk_Gauss."""
+    from gdal_ray.raster.kernels import resample_gauss
+
+    from ray.data.aggregate import Sum
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        rows = {"img_key": [], "n_px": [], "sum_144v": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            g = grid_for_key(k).astype(np.float64)
+            out = resample_gauss(g, 2)
+            rows["img_key"].append(k)
+            rows["n_px"].append(out.size)
+            rows["sum_144v"].append(int(np.round(144.0 * out).sum()))
+        return pa.table({
+            "img_key": pa.array(rows["img_key"], pa.int64()),
+            "n_px": pa.array(rows["n_px"], pa.int64()),
+            "sum_144v": pa.array(rows["sum_144v"], pa.int64()),
+        })
+
+    return (
+        _suppliers(sf_dir)
+        .map_batches(per_key, batch_format="pyarrow")
+        .groupby("img_key")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_144v", alias_name="sum_144v"),
         )
         .sort("img_key")
     )
