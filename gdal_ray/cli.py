@@ -26,6 +26,35 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H
         [--burn V] [--extent minx miny maxx maxy] [--compress ...]
 
+The gdal-utils script suite (cli_utils.py):
+
+    python -m gdal_ray addo <src.tif> 2 4 8 [-r average|nearest|mode|rms|
+        gauss|cubic]                       # gdaladdo -> external .ovr
+    python -m gdal_ray dumpoverviews <src[.ovr]> [--out prefix]
+    python -m gdal_ray nearblack <src> <dst> [--near N] [--white]
+        [--floodfill] [--set-value V]
+    python -m gdal_ray pansharpen <pan.tif> <ms.tif> <dst.tif>
+        [--weights a,b,c] [--bit-depth N]
+    python -m gdal_ray polygonize <src.tif> <dst-vector> [--nodata V]
+        [--connect8]
+    python -m gdal_ray footprint <src.tif> <dst-vector> [--nodata V]
+    python -m gdal_ray merge <dst.tif> <a.tif> [b.tif ...] [--nodata V]
+    python -m gdal_ray calc --calc "A*2 + sqrt(B)" -A a.tif [-B b.tif ...]
+        <dst.tif> [--type float32] [--nodata V]
+    python -m gdal_ray rgb2pct <src> <dst.(png|tif)> [--colors N]
+        [--method fs|ordered|nearest]
+    python -m gdal_ray pct2rgb <src.(png|tif)> <dst>
+    python -m gdal_ray gdal2xyz <src.tif> <dst.(xyz|csv|parquet)>
+    python -m gdal_ray transform -s_srs EPSG:4326 -t_srs EPSG:3857 x y [x y ..]
+    python -m gdal_ray compare <a.tif> <b.tif>           # gdalcompare
+    python -m gdal_ray gdal2tiles <src.tif> <out_dir> --zoom zmin zmax [--tms]
+    python -m gdal_ray retile <src.tif> <out_dir> --ps W H
+    python -m gdal_ray ogrmerge <dst> <src1> [src2 ...]
+    python -m gdal_ray create <dst.tif> --size W H [--burn V] [--gt 6 vals]
+        [--epsg N] [--type float32] [--nodata V]
+    python -m gdal_ray manage identify|copy|rename|delete <path> [dst]
+    python -m gdal_ray edit <file.tif> [--gt 6 vals] [--epsg N] [--nodata V]
+
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
 .geojsons (GeoJSONSeq directory or file), .csv (CSV layer), .parquet.
@@ -95,6 +124,10 @@ def _vector_write(ds, path: str):
         from gdal_ray.sources.shapefile import write_shapefile
 
         return write_shapefile(ds, path[:-4])
+    if ext == ".geojson":
+        from gdal_ray.sources.geojson import write_geojson
+
+        return write_geojson(ds, path)
     if ext in (".geojsonl", ".geojsons"):
         from gdal_ray.sources.geojson import write_geojsonseq
 
@@ -848,8 +881,157 @@ def main(argv=None):
             raise SystemExit("rasterize needs --size W H")
         print(json.dumps(cmd_rasterize(pos[0], pos[1], size, burn,
                                        extent, compress)))
+    elif cmd in _UTIL_COMMANDS:
+        print(json.dumps(_dispatch_util(cmd, args), default=str))
     else:
         raise SystemExit(f"unknown command {cmd!r}\n{__doc__}")
+
+
+_UTIL_COMMANDS = {
+    "addo", "dumpoverviews", "nearblack", "pansharpen", "polygonize",
+    "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
+    "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
+    "manage", "edit",
+}
+
+
+def _split_flags(args, flag_spec):
+    """(positional, flags) for {--flag: n_values} specs; n=0 -> boolean."""
+    pos, flags = [], {}
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in flag_spec:
+            n = flag_spec[a]
+            key = a.lstrip("-").replace("-", "_")
+            if n == 0:
+                flags[key] = True
+                i += 1
+            elif n == 1:
+                flags[key] = args[i + 1]
+                i += 2
+            else:
+                flags[key] = args[i + 1:i + 1 + n]
+                i += 1 + n
+        else:
+            pos.append(a)
+            i += 1
+    return pos, flags
+
+
+def _dispatch_util(cmd: str, args: list):
+    from gdal_ray import cli_utils as U
+
+    if cmd == "addo":
+        pos, fl = _split_flags(args, {"-r": 1})
+        return U.cmd_addo(pos[0], pos[1:] or [2, 4, 8],
+                          resample=fl.get("r", "average"))
+    if cmd == "dumpoverviews":
+        pos, fl = _split_flags(args, {"--out": 1})
+        return U.cmd_dumpoverviews(pos[0], fl.get("out"))
+    if cmd == "nearblack":
+        pos, fl = _split_flags(args, {"--near": 1, "--white": 0,
+                                      "--floodfill": 0, "--set-value": 1})
+        return U.cmd_nearblack(
+            pos[0], pos[1], near=int(fl.get("near", 15)),
+            white=bool(fl.get("white")), floodfill=bool(fl.get("floodfill")),
+            set_value=int(fl["set_value"]) if "set_value" in fl else None)
+    if cmd == "pansharpen":
+        pos, fl = _split_flags(args, {"--weights": 1, "--bit-depth": 1})
+        weights = ([float(v) for v in fl["weights"].split(",")]
+                   if "weights" in fl else None)
+        return U.cmd_pansharpen(pos[0], pos[1], pos[2], weights=weights,
+                                bit_depth=int(fl.get("bit_depth", 8)))
+    if cmd == "polygonize":
+        pos, fl = _split_flags(args, {"--nodata": 1, "--connect8": 0})
+        return U.cmd_polygonize(
+            pos[0], pos[1],
+            nodata=float(fl["nodata"]) if "nodata" in fl else None,
+            connect8=bool(fl.get("connect8")))
+    if cmd == "footprint":
+        pos, fl = _split_flags(args, {"--nodata": 1})
+        return U.cmd_footprint(
+            pos[0], pos[1],
+            nodata=float(fl["nodata"]) if "nodata" in fl else None)
+    if cmd == "merge":
+        pos, fl = _split_flags(args, {"--nodata": 1, "--compress": 1})
+        return U.cmd_merge(
+            pos[0], pos[1:],
+            nodata=float(fl["nodata"]) if "nodata" in fl else None,
+            compress=fl.get("compress", "deflate"))
+    if cmd == "calc":
+        spec = {"--calc": 1, "--type": 1, "--nodata": 1, "--compress": 1}
+        spec.update({f"-{c}": 1 for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"})
+        pos, fl = _split_flags(args, spec)
+        inputs = {k: v for k, v in fl.items() if len(k) == 1}
+        if "calc" not in fl or not inputs or len(pos) != 1:
+            raise SystemExit('calc needs --calc "expr", -A file.tif, '
+                             "and one output path")
+        return U.cmd_calc(fl["calc"], inputs, pos[0],
+                          out_dtype=fl.get("type"),
+                          nodata=float(fl["nodata"]) if "nodata" in fl
+                          else None,
+                          compress=fl.get("compress", "deflate"))
+    if cmd == "rgb2pct":
+        pos, fl = _split_flags(args, {"--colors": 1, "--method": 1})
+        return U.cmd_rgb2pct(pos[0], pos[1],
+                             n_colors=int(fl.get("colors", 256)),
+                             method=fl.get("method", "fs"))
+    if cmd == "pct2rgb":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_pct2rgb(pos[0], pos[1])
+    if cmd == "gdal2xyz":
+        pos, fl = _split_flags(args, {"--skip-nodata": 0})
+        return U.cmd_gdal2xyz(pos[0], pos[1],
+                              skip_nodata=bool(fl.get("skip_nodata")))
+    if cmd == "transform":
+        pos, fl = _split_flags(args, {"-s_srs": 1, "-t_srs": 1})
+        coords = [float(v) for v in pos]
+        return U.cmd_transform(fl.get("s_srs", "EPSG:4326"),
+                               fl.get("t_srs", "EPSG:4326"), coords)
+    if cmd == "compare":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_compare(pos[0], pos[1])
+    if cmd == "gdal2tiles":
+        pos, fl = _split_flags(args, {"--zoom": 2, "--tms": 0})
+        zmin, zmax = ([int(v) for v in fl["zoom"]] if "zoom" in fl
+                      else [0, 3])
+        return U.cmd_gdal2tiles(pos[0], pos[1], zmin, zmax,
+                                xyz=not fl.get("tms"))
+    if cmd == "retile":
+        pos, fl = _split_flags(args, {"--ps": 2})
+        if "ps" not in fl:
+            raise SystemExit("retile needs --ps W H")
+        return U.cmd_retile(pos[0], pos[1], int(fl["ps"][0]),
+                            int(fl["ps"][1]))
+    if cmd == "ogrmerge":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_ogrmerge(pos[0], pos[1:])
+    if cmd == "create":
+        pos, fl = _split_flags(args, {"--size": 2, "--burn": 1, "--gt": 6,
+                                      "--epsg": 1, "--type": 1,
+                                      "--nodata": 1})
+        if "size" not in fl:
+            raise SystemExit("create needs --size W H")
+        return U.cmd_create(
+            pos[0], int(fl["size"][0]), int(fl["size"][1]),
+            burn=float(fl.get("burn", 0.0)),
+            gt=[float(v) for v in fl["gt"]] if "gt" in fl else None,
+            epsg=int(fl["epsg"]) if "epsg" in fl else None,
+            dtype=fl.get("type", "float32"),
+            nodata=float(fl["nodata"]) if "nodata" in fl else None)
+    if cmd == "manage":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_manage(pos[0], pos[1],
+                            pos[2] if len(pos) > 2 else None)
+    if cmd == "edit":
+        pos, fl = _split_flags(args, {"--gt": 6, "--epsg": 1, "--nodata": 1})
+        return U.cmd_edit(
+            pos[0],
+            gt=[float(v) for v in fl["gt"]] if "gt" in fl else None,
+            epsg=int(fl["epsg"]) if "epsg" in fl else None,
+            nodata=float(fl["nodata"]) if "nodata" in fl else None)
+    raise SystemExit(f"unknown util {cmd!r}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,705 @@
+"""The gdal-utils script suite over the engine's own drivers — the
+reference ships these as standalone tools (``apps/gdaladdo.cpp``,
+``apps/nearblack_*.cpp``, ``swig/python/gdal-utils/osgeo_utils/
+{gdal_calc,gdal_merge,gdal_polygonize,gdal_pansharpen,rgb2pct,pct2rgb,
+gdal2xyz,gdal2tiles,gdal_retile,ogrmerge,gdalcompare,gdal_edit}.py``,
+``apps/gdal_create.cpp``, ``apps/gdalmanage.cpp``,
+``apps/gdaltransform.cpp``, ``apps/gdal_footprint_lib.cpp``,
+``apps/dumpoverviews.cpp``).
+
+Each command re-expresses the tool over this engine's kernels: the
+raster I/O is the pure-python GeoTIFF/PNG codecs, vector output goes
+through whichever driver the extension selects, and anything that maps
+onto an existing distributed pipeline (gdal2tiles over a corpus) calls
+that pipeline rather than a scalar loop.
+
+CLI-scale commands (single rasters) read the full image in the driver
+process — the distributed forms of the same kernels live in
+``pipelines/`` and are what the registry queries run.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import shutil
+
+import numpy as np
+
+from gdal_ray.cli import (_ensure_ray, _read_full_tiff, _read_raster_any,
+                          _vector_read, _vector_write, _write_raster_any)
+
+__all__ = [
+    "cmd_addo", "cmd_nearblack", "cmd_pansharpen", "cmd_polygonize",
+    "cmd_footprint", "cmd_merge", "cmd_calc", "cmd_rgb2pct", "cmd_pct2rgb",
+    "cmd_gdal2xyz", "cmd_transform", "cmd_compare", "cmd_gdal2tiles",
+    "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
+    "cmd_dumpoverviews",
+]
+
+
+# --------------------------------------------------------------------------
+# gdaladdo — external .ovr overviews (multi-IFD TIFF)
+# --------------------------------------------------------------------------
+
+def _overview_level(arr: np.ndarray, factor: int, resample: str) -> np.ndarray:
+    from gdal_ray.raster import kernels as K
+
+    if resample in ("average", "avg"):
+        return K.resample_average(arr, factor)
+    if resample in ("nearest", "near"):
+        return K.resample_nearest_factor(arr, factor)
+    if resample == "rms":
+        return K.resample_rms(arr, factor)
+    if resample == "mode":
+        return K.resample_mode(arr, factor)
+    if resample == "gauss":
+        return K.resample_gauss(arr, factor)
+    if resample == "cubic":
+        h, w = arr.shape[:2]
+        out = K.resample_cubic(arr.astype(np.float64), h // factor, w // factor)
+        return (K.cast_clip(out, arr.dtype)
+                if np.issubdtype(arr.dtype, np.integer) else out)
+    raise SystemExit(f"unsupported overview resampling {resample!r}")
+
+
+def cmd_addo(src: str, factors, resample: str = "average") -> dict:
+    """gdaladdo -ro: build external overviews ``<src>.ovr`` — a TIFF whose
+    IFD k holds the level-k reduced image (the reference's external
+    overview layout, gcore/gdaldefaultoverviews.cpp)."""
+    from gdal_ray.io.tiff import write_geotiff_multi
+
+    arr, hdr = _read_full_tiff(src)
+    gt = list(hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    images = []
+    for f in factors:
+        f = int(f)
+        if f < 2:
+            raise SystemExit("overview factors must be >= 2")
+        lvl = _overview_level(arr, f, resample)
+        lgt = [gt[0], gt[1] * f, gt[2] * f, gt[3], gt[4] * f, gt[5] * f]
+        images.append((lvl, lgt))
+    out = src + ".ovr"
+    write_geotiff_multi(out, images, epsg=hdr["epsg"])
+    return {"dst": out, "levels": [list(i[0].shape[:2]) for i in images],
+            "resample": resample}
+
+
+def cmd_dumpoverviews(src: str, out_prefix: str | None = None) -> dict:
+    """apps/dumpoverviews.cpp: list (and optionally extract) every image
+    in a multi-IFD TIFF / .ovr file."""
+    from gdal_ray.io.tiff import read_tiff_ifds, write_geotiff
+
+    ovr = src if src.endswith(".ovr") or not os.path.exists(src + ".ovr") \
+        else src + ".ovr"
+    hdrs = read_tiff_ifds(ovr)
+    levels = []
+    for k, h in enumerate(hdrs):
+        levels.append({"level": k, "w": h["w"], "h": h["h"],
+                       "dtype": str(h["dtype"]),
+                       "compression": h["compression"]})
+        if out_prefix is not None:
+            arr = _read_full_ifd(ovr, h)
+            write_geotiff(f"{out_prefix}_{k}.tif", arr,
+                          h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+                          epsg=h["epsg"])
+    return {"src": ovr, "levels": levels}
+
+
+def _read_full_ifd(path: str, h: dict) -> np.ndarray:
+    from gdal_ray.io.tiff import read_tile
+
+    buf = open(path, "rb").read()
+    full = np.zeros((h["n_tiles_y"] * h["tile_h"],
+                     h["n_tiles_x"] * h["tile_w"], h["spp"]), dtype=h["dtype"])
+    for i in range(len(h["offsets"])):
+        ty, tx = divmod(i, h["n_tiles_x"])
+        t = read_tile(buf, h, i)
+        full[ty * h["tile_h"]:(ty + 1) * h["tile_h"],
+             tx * h["tile_w"]:(tx + 1) * h["tile_w"]] = (
+            t if t.ndim == 3 else t[:, :, None])
+    arr = full[: h["h"], : h["w"]]
+    return arr[:, :, 0] if h["spp"] == 1 else arr
+
+
+# --------------------------------------------------------------------------
+# nearblack / pansharpen
+# --------------------------------------------------------------------------
+
+def cmd_nearblack(src: str, dst: str, near: int = 15, white: bool = False,
+                  floodfill: bool = False, set_value: int | None = None,
+                  compress: str = "deflate") -> dict:
+    """nearblack (apps/nearblack_lib.cpp): scrub the near-black (or
+    near-white) collar; --floodfill uses the connected-region variant."""
+    from gdal_ray.raster import kernels as K
+
+    arr, gt, epsg = _read_raster_any(src)
+    squeeze = arr.ndim == 2
+    img = arr[:, :, None] if squeeze else arr
+    sv = set_value if set_value is not None else (255 if white else 0)
+    fn = K.nearblack_floodfill if floodfill else K.nearblack
+    out, changed = fn(img, threshold=near, set_value=sv, white=white)
+    if squeeze:
+        out = out[:, :, 0]
+    _write_raster_any(dst, out, gt, epsg=epsg, compress=compress)
+    return {"dst": dst, "changed": changed,
+            "white": white, "floodfill": floodfill}
+
+
+def cmd_pansharpen(pan_path: str, ms_path: str, dst: str, weights=None,
+                   bit_depth: int = 8, compress: str = "deflate") -> dict:
+    """gdal_pansharpen.py / alg/gdalpansharpen.cpp: weighted-Brovey
+    pansharpening of a chunky multispectral image with a panchromatic
+    band."""
+    from gdal_ray.raster.kernels import pansharpen_brovey
+
+    pan, pan_hdr = _read_full_tiff(pan_path)
+    ms, _ = _read_full_tiff(ms_path)
+    if ms.ndim == 2:
+        ms = ms[:, :, None]
+    out = pansharpen_brovey(ms, pan, weights=weights, bit_depth=bit_depth)
+    gt = list(pan_hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    _write_raster_any(dst, out, gt, epsg=pan_hdr["epsg"], compress=compress)
+    return {"dst": dst, "shape": list(out.shape)}
+
+
+# --------------------------------------------------------------------------
+# polygonize / footprint
+# --------------------------------------------------------------------------
+
+def cmd_polygonize(src: str, dst: str, nodata: float | None = None,
+                   connect8: bool = False) -> dict:
+    """gdal_polygonize.py (alg/polygonize.cpp): region-trace the raster
+    into value polygons, written through a vector driver with DN + area
+    attributes."""
+    import pandas as pd
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import encode_polygon
+    from gdal_ray.raster.polygonize import polygonize_array
+
+    arr, gt, _ = _read_raster_any(src)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    if nodata is None:
+        from gdal_ray.io.tiff import read_tiff_header
+
+        try:
+            nodata = read_tiff_header(src)["nodata"]
+        except (ValueError, OSError):
+            nodata = None
+    polys = polygonize_array(arr, gt=tuple(gt), nodata=nodata,
+                             connect8=connect8)
+    rows = []
+    for i, p in enumerate(polys):
+        rows.append({
+            "fid": i,
+            "DN": float(p["value"]),
+            "pixel_count": int(p["pixel_count"]),
+            "area": float(GO.polygon_area(p["rings"])),
+            "geometry": encode_polygon(p["rings"]),
+        })
+    _ensure_ray()
+    import ray.data as rd
+
+    n = len(rows)
+    if n:
+        _vector_write(rd.from_pandas(pd.DataFrame(rows)), dst)
+    return {"dst": dst, "polygons": n}
+
+
+def cmd_footprint(src: str, dst: str, nodata: float | None = None) -> dict:
+    """gdal_footprint (apps/gdal_footprint_lib.cpp:1268): ONE multipolygon
+    of the valid-data footprint (validity = not-nodata when the file or
+    flag defines nodata, else non-zero)."""
+    import pandas as pd
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import encode_multipolygon
+    from gdal_ray.raster.polygonize import polygonize_array
+
+    arr, gt, _ = _read_raster_any(src)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    if nodata is None:
+        from gdal_ray.io.tiff import read_tiff_header
+
+        try:
+            nodata = read_tiff_header(src)["nodata"]
+        except (ValueError, OSError):
+            nodata = None
+    valid = (arr != nodata) if nodata is not None else (arr != 0)
+    polys = polygonize_array(valid.astype(np.int32), gt=tuple(gt), nodata=0)
+    parts = [p["rings"] for p in polys]
+    area = float(sum(GO.polygon_area(r) for r in parts))
+    _ensure_ray()
+    import ray.data as rd
+
+    if parts:
+        row = {"fid": 0, "area": area, "n_parts": len(parts),
+               "location": os.path.abspath(src),
+               "geometry": encode_multipolygon(parts)}
+        _vector_write(rd.from_pandas(pd.DataFrame([row])), dst)
+    return {"dst": dst, "parts": len(parts), "area": area}
+
+
+# --------------------------------------------------------------------------
+# gdal_merge — mosaic into one raster (later-wins, like the reference)
+# --------------------------------------------------------------------------
+
+def cmd_merge(dst: str, srcs: list, nodata: float | None = None,
+              compress: str = "deflate") -> dict:
+    """gdal_merge.py: paint the inputs into their union grid in argument
+    order (later files overwrite) — the same later-wins rule as the VRT
+    mosaic, which this reuses."""
+    import tempfile
+
+    from gdal_ray.sources.vrt import build_vrt, read_vrt, vrt_mosaic
+
+    tmp = tempfile.mktemp(suffix=".vrt")
+    try:
+        build_vrt(srcs, tmp, nodata=nodata)
+        arr, gt = vrt_mosaic(tmp)
+        epsg = read_vrt(tmp)["epsg"]
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    _write_raster_any(dst, arr, gt, epsg=epsg, compress=compress)
+    return {"dst": dst, "size": [int(arr.shape[1]), int(arr.shape[0])],
+            "inputs": len(srcs)}
+
+
+# --------------------------------------------------------------------------
+# gdal_calc — whitelisted numpy expression over lettered inputs
+# --------------------------------------------------------------------------
+
+_CALC_FUNCS = {
+    "sqrt": np.sqrt, "abs": np.abs, "absolute": np.abs, "exp": np.exp,
+    "log": np.log, "log10": np.log10, "sin": np.sin, "cos": np.cos,
+    "tan": np.tan, "arctan": np.arctan, "arctan2": np.arctan2,
+    "minimum": np.minimum, "maximum": np.maximum, "where": np.where,
+    "logical_and": np.logical_and, "logical_or": np.logical_or,
+    "logical_not": np.logical_not, "logical_xor": np.logical_xor,
+    "floor": np.floor, "ceil": np.ceil, "power": np.power,
+    "clip": np.clip, "round": np.round, "sum": np.sum, "mean": np.mean,
+    "fmod": np.fmod, "hypot": np.hypot, "sign": np.sign,
+    "isnan": np.isnan, "nan_to_num": np.nan_to_num,
+}
+
+_CALC_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.Compare, ast.BoolOp,
+    ast.Call, ast.Name, ast.Constant, ast.Load,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod, ast.Pow,
+    ast.USub, ast.UAdd, ast.Invert, ast.Not,
+    ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.BitAnd, ast.BitOr, ast.BitXor, ast.And, ast.Or,
+    ast.Tuple, ast.keyword,
+)
+
+
+def calc_eval(expr: str, bands: dict) -> np.ndarray:
+    """gdal_calc.py's numpy-expression semantics, compiled through an
+    ast whitelist instead of eval: names are the lettered inputs (A..Z)
+    plus the whitelisted numpy functions — nothing else parses."""
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        if not isinstance(node, _CALC_NODES):
+            raise SystemExit(
+                f"calc: disallowed syntax {type(node).__name__!r} in {expr!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or \
+                    node.func.id not in _CALC_FUNCS:
+                raise SystemExit("calc: only whitelisted numpy functions "
+                                 f"are callable ({sorted(_CALC_FUNCS)})")
+        if isinstance(node, ast.Name) and node.id not in _CALC_FUNCS \
+                and node.id not in bands:
+            raise SystemExit(f"calc: unknown input {node.id!r}")
+    env = dict(_CALC_FUNCS)
+    env.update(bands)
+    code = compile(tree, "<calc>", "eval")
+    return np.asarray(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+
+
+def cmd_calc(expr: str, inputs: dict, dst: str, out_dtype: str | None = None,
+             nodata: float | None = None, compress: str = "deflate") -> dict:
+    """gdal_calc.py: raster algebra over lettered inputs. All inputs must
+    share a grid (the reference requires matching dimensions too)."""
+    from gdal_ray.io.tiff import write_geotiff
+
+    bands = {}
+    gt, epsg = None, None
+    shape = None
+    for name, path in inputs.items():
+        arr, g, e = _read_raster_any(path)
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        if shape is None:
+            shape, gt, epsg = arr.shape, g, e
+        elif arr.shape != shape:
+            raise SystemExit(
+                f"calc: input {name} shape {arr.shape} != {shape}")
+        bands[name] = arr
+    out = calc_eval(expr, bands)
+    if out.shape != shape:
+        raise SystemExit(f"calc: expression result shape {out.shape} "
+                         f"!= input shape {shape}")
+    if out_dtype:
+        out = out.astype(np.dtype(out_dtype))
+    elif out.dtype == np.bool_:
+        out = out.astype(np.uint8)
+    write_geotiff(dst, out, gt, epsg=epsg, compress=compress, nodata=nodata)
+    return {"dst": dst, "dtype": str(out.dtype),
+            "min": float(np.nanmin(out)), "max": float(np.nanmax(out))}
+
+
+# --------------------------------------------------------------------------
+# rgb2pct / pct2rgb
+# --------------------------------------------------------------------------
+
+def _read_image_any(path: str):
+    """RGB(A) image + (gt, epsg) from .tif/.png."""
+    if path.lower().endswith(".png"):
+        from gdal_ray.io.codec import decode_png
+
+        return decode_png(open(path, "rb").read()), None, None
+    arr, hdr = _read_full_tiff(path)
+    return arr, list(hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]), \
+        hdr["epsg"]
+
+
+def cmd_rgb2pct(src: str, dst: str, n_colors: int = 256,
+                method: str = "fs") -> dict:
+    """rgb2pct.py: median-cut quantization to <=256 colors; .png output is
+    a real color-type-3 palette PNG, .tif output a palette (photometric 3
+    + ColorMap) GeoTIFF."""
+    from gdal_ray.raster.color import quantize_image
+
+    img, gt, epsg = _read_image_any(src)
+    if img.ndim != 3 or img.shape[2] < 3:
+        raise SystemExit("rgb2pct needs an RGB input")
+    pal, idx = quantize_image(img[:, :, :3], n_colors=n_colors, method=method)
+    if dst.lower().endswith(".png"):
+        from gdal_ray.io.codec import encode_png_palette
+
+        open(dst, "wb").write(encode_png_palette(idx.astype(np.uint8), pal))
+    else:
+        from gdal_ray.io.tiff import write_geotiff
+
+        write_geotiff(dst, idx.astype(np.uint8),
+                      gt or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+                      epsg=epsg, colormap=pal)
+    return {"dst": dst, "colors": int(pal.shape[0]), "method": method}
+
+
+def cmd_pct2rgb(src: str, dst: str, compress: str = "deflate") -> dict:
+    """pct2rgb.py: expand a palette image back to RGB. Palette PNGs expand
+    in the decoder; palette GeoTIFFs expand through the ColorMap tag."""
+    if src.lower().endswith(".png"):
+        from gdal_ray.io.codec import decode_png
+
+        rgb = decode_png(open(src, "rb").read())
+        gt, epsg = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0], None
+    else:
+        from gdal_ray.io.tiff import read_tiff_header
+
+        hdr = read_tiff_header(src)
+        if hdr["colormap"] is None:
+            raise SystemExit("pct2rgb: input has no palette")
+        idx, _ = _read_full_tiff(src)
+        rgb = hdr["colormap"][idx]
+        gt, epsg = list(hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]), \
+            hdr["epsg"]
+    if dst.lower().endswith(".png"):
+        from gdal_ray.io.codec import encode_png
+
+        open(dst, "wb").write(encode_png(rgb))
+    else:
+        _write_raster_any(dst, rgb, gt, epsg=epsg, compress=compress)
+    return {"dst": dst, "shape": list(rgb.shape)}
+
+
+# --------------------------------------------------------------------------
+# gdal2xyz / gdaltransform / gdalcompare
+# --------------------------------------------------------------------------
+
+def cmd_gdal2xyz(src: str, dst: str, skip_nodata: bool = False) -> dict:
+    """gdal2xyz.py: one ``x y z`` row per pixel (centers), to .xyz/.csv
+    text or .parquet."""
+    arr, gt, _ = _read_raster_any(src)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    h, w = arr.shape
+    cols, rows_ = np.meshgrid(np.arange(w), np.arange(h))
+    xs = gt[0] + (cols + 0.5) * gt[1] + (rows_ + 0.5) * gt[2]
+    ys = gt[3] + (cols + 0.5) * gt[4] + (rows_ + 0.5) * gt[5]
+    x, y, z = xs.ravel(), ys.ravel(), arr.ravel()
+    if skip_nodata:
+        from gdal_ray.io.tiff import read_tiff_header
+
+        try:
+            nd = read_tiff_header(src)["nodata"]
+        except (ValueError, OSError):
+            nd = None
+        if nd is not None:
+            keep = z != nd
+            x, y, z = x[keep], y[keep], z[keep]
+    if dst.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"x": x, "y": y, "z": z}), dst)
+    else:
+        sep = "," if dst.endswith(".csv") else " "
+        with open(dst, "w") as fh:
+            if dst.endswith(".csv"):
+                fh.write("x,y,z\n")
+            for xi, yi, zi in zip(x, y, z):
+                fh.write(f"{xi:.10g}{sep}{yi:.10g}{sep}{zi:.10g}\n")
+    return {"dst": dst, "rows": int(z.size)}
+
+
+def cmd_transform(s_srs: str, t_srs: str, coords: list) -> list:
+    """gdaltransform: reproject coordinate pairs (built-in projection set
+    + the pyproj seam, same resolution order as warp)."""
+    from gdal_ray.raster.warp import _fwd
+
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    ox, oy = _fwd(pts[:, 0], pts[:, 1], s_srs, t_srs)
+    return [[float(a), float(b)] for a, b in zip(np.atleast_1d(ox),
+                                                 np.atleast_1d(oy))]
+
+
+def cmd_compare(a_path: str, b_path: str) -> dict:
+    """gdalcompare.py: structural + pixel comparison of two rasters.
+    ``same`` mirrors the reference's zero-differences exit condition."""
+    from gdal_ray.raster.checksum import checksum_image
+
+    a, gta, ea = _read_raster_any(a_path)
+    b, gtb, eb = _read_raster_any(b_path)
+    rep = {
+        "same_size": list(a.shape) == list(b.shape),
+        "same_gt": np.allclose(gta, gtb),
+        "same_epsg": ea == eb,
+        "checksum_a": int(checksum_image(a if a.ndim == 2 else a[:, :, 0])),
+        "checksum_b": int(checksum_image(b if b.ndim == 2 else b[:, :, 0])),
+    }
+    if rep["same_size"]:
+        diff = a.astype(np.float64) - b.astype(np.float64)
+        rep["pixels_differing"] = int((diff != 0).sum())
+        rep["max_abs_diff"] = float(np.abs(diff).max()) if diff.size else 0.0
+    rep["same"] = bool(rep["same_size"] and rep["same_gt"]
+                       and rep["same_epsg"]
+                       and rep.get("pixels_differing", 1) == 0)
+    return rep
+
+
+# --------------------------------------------------------------------------
+# gdal2tiles — z/x/y.png tree for one raster
+# --------------------------------------------------------------------------
+
+def cmd_gdal2tiles(src: str, out_dir: str, z_min: int, z_max: int,
+                   xyz: bool = True) -> dict:
+    """gdal2tiles.py for a single georeferenced raster: nearest-neighbor
+    base tiles from the source grid at every requested zoom (the
+    reference samples the source per tile the same way), written as a
+    z/x/y.png tree + a TMS-style metadata file.
+
+    The corpus-scale distributed form of this is
+    ``pipelines/tiling.tile_pyramid`` + ``export_tile_tree``; this
+    command covers the single-file tool shape."""
+    from gdal_ray.geo import mercator as M
+    from gdal_ray.io.codec import encode_png
+    from gdal_ray.io.tiff import read_tiff_header
+    from gdal_ray.pipelines.tiling import _render_one
+
+    hdr = read_tiff_header(src)
+    gt = hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    srs = f"EPSG:{hdr['epsg']}" if hdr["epsg"] else "EPSG:3857"
+    if srs not in ("EPSG:4326", "EPSG:3857"):
+        raise SystemExit("gdal2tiles takes EPSG:4326/3857 input — "
+                         "warp first (the reference warps internally)")
+    arr = _read_full_ifd(src, hdr)
+    if arr.ndim == 2:  # grayscale -> RGB for the tile tree
+        g8 = arr.astype(np.float64)
+        rng = g8.max() - g8.min()
+        g8 = ((g8 - g8.min()) / (rng if rng else 1.0) * 255.0).astype(np.uint8)
+        arr = np.dstack([g8, g8, g8])
+    # source corners in mercator meters
+    xs = [gt[0], gt[0] + hdr["w"] * gt[1]]
+    ys = [gt[3] + hdr["h"] * gt[5], gt[3]]
+    if srs == "EPSG:4326":
+        mx, my = M.latlon_to_meters(np.array([ys[0], ys[1]]),
+                                    np.array([xs[0], xs[1]]))
+        xs, ys = sorted(mx.tolist()), sorted(my.tolist())
+    n_tiles = 0
+    for z in range(z_min, z_max + 1):
+        tx0, ty0 = M.meters_to_tile(xs[0] + 1e-9, ys[0] + 1e-9, z)
+        tx1, ty1 = M.meters_to_tile(xs[1] - 1e-9, ys[1] - 1e-9, z)
+        for tx in range(int(tx0), int(tx1) + 1):
+            for ty_tms in range(int(ty0), int(ty1) + 1):
+                res = _render_one(arr, gt, srs, z, tx, ty_tms)
+                if res is None:
+                    continue
+                tile, _mask = res
+                ty_out = M.tms_to_xyz(ty_tms, z) if xyz else ty_tms
+                d = os.path.join(out_dir, str(z), str(tx))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{ty_out}.png"), "wb") as fh:
+                    fh.write(encode_png(tile))
+                n_tiles += 1
+    meta = {"profile": "mercator", "scheme": "xyz" if xyz else "tms",
+            "minzoom": z_min, "maxzoom": z_max, "format": "png"}
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return {"dst": out_dir, "tiles": n_tiles, **meta}
+
+
+# --------------------------------------------------------------------------
+# gdal_retile / ogrmerge / gdal_create / gdalmanage / gdal_edit
+# --------------------------------------------------------------------------
+
+def cmd_retile(src: str, out_dir: str, ps_w: int, ps_h: int,
+               compress: str = "deflate") -> dict:
+    """gdal_retile.py: cut the raster into ps_w x ps_h tiles named
+    <base>_<row>_<col>.tif plus a CSV tile index (the reference writes an
+    OGR index layer; the CSV goes through the CSV layer driver's
+    schema: location + WKT footprint)."""
+    from gdal_ray.io.tiff import write_geotiff
+
+    arr, gt, epsg = _read_raster_any(src)
+    base = os.path.splitext(os.path.basename(src))[0]
+    os.makedirs(out_dir, exist_ok=True)
+    h, w = arr.shape[:2]
+    rows = []
+    for r, y0 in enumerate(range(0, h, ps_h)):
+        for c, x0 in enumerate(range(0, w, ps_w)):
+            sub = arr[y0:y0 + ps_h, x0:x0 + ps_w]
+            sgt = [gt[0] + x0 * gt[1] + y0 * gt[2], gt[1], gt[2],
+                   gt[3] + x0 * gt[4] + y0 * gt[5], gt[4], gt[5]]
+            name = f"{base}_{r + 1}_{c + 1}.tif"
+            write_geotiff(os.path.join(out_dir, name), sub, sgt, epsg=epsg,
+                          compress=compress)
+            xs = [sgt[0], sgt[0] + sub.shape[1] * sgt[1]]
+            ys = [sgt[3] + sub.shape[0] * sgt[5], sgt[3]]
+            wkt = (f"POLYGON (({xs[0]} {ys[1]}, {xs[1]} {ys[1]}, "
+                   f"{xs[1]} {ys[0]}, {xs[0]} {ys[0]}, {xs[0]} {ys[1]}))")
+            rows.append(f'"{name}","{wkt}"')
+    with open(os.path.join(out_dir, base + "_index.csv"), "w") as fh:
+        fh.write("location,wkt\n")
+        fh.write("\n".join(rows) + "\n")
+    return {"dst": out_dir, "tiles": len(rows),
+            "index": base + "_index.csv"}
+
+
+def cmd_ogrmerge(dst: str, srcs: list) -> dict:
+    """ogrmerge.py -single: append every input layer into one output
+    layer, aligning schemas (missing fields -> NULL) and tagging each
+    row's source."""
+    import pandas as pd
+
+    _ensure_ray()
+    frames = []
+    for p in srcs:
+        df = _vector_read(p).to_pandas()
+        df["source"] = os.path.basename(p)
+        frames.append(df)
+    merged = pd.concat(frames, ignore_index=True, sort=False)
+    import ray.data as rd
+
+    _vector_write(rd.from_pandas(merged), dst)
+    return {"dst": dst, "rows": int(len(merged)), "inputs": len(srcs)}
+
+
+def cmd_create(dst: str, w: int, h: int, burn: float = 0.0, gt=None,
+               epsg: int | None = None, dtype: str = "float32",
+               nodata: float | None = None,
+               compress: str = "deflate") -> dict:
+    """gdal_create (apps/gdal_create.cpp): a new raster of constant
+    value."""
+    from gdal_ray.io.tiff import write_geotiff
+
+    arr = np.full((int(h), int(w)), burn, dtype=np.dtype(dtype))
+    gt = list(gt) if gt else [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    write_geotiff(dst, arr, gt, epsg=epsg, compress=compress, nodata=nodata)
+    return {"dst": dst, "size": [int(w), int(h)], "burn": burn}
+
+
+_SIDECARS = [".ovr", ".tfw", ".wld", ".aux.xml"]
+_SHP_PARTS = [".shp", ".shx", ".dbf", ".prj"]
+
+
+def _dataset_files(path: str) -> list:
+    base, ext = os.path.splitext(path)
+    files = [path] if os.path.exists(path) else []
+    if ext.lower() == ".shp":
+        files = [base + e for e in _SHP_PARTS if os.path.exists(base + e)]
+    for sc in _SIDECARS:
+        if os.path.exists(path + sc):
+            files.append(path + sc)
+        if os.path.exists(base + sc):
+            files.append(base + sc)
+    return sorted(set(files))
+
+
+def cmd_manage(op: str, path: str, dst: str | None = None) -> dict:
+    """gdalmanage / gdal dataset identify|copy|rename|delete
+    (apps/gdalalg_dataset_*.cpp): operate on a dataset AND its sidecar
+    files as one unit."""
+    if op == "identify":
+        ext = os.path.splitext(path)[1].lower()
+        fmt = {".tif": "GTiff", ".tiff": "GTiff", ".asc": "AAIGrid",
+               ".xyz": "XYZ", ".vrt": "VRT", ".png": "PNG",
+               ".shp": "ESRI Shapefile", ".gpkg": "GPKG",
+               ".geojson": "GeoJSON", ".geojsonl": "GeoJSONSeq",
+               ".csv": "CSV", ".parquet": "Parquet"}.get(ext, "unknown")
+        if fmt == "GTiff" and os.path.exists(path):
+            magic = open(path, "rb").read(4)
+            if magic[:2] not in (b"II", b"MM"):
+                fmt = "unknown"
+        return {"path": path, "driver": fmt,
+                "files": _dataset_files(path)}
+    files = _dataset_files(path)
+    if not files:
+        raise SystemExit(f"manage: no dataset at {path}")
+    if op == "delete":
+        for f in files:
+            os.remove(f)
+        return {"deleted": files}
+    if op in ("copy", "rename"):
+        if dst is None:
+            raise SystemExit(f"manage {op} needs a destination")
+        sbase = os.path.splitext(path)[0]
+        dbase = os.path.splitext(dst)[0]
+        moved = []
+        for f in files:
+            target = dbase + f[len(sbase):] if f.startswith(sbase) else dst
+            if op == "copy":
+                shutil.copyfile(f, target)
+            else:
+                os.replace(f, target)
+            moved.append(target)
+        return {op: moved}
+    raise SystemExit(f"manage: unknown op {op!r}")
+
+
+def cmd_edit(path: str, gt=None, epsg: int | None = None,
+             nodata: float | None = None) -> dict:
+    """gdal_edit.py: change a GeoTIFF's georeferencing / nodata in place
+    (the file is rewritten through the codec with the same pixels —
+    documented deviation from the reference's tag patch; byte layout may
+    differ, pixels and tags read back identically)."""
+    from gdal_ray.io.tiff import read_tiff_header, write_geotiff
+
+    hdr = read_tiff_header(path)
+    arr, _ = _read_full_tiff(path)
+    new_gt = list(gt) if gt else list(hdr["gt"] or
+                                      [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    new_epsg = epsg if epsg is not None else hdr["epsg"]
+    new_nodata = nodata if nodata is not None else hdr["nodata"]
+    compress = {8: "deflate", 5: "lzw", 32773: "packbits",
+                1: "none"}.get(hdr["compression"], "deflate")
+    write_geotiff(path, arr, new_gt, epsg=new_epsg, compress=compress,
+                  nodata=new_nodata, colormap=hdr["colormap"])
+    return {"dst": path, "gt": new_gt, "epsg": new_epsg,
+            "nodata": new_nodata}

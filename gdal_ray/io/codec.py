@@ -72,6 +72,27 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_png_palette(indexes: np.ndarray, palette: np.ndarray,
+                       level: int = 6) -> bytes:
+    """(H,W) uint8 index image + (n<=256, 3) uint8 palette -> color-type-3
+    PNG (PLTE chunk). The decoder side (decode_png) expands palettes, so
+    a round trip returns the RGB expansion."""
+    idx = np.ascontiguousarray(indexes, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("palette PNG takes a 2-D index image")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = idx
+    idat = zlib.compress(raw.tobytes(), level)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+
 def _paeth(a, b, c):
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa = np.abs(p - a)

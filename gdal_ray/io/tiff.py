@@ -27,7 +27,8 @@ import zlib
 
 import numpy as np
 
-__all__ = ["read_tiff_header", "read_tile", "write_geotiff",
+__all__ = ["read_tiff_header", "read_tiff_ifds", "read_tile",
+           "write_geotiff", "write_geotiff_multi",
            "read_world_file", "write_world_file"]
 
 
@@ -72,8 +73,11 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
              12: "d"}
 
 
-def _read_ifd(buf: bytes, bo: str):
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+def _read_ifd(buf: bytes, bo: str, ifd_off: int | None = None):
+    """Parse one IFD. Returns (tags, next_ifd_offset); ``ifd_off=None``
+    starts at the header's first-IFD pointer."""
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
     (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags = {}
     for i in range(n):
@@ -92,13 +96,11 @@ def _read_ifd(buf: bytes, bo: str):
             if fmt is None:
                 continue
             tags[tag] = list(struct.unpack_from(bo + fmt * cnt, buf, off))
-    return tags
+    (next_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + 12 * n)
+    return tags, next_off
 
 
-def read_tiff_header(path: str) -> dict:
-    """Parse the IFD + geo tags. Returns {w, h, dtype, tile_w, tile_h,
-    offsets, bytecounts, compression, predictor, gt, epsg, bo, tiled,
-    n_tiles_x, n_tiles_y}."""
+def _read_head_buf(path: str):
     with open(path, "rb") as fh:
         head = fh.read(8)
         if head[:2] == b"II" and head[2] == 42:
@@ -115,7 +117,37 @@ def read_tiff_header(path: str) -> dict:
         if ifd_off + 6 > len(buf):
             fh.seek(0)
             buf = fh.read()
-    t = _read_ifd(buf, bo)
+    return buf, bo
+
+
+def read_tiff_header(path: str) -> dict:
+    """Parse the first IFD + geo tags. Returns {w, h, dtype, tile_w,
+    tile_h, offsets, bytecounts, compression, predictor, gt, epsg, bo,
+    tiled, n_tiles_x, n_tiles_y, nodata}."""
+    buf, bo = _read_head_buf(path)
+    t, _ = _read_ifd(buf, bo)
+    return _hdr_from_tags(t, bo, path)
+
+
+def read_tiff_ifds(path: str) -> list:
+    """Every IFD in the chain as a header dict — multi-image TIFFs are
+    how the reference stores external overviews (``.ovr``,
+    gcore/gdaldefaultoverviews.cpp): IFD k = overview level k."""
+    buf, bo = _read_head_buf(path)
+    out = []
+    off = None
+    while True:
+        t, nxt = _read_ifd(buf, bo, off)
+        out.append(_hdr_from_tags(t, bo, path))
+        if not nxt:
+            return out
+        if nxt + 6 > len(buf):  # chain ran past the sniffed head
+            with open(path, "rb") as fh:
+                buf = fh.read()
+        off = nxt
+
+
+def _hdr_from_tags(t: dict, bo: str, path: str) -> dict:
     w, h = t[256][0], t[257][0]
     spp = int(t.get(277, [1])[0])
     if spp > 1 and t.get(284, [1])[0] != 1:
@@ -155,12 +187,23 @@ def read_tiff_header(path: str) -> dict:
             if key in (3072, 2048) and loc == 0:
                 epsg = int(val)
                 break
+    nodata = None
+    if 42113 in t:  # GDAL_NODATA ASCII tag (frmts/gtiff/geotiff.cpp)
+        try:
+            nodata = float(str(t[42113]).strip())
+        except ValueError:
+            pass
+    colormap = None
+    if 320 in t:  # palette image: 3 * 2^bits SHORTs, R block then G then B
+        cm = np.asarray(t[320], dtype=np.uint16).reshape(3, -1).T
+        colormap = (cm // 257).astype(np.uint8)
     return {
+        "colormap": colormap,
         "w": int(w), "h": int(h), "dtype": dtype, "tile_w": int(tile_w),
         "tile_h": int(tile_h), "offsets": [int(o) for o in offsets],
         "bytecounts": [int(c) for c in counts], "compression": int(comp),
         "predictor": int(pred), "gt": gt, "epsg": epsg, "bo": bo,
-        "tiled": tiled, "spp": spp,
+        "tiled": tiled, "spp": spp, "nodata": nodata,
         "n_tiles_x": (int(w) + int(tile_w) - 1) // int(tile_w),
         "n_tiles_y": (int(h) + int(tile_h) - 1) // int(tile_h),
     }
@@ -317,9 +360,9 @@ def read_tile(path_or_bytes, hdr: dict, idx: int) -> np.ndarray:
     return arr
 
 
-def _pack_tags(entries, data_start):
+def _pack_tags(entries, data_start, next_off: int = 0):
     """entries: [(tag, type, values|bytes)] sorted -> (ifd bytes, out-of
-    line data bytes)."""
+    line data bytes). ``next_off`` chains multi-image files (.ovr)."""
     ifd = struct.pack("<H", len(entries))
     blob = b""
     for tag, typ, vals in sorted(entries):
@@ -337,15 +380,15 @@ def _pack_tags(entries, data_start):
                 "<I", data_start + len(blob)
             )
             blob += payload
-    ifd += struct.pack("<I", 0)  # no next IFD
+    ifd += struct.pack("<I", next_off)
     return ifd, blob
 
 
-def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
-                  tile: int = 256, compress: str = "deflate") -> None:
-    """(H, W) or chunky (H, W, bands) array -> tiled GeoTIFF
-    (little-endian, Deflate or uncompressed; multi-band uses
-    PlanarConfig=1 with RGB photometric for >=3 bands)."""
+def _image_segment(arr: np.ndarray, gt, epsg, tile: int, compress: str,
+                   seg_start: int, next_off: int, nodata=None,
+                   colormap=None) -> bytes:
+    """One image's [IFD][out-of-line data][tiles] bytes, laid out at
+    absolute file offset ``seg_start`` with the next-IFD pointer set."""
     arr = np.ascontiguousarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -381,13 +424,24 @@ def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
     gkd = [1, 1, 0, 2,
            1024, 0, 1, 2 if is_geographic else 1,
            2048 if is_geographic else 3072, 0, 1, int(epsg or 32767)]
+    photometric = 2 if spp >= 3 else 1
+    if colormap is not None:
+        if spp != 1 or dt.itemsize != 1:
+            raise ValueError("palette TIFF needs a single uint8 band")
+        photometric = 3  # palette color
     entries = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [dt.itemsize * 8] * spp),
-        (259, 3, [comp_tag]), (262, 3, [2 if spp >= 3 else 1]),
+        (259, 3, [comp_tag]), (262, 3, [photometric]),
         (277, 3, [spp]), (284, 3, [1]),
         (322, 3, [tile]), (323, 3, [tile]),
         (339, 3, [sfmt] * spp),
     ]
+    if colormap is not None:
+        # TIFF ColorMap: 3 * 2^bits SHORTs, 8-bit values scaled by 257
+        pal = np.zeros((256, 3), dtype=np.uint16)
+        cm = np.asarray(colormap, dtype=np.uint16)
+        pal[: cm.shape[0]] = cm * 257
+        entries.append((320, 3, [int(v) for v in pal.T.ravel()]))
     if spp > 3:
         # unassociated alpha / extra channels (TIFF tag ExtraSamples)
         entries.append((338, 3, [2] * (spp - 3)))
@@ -396,10 +450,13 @@ def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
         (33922, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]),
         (34735, 3, gkd),
     ]
+    if nodata is not None:
+        # GDAL_NODATA ASCII tag (frmts/gtiff/geotiff.cpp)
+        entries.append((42113, 2, repr(float(nodata)).encode("ascii")))
     # two passes: sizes first (offsets depend on IFD size), then final
     n_entries = len(entries) + 2  # + tile offsets/bytecounts tags
     ifd_size = 2 + 12 * n_entries + 4
-    data_start = 8 + ifd_size
+    data_start = seg_start + ifd_size
     probe_entries = entries + [
         (324, 4, [0] * len(tiles)), (325, 4, [len(t) for t in tiles]),
     ]
@@ -412,11 +469,44 @@ def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
     final_entries = entries + [
         (324, 4, offs), (325, 4, [len(t) for t in tiles]),
     ]
-    ifd, blob = _pack_tags(final_entries, data_start)
+    ifd, blob = _pack_tags(final_entries, data_start, next_off)
     assert len(ifd) == ifd_size
+    return ifd + blob + b"".join(tiles)
+
+
+def write_geotiff(path: str, arr: np.ndarray, gt, epsg: int | None = None,
+                  tile: int = 256, compress: str = "deflate",
+                  nodata=None, colormap=None) -> None:
+    """(H, W) or chunky (H, W, bands) array -> tiled GeoTIFF
+    (little-endian, Deflate or uncompressed; multi-band uses
+    PlanarConfig=1 with RGB photometric for >=3 bands; ``colormap``
+    (n<=256, 3) uint8 writes a palette image)."""
     with open(path, "wb") as fh:
         fh.write(b"II*\x00" + struct.pack("<I", 8))
-        fh.write(ifd)
-        fh.write(blob)
-        for t in tiles:
-            fh.write(t)
+        fh.write(_image_segment(arr, gt, epsg, tile, compress, 8, 0,
+                                nodata=nodata, colormap=colormap))
+
+
+def write_geotiff_multi(path: str, images, epsg: int | None = None,
+                        tile: int = 256, compress: str = "deflate",
+                        nodata=None) -> None:
+    """Multi-image TIFF: ``images`` = [(arr, gt), ...], one chained IFD
+    per image — the layout of the reference's external overview files
+    (``.ovr``, gcore/gdaldefaultoverviews.cpp builds a TIFF whose IFD k
+    holds overview level k)."""
+    if not images:
+        raise ValueError("write_geotiff_multi needs at least one image")
+    segs = []
+    seg_start = 8
+    for arr, gt in images:
+        # next_off value doesn't change the segment SIZE; probe with 0
+        probe = _image_segment(arr, gt, epsg, tile, compress, seg_start, 0,
+                               nodata=nodata)
+        segs.append((arr, gt, seg_start, len(probe)))
+        seg_start += len(probe)
+    with open(path, "wb") as fh:
+        fh.write(b"II*\x00" + struct.pack("<I", 8))
+        for i, (arr, gt, start, size) in enumerate(segs):
+            nxt = segs[i + 1][2] if i + 1 < len(segs) else 0
+            fh.write(_image_segment(arr, gt, epsg, tile, compress, start,
+                                    nxt, nodata=nodata))

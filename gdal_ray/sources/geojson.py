@@ -45,6 +45,7 @@ __all__ = [
     "read_geojson",
     "read_geojsonseq",
     "write_geojsonseq",
+    "write_geojson",
 ]
 
 _WKB_POINT = 1
@@ -253,3 +254,39 @@ def write_geojsonseq(ds, out_dir: str, fields: list[str] | None = None):
         return pd.DataFrame({"shard": [shard], "n": [len(lines)]})
 
     return ds.map_batches(write_shard, batch_format="pandas", batch_size=None)
+
+
+def write_geojson(ds, path: str, fields: list[str] | None = None) -> int:
+    """Dataset (fid, geometry: WKB, properties) -> ONE FeatureCollection
+    file (the reference's GeoJSON driver writes a single document too —
+    the format is unsplittable, so this is a driver-side small write;
+    use write_geojsonseq for partitioned output). Returns feature count."""
+    df = ds.to_pandas()
+    names = fields or [c for c in df.columns if c not in ("fid", "geometry")]
+    feats = []
+    for _, row in df.iterrows():
+        props = {}
+        for c in names:
+            v = row[c]
+            if isinstance(v, (np.integer,)):
+                v = int(v)
+            elif isinstance(v, (np.floating,)):
+                v = float(v)
+            elif v is not None and pd.isna(v):
+                v = None
+            props[c] = v
+        feat = {
+            "type": "Feature",
+            "geometry": wkb_to_geojson(row["geometry"]),
+            "properties": props,
+        }
+        fid = row.get("fid")
+        if fid is not None and not pd.isna(fid):
+            feat["id"] = int(fid)
+        feats.append(feat)
+    doc = {"type": "FeatureCollection", "features": feats}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, separators=(",", ":"))
+    os.replace(tmp, path)
+    return len(feats)

@@ -1,0 +1,342 @@
+"""gdal-utils script suite (gdal_ray/cli_utils.py): gdaladdo, nearblack,
+pansharpen, polygonize, footprint, gdal_merge, gdal_calc, rgb2pct /
+pct2rgb, gdal2xyz, gdaltransform, gdalcompare, gdal2tiles, gdal_retile,
+ogrmerge, gdal_create, gdalmanage, gdal_edit — each against a scalar
+oracle (the tool's published semantics over the same pixels)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray import cli_utils as U
+from gdal_ray.cli import main
+from gdal_ray.io.tiff import (read_tiff_header, read_tiff_ifds,
+                              write_geotiff)
+
+GT = [500000.0, 10.0, 0.0, 4000000.0, 0.0, -10.0]
+
+
+def _full(path, hdr=None):
+    from gdal_ray.cli_utils import _read_full_ifd
+
+    return _read_full_ifd(path, hdr or read_tiff_header(path))
+
+
+@pytest.fixture
+def tif(tmp_path):
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 4000, (128, 192)).astype("uint16")
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, a, GT, epsg=32633, tile=64)
+    return p, a
+
+
+def test_addo_overviews_and_dump(tif, tmp_path):
+    p, a = tif
+    res = U.cmd_addo(p, [2, 4], resample="average")
+    assert res["dst"] == p + ".ovr"
+    hdrs = read_tiff_ifds(p + ".ovr")
+    assert [(h["h"], h["w"]) for h in hdrs] == [(64, 96), (32, 48)]
+    # level 1 pixels == the average kernel applied directly
+    from gdal_ray.raster.kernels import resample_average
+
+    lvl0 = _full(p + ".ovr", hdrs[0])
+    assert np.array_equal(lvl0, resample_average(a, 2))
+    # geotransform scaled by the factor
+    assert hdrs[0]["gt"][1] == GT[1] * 2
+    assert hdrs[1]["gt"][5] == GT[5] * 4
+    dump = U.cmd_dumpoverviews(p, str(tmp_path / "lvl"))
+    assert [lv["w"] for lv in dump["levels"]] == [96, 48]
+    assert os.path.exists(str(tmp_path / "lvl_1.tif"))
+
+
+def test_addo_every_kernel(tif):
+    p, a = tif
+    for r in ("nearest", "mode", "rms", "gauss", "cubic"):
+        res = U.cmd_addo(p, [2], resample=r)
+        assert read_tiff_ifds(res["dst"])[0]["w"] == 96
+
+
+def test_nearblack(tmp_path):
+    a = np.full((40, 60), 200, dtype=np.uint8)
+    a[:, :5] = 3  # near-black collar
+    p = str(tmp_path / "n.tif")
+    write_geotiff(p, a, GT)
+    out = str(tmp_path / "nb.tif")
+    res = U.cmd_nearblack(p, out, near=15)
+    arr = _full(out)
+    assert (arr[:, :5] == 0).all() and (arr[:, 5:] == 200).all()
+    assert res["changed"] == 5 * 40
+
+
+def test_pansharpen(tmp_path):
+    rng = np.random.default_rng(5)
+    ms = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    pan = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    pms = str(tmp_path / "ms.tif")
+    ppan = str(tmp_path / "pan.tif")
+    write_geotiff(pms, ms, [0, 2, 0, 0, 0, -2])
+    write_geotiff(ppan, pan, [0, 1, 0, 0, 0, -1])
+    out = str(tmp_path / "sharp.tif")
+    res = U.cmd_pansharpen(ppan, pms, out)
+    assert res["shape"] == [64, 64, 3]
+    from gdal_ray.raster.kernels import pansharpen_brovey
+
+    assert np.array_equal(_full(out), pansharpen_brovey(ms, pan))
+
+
+def test_polygonize_and_footprint(tmp_path, ray_session):
+    a = np.zeros((20, 30), dtype=np.int32)
+    a[2:8, 3:13] = 7      # 6x10 region of value 7
+    a[12:18, 20:25] = 9   # 6x5 region of value 9
+    p = str(tmp_path / "r.tif")
+    write_geotiff(p, a, [0.0, 1.0, 0.0, 20.0, 0.0, -1.0], nodata=0)
+    out = str(tmp_path / "polys.geojson")
+    res = U.cmd_polygonize(p, out, nodata=0)
+    assert res["polygons"] == 2
+    from gdal_ray.sources.geojson import read_geojson
+
+    df = read_geojson(out).to_pandas().sort_values("DN")
+    assert list(df["DN"]) == [7.0, 9.0]
+    assert list(df["pixel_count"]) == [60, 30]
+    assert list(df["area"]) == [60.0, 30.0]
+
+    fp = str(tmp_path / "foot.geojson")
+    res2 = U.cmd_footprint(p, fp)
+    assert res2["parts"] == 2 and res2["area"] == 90.0
+
+
+def test_merge_later_wins(tmp_path):
+    a = np.full((10, 10), 1, dtype=np.uint8)
+    b = np.full((10, 10), 2, dtype=np.uint8)
+    pa_ = str(tmp_path / "a.tif")
+    pb = str(tmp_path / "b.tif")
+    write_geotiff(pa_, a, [0.0, 1.0, 0.0, 10.0, 0.0, -1.0])
+    # b overlaps the right half of a
+    write_geotiff(pb, b, [5.0, 1.0, 0.0, 10.0, 0.0, -1.0])
+    out = str(tmp_path / "m.tif")
+    res = U.cmd_merge(out, [pa_, pb])
+    assert res["size"] == [15, 10]
+    m = _full(out)
+    assert (m[:, :5] == 1).all() and (m[:, 5:] == 2).all()
+
+
+def test_calc_expressions(tif, tmp_path):
+    p, a = tif
+    out = str(tmp_path / "c.tif")
+    res = U.cmd_calc("where(A > 2000, A * 2, 0) + sqrt(A)", {"A": p}, out)
+    expect = np.where(a > 2000, a.astype(np.float64) * 2, 0) + np.sqrt(
+        a.astype(np.float64))
+    got = _full(out)
+    assert np.allclose(got, expect, rtol=1e-6)
+    # numpy's sqrt(uint16) promotes to float32 — gdal_calc matches numpy
+    assert res["dtype"] == "float32"
+    # two inputs
+    out2 = str(tmp_path / "c2.tif")
+    U.cmd_calc("maximum(A, B)", {"A": p, "B": p}, out2, out_dtype="uint16")
+    assert np.array_equal(_full(out2), a)
+
+
+def test_calc_rejects_unsafe():
+    with pytest.raises(SystemExit):
+        U.calc_eval("__import__('os')", {})
+    with pytest.raises(SystemExit):
+        U.calc_eval("A.sum()", {"A": np.ones(3)})
+    with pytest.raises(SystemExit):
+        U.calc_eval("open('x')", {})
+
+
+def test_rgb2pct_pct2rgb_png_and_tif(tmp_path):
+    rng = np.random.default_rng(7)
+    # few distinct colors -> quantization is exact
+    base = np.array([[10, 20, 30], [200, 100, 50], [0, 255, 128],
+                     [255, 0, 0]], dtype=np.uint8)
+    img = base[rng.integers(0, 4, (32, 48))]
+    src = str(tmp_path / "rgb.tif")
+    write_geotiff(src, img, GT, epsg=32633)
+    # tif -> palette tif -> rgb tif round trip
+    pal_tif = str(tmp_path / "pal.tif")
+    res = U.cmd_rgb2pct(src, pal_tif, n_colors=8, method="nearest")
+    assert res["colors"] <= 8
+    hdr = read_tiff_header(pal_tif)
+    assert hdr["colormap"] is not None
+    back = str(tmp_path / "back.tif")
+    U.cmd_pct2rgb(pal_tif, back)
+    # median-cut palette entries are 5-bit histogram-bin centers, so the
+    # round trip is within the bin radius (the reference's octree is
+    # approximate the same way), and 4 distinct colors stay 4 colors
+    got = _full(back)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 4
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) == 4
+    # png palette path agrees with the tif path byte-for-byte
+    pal_png = str(tmp_path / "pal.png")
+    U.cmd_rgb2pct(src, pal_png, n_colors=8, method="nearest")
+    back2 = str(tmp_path / "back2.tif")
+    U.cmd_pct2rgb(pal_png, back2)
+    assert np.array_equal(_full(back2), got)
+
+
+def test_gdal2xyz(tmp_path):
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "z.tif")
+    write_geotiff(p, a, [0.0, 1.0, 0.0, 3.0, 0.0, -1.0])
+    out = str(tmp_path / "z.csv")
+    res = U.cmd_gdal2xyz(p, out)
+    assert res["rows"] == 12
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "x,y,z"
+    # first pixel center: (0.5, 2.5), value 0
+    assert lines[1].split(",") == ["0.5", "2.5", "0"]
+    # parquet output
+    outp = str(tmp_path / "z.parquet")
+    U.cmd_gdal2xyz(p, outp)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(outp)
+    assert t.num_rows == 12 and t.column("z").to_pylist()[5] == 5.0
+
+
+def test_transform_roundtrip():
+    pts = U.cmd_transform("EPSG:4326", "EPSG:3857", [12.5, 41.9])
+    from gdal_ray.geo.mercator import latlon_to_meters
+
+    mx, my = latlon_to_meters(41.9, 12.5)
+    assert pts[0] == pytest.approx([float(mx), float(my)])
+    back = U.cmd_transform("EPSG:3857", "EPSG:4326",
+                           [pts[0][0], pts[0][1]])
+    assert back[0] == pytest.approx([12.5, 41.9], abs=1e-9)
+
+
+def test_compare(tif, tmp_path):
+    p, a = tif
+    res = U.cmd_compare(p, p)
+    assert res["same"] and res["pixels_differing"] == 0
+    b = a.copy()
+    b[0, 0] += 1
+    p2 = str(tmp_path / "b.tif")
+    write_geotiff(p2, b, GT, epsg=32633)
+    res2 = U.cmd_compare(p, p2)
+    assert not res2["same"]
+    assert res2["pixels_differing"] == 1 and res2["max_abs_diff"] == 1.0
+
+
+def test_gdal2tiles_tree(tmp_path):
+    # small world-ish extent in 3857 so low zooms cover it
+    a = np.random.default_rng(3).integers(0, 255, (64, 64, 3)).astype(
+        np.uint8)
+    p = str(tmp_path / "w.tif")
+    ext = 20037508.342789244
+    write_geotiff(p, a, [-ext, 2 * ext / 64, 0.0, ext, 0.0, -2 * ext / 64],
+                  epsg=3857)
+    out = str(tmp_path / "tiles")
+    res = U.cmd_gdal2tiles(p, out, 0, 1)
+    # z0: 1 tile, z1: 4 tiles
+    assert res["tiles"] == 5
+    assert os.path.exists(os.path.join(out, "0", "0", "0.png"))
+    assert os.path.exists(os.path.join(out, "1", "1", "1.png"))
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["scheme"] == "xyz"
+    from gdal_ray.io.codec import decode_png
+
+    t = decode_png(open(os.path.join(out, "0", "0", "0.png"), "rb").read())
+    assert t.shape == (256, 256, 3)
+
+
+def test_retile(tif, tmp_path):
+    p, a = tif
+    out = str(tmp_path / "tiles")
+    res = U.cmd_retile(p, out, 100, 100)
+    assert res["tiles"] == 4  # 192x128 in 100x100 blocks -> 2x2
+    t11 = _full(os.path.join(out, "in_1_1.tif"))
+    assert np.array_equal(t11, a[:100, :100])
+    t22 = _full(os.path.join(out, "in_2_2.tif"))
+    assert np.array_equal(t22, a[100:, 100:])
+    idx = open(os.path.join(out, "in_index.csv")).read().splitlines()
+    assert idx[0] == "location,wkt" and len(idx) == 5
+    # second tile's geotransform shifted by 100 px
+    h = read_tiff_header(os.path.join(out, "in_1_2.tif"))
+    assert h["gt"][0] == GT[0] + 100 * GT[1]
+
+
+def test_ogrmerge(tmp_path, ray_session):
+    fc = lambda vals: {"type": "FeatureCollection", "features": [  # noqa
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [float(v), 0.0]},
+         "properties": {"v": v}} for v in vals]}
+    p1 = tmp_path / "a.geojson"
+    p2 = tmp_path / "b.geojson"
+    p1.write_text(json.dumps(fc([1, 2])))
+    p2.write_text(json.dumps(fc([3])))
+    out = str(tmp_path / "m.geojson")
+    res = U.cmd_ogrmerge(out, [str(p1), str(p2)])
+    assert res["rows"] == 3
+    from gdal_ray.sources.geojson import read_geojson
+
+    df = read_geojson(out).to_pandas()
+    assert sorted(df["v"]) == [1, 2, 3]
+    assert set(df["source"]) == {"a.geojson", "b.geojson"}
+
+
+def test_create_manage_edit(tmp_path):
+    p = str(tmp_path / "c.tif")
+    U.cmd_create(p, 30, 20, burn=5.5, gt=GT, epsg=32633, nodata=-1)
+    hdr = read_tiff_header(p)
+    assert (hdr["w"], hdr["h"]) == (30, 20)
+    assert hdr["nodata"] == -1.0
+    assert (_full(p) == 5.5).all()
+
+    ident = U.cmd_manage("identify", p)
+    assert ident["driver"] == "GTiff"
+    p2 = str(tmp_path / "c2.tif")
+    U.cmd_manage("copy", p, p2)
+    assert os.path.exists(p2)
+    p3 = str(tmp_path / "c3.tif")
+    U.cmd_manage("rename", p2, p3)
+    assert os.path.exists(p3) and not os.path.exists(p2)
+    U.cmd_manage("delete", p3)
+    assert not os.path.exists(p3)
+
+    # edit: move origin + change nodata, pixels identical
+    res = U.cmd_edit(p, gt=[1.0, 2.0, 0.0, 5.0, 0.0, -2.0], nodata=9)
+    hdr2 = read_tiff_header(p)
+    assert hdr2["gt"][:2] == [1.0, 2.0] and hdr2["nodata"] == 9.0
+    assert hdr2["epsg"] == 32633
+    assert (_full(p) == 5.5).all()
+    assert res["nodata"] == 9
+
+
+def test_manage_shapefile_unit(tmp_path, ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo.wkb import encode_point
+    from gdal_ray.sources.shapefile import write_shapefile
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"geometry": [encode_point(1.0, 2.0)], "v": [1]}))
+    base = str(tmp_path / "pts")
+    write_shapefile(ds, base)
+    ident = U.cmd_manage("identify", base + ".shp")
+    assert ident["driver"] == "ESRI Shapefile"
+    assert len(ident["files"]) >= 3  # .shp + .shx + .dbf
+    U.cmd_manage("delete", base + ".shp")
+    assert not os.path.exists(base + ".shx")
+
+
+def test_main_dispatch_utils(tif, tmp_path, capsys):
+    p, a = tif
+    main(["addo", p, "2", "-r", "nearest"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["levels"] == [[64, 96]]
+    main(["compare", p, p])
+    assert json.loads(capsys.readouterr().out)["same"]
+    main(["transform", "-s_srs", "EPSG:4326", "-t_srs", "EPSG:3857",
+          "0", "0"])
+    pts = json.loads(capsys.readouterr().out)
+    assert pts[0] == [0.0, 0.0] or abs(pts[0][0]) < 1e-6
+    dst = str(tmp_path / "m.tif")
+    main(["calc", "--calc", "A + 1", "-A", p, dst, "--type", "uint16"])
+    assert json.loads(capsys.readouterr().out)["dtype"] == "uint16"
+    assert np.array_equal(_full(dst), a + 1)
