@@ -54,6 +54,9 @@ The gdal-utils script suite (cli_utils.py):
         [--epsg N] [--type float32] [--nodata V]
     python -m gdal_ray manage identify|copy|rename|delete <path> [dst]
     python -m gdal_ray edit <file.tif> [--gt 6 vals] [--epsg N] [--nodata V]
+    python -m gdal_ray layeralg intersection|union|symdifference|identity|
+        erase|update <input-vector> <method-vector> <dst>
+    python -m gdal_ray srsinfo <srs>    # EPSG:xxxx | LCC:... | PSTA:... etc
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -891,7 +894,7 @@ _UTIL_COMMANDS = {
     "addo", "dumpoverviews", "nearblack", "pansharpen", "polygonize",
     "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
-    "manage", "edit",
+    "manage", "edit", "layeralg", "srsinfo",
 }
 
 
@@ -1031,6 +1034,12 @@ def _dispatch_util(cmd: str, args: list):
             gt=[float(v) for v in fl["gt"]] if "gt" in fl else None,
             epsg=int(fl["epsg"]) if "epsg" in fl else None,
             nodata=float(fl["nodata"]) if "nodata" in fl else None)
+    if cmd == "layeralg":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_layer_algebra(pos[0], pos[1], pos[2], pos[3])
+    if cmd == "srsinfo":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_srsinfo(pos[0])
     raise SystemExit(f"unknown util {cmd!r}")
 
 

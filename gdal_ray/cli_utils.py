@@ -35,7 +35,7 @@ __all__ = [
     "cmd_footprint", "cmd_merge", "cmd_calc", "cmd_rgb2pct", "cmd_pct2rgb",
     "cmd_gdal2xyz", "cmd_transform", "cmd_compare", "cmd_gdal2tiles",
     "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
-    "cmd_dumpoverviews",
+    "cmd_dumpoverviews", "cmd_layer_algebra", "cmd_srsinfo",
 ]
 
 
@@ -703,3 +703,156 @@ def cmd_edit(path: str, gt=None, epsg: int | None = None,
                   nodata=new_nodata, colormap=hdr["colormap"])
     return {"dst": path, "gt": new_gt, "epsg": new_epsg,
             "nodata": new_nodata}
+
+
+# --------------------------------------------------------------------------
+# ogr_layer_algebra / gdalsrsinfo
+# --------------------------------------------------------------------------
+
+def cmd_layer_algebra(op: str, input_path: str, method_path: str,
+                      dst: str) -> dict:
+    """ogr_layer_algebra.py over the distributed layer kernels
+    (geo/layerops.py, geo/booleanops.py).
+
+    ``intersection``/``clip`` emit real geometries (one (Multi)Polygon per
+    intersecting pair, like the reference's Intersection); the reduction
+    ops (union / symdifference / identity / erase / update) emit the
+    engine's distributed area table (fid, src in {A,B,AB}, area) — the
+    same rows the q_union/q_symdiff gate twins check — to a tabular
+    output (.parquet/.csv)."""
+    from gdal_ray.cli import _ensure_ray, _vector_read, _vector_write
+
+    _ensure_ray()
+
+    def as_layer(path):
+        import pandas as pd
+
+        df = _vector_read(path).to_pandas()
+        fid = (df["fid"].astype(str) if "fid" in df.columns
+               else pd.Series(np.arange(len(df)).astype(str)))
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"fid": fid, "wkb": df["geometry"]}))
+
+    la, lb = as_layer(input_path), as_layer(method_path)
+    op = op.lower()
+    if op in ("intersection", "clip"):
+        import pandas as pd
+
+        from gdal_ray.geo import geomops as GO
+        from gdal_ray.geo.booleanops import polygon_intersection
+        from gdal_ray.geo.layerops import cross_side_candidates
+        from gdal_ray.geo.wkb import (decode_polygons, encode_multipolygon,
+                                      encode_polygon)
+
+        def inter(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = {"fid_a": [], "fid_b": [], "area": [], "geometry": []}
+            for _, r in batch.iterrows():
+                pieces = []
+                for ra in decode_polygons(bytes(r["wkb_a"])):
+                    for rb in decode_polygons(bytes(r["wkb_b"])):
+                        pieces.extend(polygon_intersection(ra[0], rb[0]))
+                pieces = [p for p in pieces if abs(GO.ring_area(p)) > 1e-12]
+                if not pieces:
+                    continue
+                rows["fid_a"].append(r["fid_a"])
+                rows["fid_b"].append(r["fid_b"])
+                rows["area"].append(
+                    float(sum(abs(GO.ring_area(p)) for p in pieces)))
+                rows["geometry"].append(
+                    encode_polygon([pieces[0]]) if len(pieces) == 1
+                    else encode_multipolygon([[p] for p in pieces]))
+            return pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in rows.items()})
+
+        pairs = cross_side_candidates(la, lb).map_batches(
+            inter, batch_format="pandas")
+        # candidates spanning multiple cells emit once per cell; dedup
+        df = pairs.to_pandas().drop_duplicates(["fid_a", "fid_b"])
+        df = df.sort_values(["fid_a", "fid_b"]).reset_index(drop=True)
+        # "pair", not "fid": the vector drivers' fid column is int64
+        df.insert(0, "pair", df["fid_a"] + "|" + df["fid_b"])
+        import ray.data as rd
+
+        n = len(df)
+        if n:
+            _vector_write(rd.from_pandas(df), dst)
+        return {"dst": dst, "op": op, "pairs": n}
+
+    from gdal_ray.geo.layerops import layer_boolean_areas
+
+    rows = layer_boolean_areas(la, lb, op)
+    df = rows.to_pandas().sort_values(["src", "fid"]).reset_index(drop=True)
+    if dst.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), dst)
+    elif dst.endswith(".csv"):
+        df.to_csv(dst, index=False)
+    else:
+        raise SystemExit("layer-algebra reduction ops write the area "
+                         "table: use a .parquet or .csv destination")
+    return {"dst": dst, "op": op, "rows": int(len(df))}
+
+
+def cmd_srsinfo(srs: str) -> dict:
+    """gdalsrsinfo: report what the engine knows about an SRS string —
+    family, parameters, a PROJ-style string for the closed-form set, and
+    whether transforms resolve (built-ins, then the pyproj seam)."""
+    from gdal_ray.geo import conic as CN
+    from gdal_ray.geo import stereo as SO
+    from gdal_ray.geo import tmerc as TM
+
+    rep: dict = {"input": srs}
+    if srs == "EPSG:4326":
+        rep.update(family="geographic", name="WGS 84",
+                   proj4="+proj=longlat +datum=WGS84 +no_defs")
+    elif srs == "EPSG:3857":
+        rep.update(family="projected", name="WGS 84 / Pseudo-Mercator",
+                   proj4="+proj=merc +a=6378137 +b=6378137 +lat_ts=0 "
+                         "+lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m "
+                         "+nadgrids=@null +no_defs")
+    elif (utm := TM.parse_utm_epsg(srs)) is not None:
+        zone, south = utm
+        rep.update(family="projected",
+                   name=f"WGS 84 / UTM zone {zone}{'S' if south else 'N'}",
+                   parameters={"zone": zone, "south": south},
+                   proj4=f"+proj=utm +zone={zone}"
+                         f"{' +south' if south else ''} +datum=WGS84 "
+                         "+units=m +no_defs")
+    elif (conic := CN.parse_conic_srs(srs)) is not None:
+        kind, (sp1, sp2, lat0, lon0, fe, fn) = conic
+        proj = "lcc" if kind == "LCC" else "aea"
+        rep.update(family="projected",
+                   name=("Lambert Conformal Conic 2SP" if kind == "LCC"
+                         else "Albers Equal Area"),
+                   parameters={"sp1": sp1, "sp2": sp2, "lat0": lat0,
+                               "lon0": lon0, "fe": fe, "fn": fn},
+                   proj4=f"+proj={proj} +lat_1={sp1} +lat_2={sp2} "
+                         f"+lat_0={lat0} +lon_0={lon0} +x_0={fe} "
+                         f"+y_0={fn} +datum=WGS84 +units=m +no_defs")
+    elif (st := SO.parse_stereo_srs(srs)) is not None:
+        kind, params = st
+        rep.update(family="projected",
+                   name={"PSTA": "Polar Stereographic (variant A)",
+                         "PSTB": "Polar Stereographic (variant B)",
+                         "OSTE": "Oblique Stereographic",
+                         "HOMB": "Hotine Oblique Mercator (variant B)"
+                         }[kind],
+                   parameters={"kind": kind,
+                               "values": [float(v) for v in params]})
+    else:
+        rep.update(family="unknown")
+    # does the transform seam resolve it (built-ins, then pyproj)?
+    try:
+        from gdal_ray.raster.warp import _to_4326
+
+        _to_4326(np.array([0.0]), np.array([0.0]), srs)
+        rep["transform_resolves"] = True
+    except NotImplementedError:
+        rep["transform_resolves"] = False
+    except Exception:  # domain error at the probe point, but the SRS parses
+        rep["transform_resolves"] = True
+    return rep

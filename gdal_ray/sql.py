@@ -17,7 +17,9 @@ AND / OR / NOT, LIKE (OGR's %/_ wildcards), IN (values or a single-column
 subquery), BETWEEN a AND b, IS [NOT] NULL, parentheses,
 CAST(x AS integer/float/character) — float->integer TRUNCATES like swq's
 C cast (DuckDB rounds) — and the swq string functions CONCAT / SUBSTR
-(1-based) / UPPER / LOWER / LENGTH / TRIM. Aggregates: COUNT(*) /
+(1-based) / UPPER / LOWER / LENGTH / TRIM / HSTORE_GET_VALUE (the
+PostgreSQL-hstore tag lookup, swq_op_general.cpp:291 — quoted tokens,
+backslash escapes, first matching key). Aggregates: COUNT(*) /
 COUNT(x) (NULLs skipped, like swq/DuckDB), COUNT(DISTINCT x) (swq's
 distinct_flag, ogr/ogr_swq.h — compiled to a two-stage distinct count
 joined back onto the group aggregate), SUM, AVG, MIN, MAX (swq_op
@@ -115,7 +117,88 @@ _KEYWORDS = {
 }
 
 # OGR SQL scalar string functions (swq_op_registrar, ogr/swq_op_general.cpp)
-_STR_FUNCS = {"concat", "substr", "upper", "lower", "length", "trim"}
+_STR_FUNCS = {"concat", "substr", "upper", "lower", "length", "trim",
+              "hstore_get_value"}
+
+
+def _hstore_next_string(s: str, i: int, is_key: bool):
+    """One hstore token starting at ``i`` -> (token, next_index) or
+    (None, None) on malformed input — a line-for-line port of the
+    reference's token scanner semantics (swq_op_general.cpp
+    OGRHStoreGetNextString/OGRHStoreCheckEnd): tokens are bare words or
+    double-quoted strings with backslash escapes; after the token only
+    spaces may precede '=>' (keys) / ',' (values) / end-of-string."""
+    n = len(s)
+
+    def check_end(j):
+        while j < n:
+            if s[j] == " ":
+                j += 1
+            elif is_key and s[j:j + 2] == "=>":
+                return j + 2
+            elif not is_key and s[j] == ",":
+                return j + 1
+            else:
+                return None
+        return j
+
+    buf: list = []
+    started = in_string = False
+    while i < n:
+        ch = s[i]
+        if in_string:
+            if ch == '"':
+                nxt = check_end(i + 1)
+                return (None, None) if nxt is None else ("".join(buf), nxt)
+            if ch == "\\":
+                i += 1
+                if i >= n:
+                    return None, None
+                ch = s[i]
+            buf.append(ch)
+            i += 1
+        elif ch == " ":
+            if started:
+                nxt = check_end(i + 1)
+                return (None, None) if nxt is None else ("".join(buf), nxt)
+            i += 1
+        elif is_key and s[i:i + 2] == "=>":
+            if started:
+                return "".join(buf), i + 2
+            i += 1
+        elif not is_key and ch == ",":
+            if started:
+                return "".join(buf), i + 1
+            i += 1
+        elif ch == '"':
+            in_string = started = True
+            i += 1
+        else:
+            started = True
+            buf.append(ch)
+            i += 1
+    if not in_string and started:
+        return "".join(buf), n
+    return None, None
+
+
+def hstore_get_value(hstore, key):
+    """OGRHStoreGetValue (swq_op_general.cpp:291): first matching key's
+    value in a PostgreSQL-hstore-formatted string, else None."""
+    if hstore is None or key is None:
+        return None
+    i, n = 0, len(hstore)
+    while i < n:
+        k, i2 = _hstore_next_string(hstore, i, True)
+        if k is None or i2 >= n:
+            return None
+        v, i3 = _hstore_next_string(hstore, i2, False)
+        if v is None:
+            return None
+        if k == key:
+            return v
+        i = i3
+    return None
 
 
 def _tokenize(sql: str):
@@ -689,6 +772,23 @@ def _eval(node, df: pd.DataFrame):
             if ln is not None:
                 return s.str.slice(int(start), int(start) + int(ln))
             return s.str.slice(int(start))
+        if name == "hstore_get_value":
+            # HSTORE_GET_VALUE(col, 'key') — swq's third string function
+            # (ogr/ogr_swq.h SWQ_HSTORE_GET_VALUE). Unique hstore strings
+            # parse once per batch (memoized), so repeated tag blobs cost
+            # one scan each.
+            hs, key = args[0], args[1]
+            if isinstance(hs, pd.Series):
+                kf = (key if not isinstance(key, pd.Series) else None)
+                if kf is not None:
+                    cache = {u: hstore_get_value(u, kf)
+                             for u in pd.unique(hs.dropna())}
+                    return hs.map(cache)
+                return pd.Series(
+                    [hstore_get_value(h, k) for h, k in zip(hs, key)],
+                    index=hs.index)
+            return hstore_get_value(
+                hs, key if not isinstance(key, pd.Series) else None)
         raise SQLError(f"unknown function {name!r}")
     if kind == "agg":
         raise SQLError("aggregate used outside the SELECT list")

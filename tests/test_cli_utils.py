@@ -340,3 +340,50 @@ def test_main_dispatch_utils(tif, tmp_path, capsys):
     main(["calc", "--calc", "A + 1", "-A", p, dst, "--type", "uint16"])
     assert json.loads(capsys.readouterr().out)["dtype"] == "uint16"
     assert np.array_equal(_full(dst), a + 1)
+
+
+def test_layer_algebra_intersection_and_areas(tmp_path, ray_session):
+    def sq(x0, y0, s):
+        return {"type": "Polygon", "coordinates": [[
+            [x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s],
+            [x0, y0]]]}
+
+    mk = lambda geoms: {"type": "FeatureCollection", "features": [  # noqa
+        {"type": "Feature", "geometry": g, "properties": {}}
+        for g in geoms]}
+    pa_ = tmp_path / "a.geojson"
+    pb = tmp_path / "b.geojson"
+    pa_.write_text(json.dumps(mk([sq(0, 0, 2)])))          # A: 4 sq units
+    pb.write_text(json.dumps(mk([sq(1, 1, 2), sq(10, 10, 1)])))
+    out = str(tmp_path / "int.geojson")
+    res = U.cmd_layer_algebra("intersection", str(pa_), str(pb), out)
+    assert res["pairs"] == 1  # the far square never intersects
+    from gdal_ray.sources.geojson import read_geojson
+
+    df = read_geojson(out).to_pandas()
+    assert len(df) == 1
+    assert df["area"][0] == pytest.approx(1.0)   # unit overlap square
+
+    # symdifference area table: A loses 1 -> 3, near-B loses 1 -> 3,
+    # far-B untouched -> 1
+    outt = str(tmp_path / "sym.csv")
+    res2 = U.cmd_layer_algebra("symdifference", str(pa_), str(pb), outt)
+    import pandas as pd
+
+    t = pd.read_csv(outt)
+    assert sorted(t["area"]) == pytest.approx([1.0, 3.0, 3.0])
+    assert res2["rows"] == 3
+
+
+def test_srsinfo():
+    r = U.cmd_srsinfo("EPSG:32633")
+    assert r["family"] == "projected"
+    assert r["parameters"] == {"zone": 33, "south": False}
+    assert "+proj=utm +zone=33" in r["proj4"]
+    assert r["transform_resolves"]
+    r2 = U.cmd_srsinfo("LCC:33,45,40,-96")
+    assert r2["parameters"]["sp1"] == 33.0 and "+proj=lcc" in r2["proj4"]
+    r3 = U.cmd_srsinfo("EPSG:4326")
+    assert r3["family"] == "geographic"
+    r4 = U.cmd_srsinfo("TOTALLY:bogus")
+    assert r4["family"] == "unknown"

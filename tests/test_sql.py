@@ -565,3 +565,44 @@ ILIKE_QUERIES = [
 def test_ilike_matches_duckdb(sql, con, ray_session):
     """ILIKE: case-insensitive LIKE (swq_op_general.cpp ILIKE)."""
     _run_both(sql, con, ray_session)
+
+
+def test_hstore_get_value_scalar():
+    """OGRHStoreGetValue parity (swq_op_general.cpp:291): bare + quoted
+    tokens, backslash escapes, first-match-wins, malformed -> NULL."""
+    from gdal_ray.sql import hstore_get_value as h
+
+    assert h("a=>b", "a") == "b"
+    assert h("a=>b, c=>d", "c") == "d"
+    assert h('"a b"=>"c,d"', "a b") == "c,d"
+    assert h("  a  =>  b  ", "a") == "b"
+    assert h("a=>b", "x") is None
+    assert h('"k\\"q"=>v', 'k"q') == "v"
+    assert h("a=>", "a") is None          # no value -> malformed
+    assert h("a=>b,a=>c", "a") == "b"     # first match wins
+    assert h('tag=>1, "multi word"=>"x => y"', "multi word") == "x => y"
+    assert h(None, "a") is None
+
+
+def test_hstore_get_value_in_sql(ray_session):
+    """HSTORE_GET_VALUE as a vectorized SQL scalar (DuckDB has no such
+    function, so the oracle is the scalar port applied per row)."""
+    import pandas as pd
+
+    from gdal_ray.sql import execute_sql, hstore_get_value
+
+    sql = ("SELECT r_name, HSTORE_GET_VALUE("
+           "CONCAT('name=>', r_name, ', id=>', CAST(r_regionkey AS "
+           "character)), 'id') AS rid FROM region ORDER BY r_name")
+    got = execute_sql(sql, SF).to_pandas().reset_index(drop=True)
+    region = pd.read_parquet(f"{SF}/region.parquet").sort_values(
+        "r_name").reset_index(drop=True)
+    want = [hstore_get_value(f"name=>{n}, id=>{k}", "id")
+            for n, k in zip(region["r_name"], region["r_regionkey"])]
+    assert list(got["rid"]) == want
+    assert list(got["r_name"]) == list(region["r_name"])
+    # unknown key -> all NULL
+    sql2 = ("SELECT HSTORE_GET_VALUE(CONCAT('a=>', r_name), 'zz') AS v "
+            "FROM region")
+    got2 = execute_sql(sql2, SF).to_pandas()
+    assert got2["v"].isna().all()
