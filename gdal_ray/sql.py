@@ -19,7 +19,10 @@ CAST(x AS integer/float/character) — float->integer TRUNCATES like swq's
 C cast (DuckDB rounds) — and the swq string functions CONCAT / SUBSTR
 (1-based) / UPPER / LOWER / LENGTH / TRIM / HSTORE_GET_VALUE (the
 PostgreSQL-hstore tag lookup, swq_op_general.cpp:291 — quoted tokens,
-backslash escapes, first matching key). Aggregates: COUNT(*) /
+backslash escapes, first matching key). From the SQLite-dialect
+escape-hatch surface (ogrsqliteexecutesql.cpp; swq itself lacks these):
+CASE (searched and simple forms, first-matching-arm), COALESCE, NULLIF.
+Aggregates: COUNT(*) /
 COUNT(x) (NULLs skipped, like swq/DuckDB), COUNT(DISTINCT x) (swq's
 distinct_flag, ogr/ogr_swq.h — compiled to a two-stage distinct count
 joined back onto the group aggregate), SUM, AVG, MIN, MAX (swq_op
@@ -114,20 +117,21 @@ _KEYWORDS = {
     "as", "and", "or", "not", "like", "ilike", "in", "between", "is", "null", "asc",
     "desc", "count", "sum", "avg", "min", "max", "having", "join", "union",
     "left", "on", "cast", "exists", "offset",
+    "case", "when", "then", "else", "end",
 }
 
 # OGR SQL scalar string functions (swq_op_registrar, ogr/swq_op_general.cpp)
 _STR_FUNCS = {"concat", "substr", "upper", "lower", "length", "trim",
-              "hstore_get_value"}
+              "hstore_get_value", "coalesce", "nullif"}
 
 
 def _hstore_next_string(s: str, i: int, is_key: bool):
     """One hstore token starting at ``i`` -> (token, next_index) or
-    (None, None) on malformed input — a line-for-line port of the
-    reference's token scanner semantics (swq_op_general.cpp
-    OGRHStoreGetNextString/OGRHStoreCheckEnd): tokens are bare words or
-    double-quoted strings with backslash escapes; after the token only
-    spaces may precede '=>' (keys) / ',' (values) / end-of-string."""
+    (None, None) on malformed input. Matches the reference scanner's
+    observable semantics (swq_op_general.cpp OGRHStoreGetNextString /
+    OGRHStoreCheckEnd): tokens are bare words or double-quoted strings
+    with backslash escapes; after the token only spaces may precede
+    '=>' (keys) / ',' (values) / end-of-string."""
     n = len(s)
 
     def check_end(j):
@@ -373,6 +377,26 @@ class _Parser:
             node = self.expr()
             self.expect("op", ")")
             return node
+        if tok == ("kw", "case"):
+            # CASE — the SQLite-dialect escape-hatch surface the reference
+            # reaches via ogrsqliteexecutesql.cpp (swq itself has no CASE).
+            # Searched form: CASE WHEN cond THEN v ... [ELSE e] END;
+            # simple form: CASE base WHEN x THEN v ... [ELSE e] END.
+            base = None
+            if self.peek() != ("kw", "when"):
+                base = self.expr()
+            arms = []
+            while self.accept("kw", "when"):
+                cond = self.expr()
+                self.expect("kw", "then")
+                # ("when", cond, val) so the generic tree walkers
+                # (_columns_of/_find_aggs/_substitute_*) recurse into BOTH
+                arms.append(("when", cond, self.expr()))
+            if not arms:
+                raise SQLError("CASE needs at least one WHEN arm")
+            default = self.expr() if self.accept("kw", "else") else None
+            self.expect("kw", "end")
+            return ("case", base, arms, default)
         if tok[0] == "kw" and tok[1] in ("count", "sum", "avg", "min", "max"):
             self.expect("op", "(")
             if tok[1] == "count" and self.accept("op", "*"):
@@ -599,6 +623,45 @@ def _like_to_re(pattern: str, ci: bool = False) -> re.Pattern:
     return re.compile("^" + "".join(out) + "$", flags)
 
 
+def _static_numeric(node, df) -> bool:
+    """True when the expression can only produce numbers or NULL, decided
+    from the AST plus the (batch-stable) column schema — never from row
+    values, so every batch of a query agrees on the dtype."""
+    if not isinstance(node, tuple):
+        return False
+    k = node[0]
+    if k == "lit":
+        return node[1] is None or isinstance(node[1], (int, float))
+    if k == "col":
+        return (node[1] in df.columns
+                and np.issubdtype(df[node[1]].dtype, np.number))
+    if k == "pre":
+        return np.issubdtype(np.asarray(node[1]).dtype, np.number)
+    if k == "neg":
+        return _static_numeric(node[1], df)
+    if k == "bin":
+        return (_static_numeric(node[2], df)
+                and _static_numeric(node[3], df))
+    if k == "cast":
+        return node[2] in ("integer", "int", "bigint", "float", "double",
+                           "numeric", "real")
+    if k == "agg":
+        if node[1] in ("min", "max"):
+            return _static_numeric(node[2], df)
+        return True  # count/sum/avg/stddev are numeric by construction
+    if k == "case":
+        return (all(_static_numeric(v, df) for _, _, v in node[2])
+                and (node[3] is None or _static_numeric(node[3], df)))
+    if k == "fn":
+        if node[1] == "length":
+            return True
+        if node[1] == "nullif":
+            return _static_numeric(node[2][0], df)
+        if node[1] == "coalesce":
+            return all(_static_numeric(a, df) for a in node[2])
+    return False
+
+
 def _eval(node, df: pd.DataFrame):
     kind = node[0]
     if kind == "lit":
@@ -729,6 +792,38 @@ def _eval(node, df: pd.DataFrame):
         if ty in ("character", "varchar", "string", "text"):
             return v.astype(str)
         raise SQLError(f"unsupported CAST type {ty!r}")
+    if kind == "case":
+        base, arms, default = node[1], node[2], node[3]
+
+        def as_series(v):
+            if isinstance(v, pd.Series):
+                return v
+            return pd.Series([v] * len(df), index=df.index, dtype=object)
+
+        base_v = _eval(base, df) if base is not None else None
+        out = (as_series(_eval(default, df)) if default is not None
+               else pd.Series([None] * len(df), index=df.index,
+                              dtype=object))
+        taken = pd.Series(False, index=df.index)
+        for _, cond, val in arms:
+            if base_v is not None:
+                m = base_v == _eval(cond, df)
+            else:
+                m = _eval(cond, df)
+            m = np.asarray(m)
+            if m.ndim == 0:
+                m = np.full(len(df), bool(m))
+            mask = pd.Series(m, index=df.index, dtype=bool) & ~taken
+            if mask.any():
+                out = out.astype(object)
+                out[mask] = as_series(_eval(val, df))[mask]
+            taken |= mask
+        # The output dtype must be decided STATICALLY (AST + schema), not
+        # from batch data: an all-NULL batch has nothing to sniff, and a
+        # per-batch lift would give different blocks different dtypes.
+        if _static_numeric(node, df):
+            return pd.to_numeric(out)
+        return out
     if kind == "fn":
         name, args = node[1], [_eval(a, df) for a in node[2]]
 
@@ -772,6 +867,34 @@ def _eval(node, df: pd.DataFrame):
             if ln is not None:
                 return s.str.slice(int(start), int(start) + int(ln))
             return s.str.slice(int(start))
+        if name == "coalesce":
+            # first non-NULL argument per row (SQLite-dialect surface)
+            out = args[0]
+            if not isinstance(out, pd.Series):
+                out = pd.Series([out] * len(df), index=df.index)
+            for a in args[1:]:
+                miss = out.isna()
+                if not miss.any():
+                    break
+                fill = (a[miss] if isinstance(a, pd.Series)
+                        else pd.Series([a] * int(miss.sum()),
+                                       index=out.index[miss]))
+                out = out.copy()
+                out[miss] = fill
+            if out.dtype == object and _static_numeric(node, df):
+                return pd.to_numeric(out)
+            return out
+        if name == "nullif":
+            # NULL where a == b, else a (SQLite-dialect surface)
+            a, b = args[0], args[1]
+            if not isinstance(a, pd.Series):
+                a = pd.Series([a] * len(df), index=df.index)
+            eq = a == b
+            out = a.astype(object).copy()
+            out[np.asarray(eq, dtype=bool)] = None
+            if _static_numeric(node[2][0], df):
+                return pd.to_numeric(out)
+            return out
         if name == "hstore_get_value":
             # HSTORE_GET_VALUE(col, 'key') — swq's third string function
             # (ogr/ogr_swq.h SWQ_HSTORE_GET_VALUE). Unique hstore strings

@@ -30,7 +30,8 @@ def _run_both(sql, con, ray_session):
         g, w = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(np.asarray(w).dtype, np.number):
             assert np.allclose(np.asarray(g, dtype=np.float64),
-                               np.asarray(w, dtype=np.float64), rtol=1e-12), c
+                               np.asarray(w, dtype=np.float64), rtol=1e-12,
+                               equal_nan=True), c
         else:
             assert (g.astype(str) == w.astype(str)).all(), c
     return got
@@ -606,3 +607,41 @@ def test_hstore_get_value_in_sql(ray_session):
             "FROM region")
     got2 = execute_sql(sql2, SF).to_pandas()
     assert got2["v"].isna().all()
+
+
+CASE_QUERIES = [
+    # searched CASE in the select list + under an aggregate
+    "SELECT l_returnflag, SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) "
+    "AS big, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag "
+    "ORDER BY l_returnflag",
+    # simple CASE over a column, string results, no ELSE -> NULL
+    "SELECT n_name, CASE n_regionkey WHEN 0 THEN 'africa' WHEN 1 "
+    "THEN 'america' END AS region0 FROM nation ORDER BY n_name",
+    # CASE in WHERE + nested expression arms
+    "SELECT o_orderkey FROM orders WHERE CASE WHEN o_totalprice > 200000 "
+    "THEN 1 ELSE 0 END = 1 ORDER BY o_orderkey LIMIT 9",
+    # first-matching-arm precedence
+    "SELECT p_partkey, CASE WHEN p_size > 10 THEN 'big' WHEN p_size > 5 "
+    "THEN 'mid' ELSE 'small' END AS bucket FROM part "
+    "ORDER BY p_partkey LIMIT 20",
+]
+
+
+@pytest.mark.parametrize("sql", CASE_QUERIES)
+def test_case_matches_duckdb(sql, con, ray_session):
+    """CASE: the SQLite-dialect escape-hatch surface
+    (ogrsqliteexecutesql.cpp) — swq has no CASE, DuckDB is the oracle."""
+    _run_both(sql, con, ray_session)
+
+
+COALESCE_QUERIES = [
+    "SELECT COALESCE(NULL, n_name, 'x') AS a, NULLIF(n_regionkey, 2) AS b "
+    "FROM nation ORDER BY n_name",
+    "SELECT COALESCE(NULLIF(l_linestatus, 'O'), 'closed') AS st, "
+    "COUNT(*) AS n FROM lineitem GROUP BY st ORDER BY st",
+]
+
+
+@pytest.mark.parametrize("sql", COALESCE_QUERIES)
+def test_coalesce_nullif_match_duckdb(sql, con, ray_session):
+    _run_both(sql, con, ray_session)
