@@ -1231,7 +1231,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, COUNT(*) AS n_parts,
                    CAST(SUM(p_size) AS BIGINT) AS sum_size,
                    CAST(MIN(p_size) AS BIGINT) AS min_size,
-                   CAST(MAX(p_size) AS BIGINT) AS max_size
+                   CAST(MAX(p_size) AS BIGINT) AS max_size,
+                   CAST(SUM(CASE WHEN p_size > 20 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_big,
+                   COUNT(NULLIF(p_size, 15)) AS n_not15
             FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44
             AND EXISTS (SELECT 1 FROM supplier s
                         WHERE s.s_suppkey < part.p_size AND s.s_suppkey < 20 AND s.s_acctbal > 5000)

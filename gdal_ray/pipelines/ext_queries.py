@@ -93,14 +93,18 @@ def q_ogrsql(sf_dir: str):
     ogr/swq.cpp + ogr_gensql.cpp): the SQL text below goes through the
     engine's own tokenizer/parser/compiler (gdal_ray/sql.py) into a Ray
     plan — filter+stage fused with the read, distributed groupby
-    aggregate, sort, and a NON-EQUALITY correlated EXISTS compiled to the
-    bounded broadcast nested loop. The driver twin is the same logical
-    query (with the DuckDB BIGINT cast on SUM)."""
+    aggregate, sort, a NON-EQUALITY correlated EXISTS compiled to the
+    bounded broadcast nested loop, and a CASE/NULLIF column (the
+    SQLite-dialect escape-hatch surface) aggregated per group. The
+    driver twin is the same logical query (with the DuckDB BIGINT cast
+    on SUM)."""
     from gdal_ray.sql import execute_sql
 
     return execute_sql(
         "SELECT p_brand, COUNT(*) AS n_parts, SUM(p_size) AS sum_size, "
-        "MIN(p_size) AS min_size, MAX(p_size) AS max_size "
+        "MIN(p_size) AS min_size, MAX(p_size) AS max_size, "
+        "SUM(CASE WHEN p_size > 20 THEN 1 ELSE 0 END) AS n_big, "
+        "COUNT(NULLIF(p_size, 15)) AS n_not15 "
         "FROM part WHERE p_type LIKE '%DAR%' AND p_size BETWEEN 4 AND 44 "
         "AND EXISTS (SELECT 1 FROM supplier s "
         "WHERE s.s_suppkey < part.p_size AND s.s_suppkey < 20 AND s.s_acctbal > 5000) "
