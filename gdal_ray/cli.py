@@ -57,6 +57,10 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray layeralg intersection|union|symdifference|identity|
         erase|update <input-vector> <method-vector> <dst>
     python -m gdal_ray srsinfo <srs>    # EPSG:xxxx | LCC:... | PSTA:... etc
+    python -m gdal_ray enhance <src> <dst> [--mode equalize|minmax]
+        [--lo PCT] [--hi PCT]            # gdalenhance -> uint8
+    python -m gdal_ray reclass <src> <dst> --map "1=10,2=20[,default=0]"
+    python -m gdal_ray ogrtindex <dst> <a.geojson> [b.shp ...]
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -249,6 +253,16 @@ def cmd_info(path: str) -> dict:
             info["pixel_size"] = [gt[1], gt[5]]
             info["extent"] = [gt[0], gt[3] + h["h"] * gt[5],
                               gt[0] + h["w"] * gt[1], gt[3]]
+        if h["nodata"] is not None:
+            info["nodata"] = h["nodata"]
+        if h["colormap"] is not None:
+            info["palette_colors"] = int(h["colormap"].shape[0])
+        if os.path.exists(path + ".ovr"):
+            # gdalinfo lists external overview levels the same way
+            from gdal_ray.io.tiff import read_tiff_ifds
+
+            info["overviews"] = [[o["w"], o["h"]]
+                                 for o in read_tiff_ifds(path + ".ovr")]
         return info
     if ext == ".gpkg":
         from gdal_ray.sources.gpkg import gpkg_layers
@@ -302,20 +316,49 @@ def cmd_ogr2ogr(src: str, dst: str) -> int:
 
 
 def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
-                  compress: str = "deflate") -> dict:
-    """gdal_translate core: window subset + linear rescale between any
-    supported raster formats (GeoTIFF, VRT, AAIGrid), through the real
-    kernels (raster/kernels.py)."""
-    from gdal_ray.raster.kernels import rescale_linear, translate_window
+                  compress: str = "deflate", outsize=None,
+                  resample: str = "nearest", ot: str | None = None) -> dict:
+    """gdal_translate core: window subset, linear rescale, -outsize
+    resize (nearest/bilinear/cubic/lanczos), and -ot output-type cast,
+    between any supported raster formats (GeoTIFF, VRT, AAIGrid),
+    through the real kernels (raster/kernels.py)."""
+    from gdal_ray.raster import kernels as K
 
     arr, gt, epsg = _read_raster_any(src)
     if srcwin:
         x, y, w, ww = srcwin
-        arr = translate_window(arr, x, y, w, ww)
+        arr = K.translate_window(arr, x, y, w, ww)
         gt = [gt[0] + x * gt[1], gt[1], gt[2],
               gt[3] + y * gt[5], gt[4], gt[5]]
     if scale:
-        arr = rescale_linear(arr.astype(np.float64), scale[0], scale[1])
+        arr = K.rescale_linear(arr.astype(np.float64), scale[0], scale[1])
+    if outsize:
+        h0, w0 = arr.shape[:2]
+        w1, h1 = int(outsize[0]), int(outsize[1])
+        # gdal_translate -outsize: 0 keeps the aspect ratio from the
+        # other dimension (apps/gdal_translate_lib.cpp)
+        if w1 == 0 and h1 == 0:
+            raise SystemExit("translate --outsize needs at least one "
+                             "non-zero dimension")
+        if w1 == 0:
+            w1 = max(1, round(w0 * h1 / h0))
+        if h1 == 0:
+            h1 = max(1, round(h0 * w1 / w0))
+        fn = {"nearest": K.resample_nearest, "near": K.resample_nearest,
+              "bilinear": K.resample_bilinear, "cubic": K.resample_cubic,
+              "lanczos": K.resample_lanczos}.get(resample)
+        if fn is None:
+            raise SystemExit(f"unsupported -r {resample!r} for outsize")
+        dt = arr.dtype
+        out = fn(arr if fn is K.resample_nearest else
+                 arr.astype(np.float64), h1, w1)
+        arr = (K.cast_clip(out, dt)
+               if fn is not K.resample_nearest
+               and np.issubdtype(dt, np.integer) else out)
+        gt = [gt[0], gt[1] * w0 / w1, gt[2] * h0 / h1,
+              gt[3], gt[4] * w0 / w1, gt[5] * h0 / h1]
+    if ot:
+        arr = K.cast_clip(arr, np.dtype(ot))
     _write_raster_any(dst, arr, gt, epsg=epsg, compress=compress)
     return {"size": [arr.shape[1], arr.shape[0]], "dtype": str(arr.dtype)}
 
@@ -688,8 +731,8 @@ def main(argv=None):
         n = cmd_ogr2ogr(args[0], args[1])
         print(json.dumps({"written": n, "dst": args[1]}))
     elif cmd == "translate":
-        srcwin = scale = None
-        compress = "deflate"
+        srcwin = scale = outsize = ot = None
+        compress, resample = "deflate", "nearest"
         pos = []
         i = 0
         while i < len(args):
@@ -699,6 +742,15 @@ def main(argv=None):
             elif args[i] == "--scale":
                 scale = [float(args[i + 1]), float(args[i + 2])]
                 i += 3
+            elif args[i] == "--outsize":
+                outsize = [int(args[i + 1]), int(args[i + 2])]
+                i += 3
+            elif args[i] == "-r":
+                resample = args[i + 1]
+                i += 2
+            elif args[i] == "-ot":
+                ot = args[i + 1]
+                i += 2
             elif args[i] == "--compress":
                 compress = args[i + 1]
                 i += 2
@@ -706,7 +758,8 @@ def main(argv=None):
                 pos.append(args[i])
                 i += 1
         print(json.dumps(cmd_translate(pos[0], pos[1], srcwin, scale,
-                                       compress)))
+                                       compress, outsize=outsize,
+                                       resample=resample, ot=ot)))
     elif cmd == "dem":
         color_file, zf, compress = None, 1.0, "deflate"
         pos = []
@@ -894,7 +947,8 @@ _UTIL_COMMANDS = {
     "addo", "dumpoverviews", "nearblack", "pansharpen", "polygonize",
     "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
-    "manage", "edit", "layeralg", "srsinfo",
+    "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
+    "ogrtindex",
 }
 
 
@@ -1040,6 +1094,20 @@ def _dispatch_util(cmd: str, args: list):
     if cmd == "srsinfo":
         pos, _ = _split_flags(args, {})
         return U.cmd_srsinfo(pos[0])
+    if cmd == "enhance":
+        pos, fl = _split_flags(args, {"--mode": 1, "--lo": 1, "--hi": 1})
+        return U.cmd_enhance(pos[0], pos[1],
+                             mode=fl.get("mode", "equalize"),
+                             lo_pct=float(fl.get("lo", 2.0)),
+                             hi_pct=float(fl.get("hi", 98.0)))
+    if cmd == "reclass":
+        pos, fl = _split_flags(args, {"--map": 1})
+        if "map" not in fl:
+            raise SystemExit('reclass needs --map "old=new,...[,default=V]"')
+        return U.cmd_reclass(pos[0], pos[1], fl["map"])
+    if cmd == "ogrtindex":
+        pos, _ = _split_flags(args, {})
+        return {"tiles": U.cmd_ogrtindex(pos[0], pos[1:]), "dst": pos[0]}
     raise SystemExit(f"unknown util {cmd!r}")
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "cmd_gdal2xyz", "cmd_transform", "cmd_compare", "cmd_gdal2tiles",
     "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
     "cmd_dumpoverviews", "cmd_layer_algebra", "cmd_srsinfo",
+    "cmd_enhance", "cmd_reclass", "cmd_ogrtindex",
 ]
 
 
@@ -856,3 +857,87 @@ def cmd_srsinfo(srs: str) -> dict:
     except Exception:  # domain error at the probe point, but the SRS parses
         rep["transform_resolves"] = True
     return rep
+
+
+# --------------------------------------------------------------------------
+# gdalenhance / reclassify / ogrtindex
+# --------------------------------------------------------------------------
+
+def cmd_enhance(src: str, dst: str, mode: str = "equalize",
+                lo_pct: float = 2.0, hi_pct: float = 98.0,
+                compress: str = "deflate") -> dict:
+    """gdalenhance (apps/gdalenhance.cpp): histogram equalization or a
+    percent-clip linear stretch to uint8."""
+    from gdal_ray.raster.kernels import equalize_histogram, stretch_minmax
+
+    arr, gt, epsg = _read_raster_any(src)
+    if arr.ndim == 3:
+        out = np.dstack([
+            (equalize_histogram(arr[:, :, b]) if mode == "equalize"
+             else stretch_minmax(arr[:, :, b], lo_pct, hi_pct))
+            for b in range(arr.shape[2])
+        ])
+    else:
+        out = (equalize_histogram(arr) if mode == "equalize"
+               else stretch_minmax(arr, lo_pct, hi_pct))
+    _write_raster_any(dst, out, gt, epsg=epsg, compress=compress)
+    return {"dst": dst, "mode": mode, "dtype": "uint8"}
+
+
+def cmd_reclass(src: str, dst: str, mapping_spec: str,
+                compress: str = "deflate") -> dict:
+    """gdal raster reclassify (apps/gdalalg_raster_reclassify.cpp):
+    ``old=new,old=new[,default=V]`` value remap; unmapped values pass
+    through unless a default is given."""
+    from gdal_ray.raster.kernels import reclassify
+
+    mapping, default = {}, None
+    for part in mapping_spec.split(","):
+        k, _, v = part.partition("=")
+        if not v:
+            raise SystemExit("reclass mapping is old=new[,old=new,...]"
+                             "[,default=V]")
+        if k.strip().lower() == "default":
+            default = float(v)
+        else:
+            mapping[float(k)] = float(v)
+    arr, gt, epsg = _read_raster_any(src)
+    out = reclassify(arr.astype(np.float64), mapping, default=default)
+    _write_raster_any(dst, out, gt, epsg=epsg, compress=compress)
+    n_hit = int(np.isin(arr.astype(np.float64), list(mapping)).sum())
+    return {"dst": dst, "remapped": n_hit, "rules": len(mapping),
+            "default": default}
+
+
+def cmd_ogrtindex(out_path: str, vector_paths: list) -> int:
+    """ogrtindex (apps/ogrtindex.cpp): one envelope polygon per vector
+    layer with a ``location`` attribute — the vector twin of the raster
+    ``tindex`` command."""
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import wkb_envelope
+
+    _ensure_ray()
+    rows = []
+    for p in vector_paths:
+        df = _vector_read(p).to_pandas()
+        envs = np.asarray([wkb_envelope(bytes(g)) for g in df["geometry"]
+                           if g is not None])
+        if not len(envs):
+            continue
+        minx, miny = envs[:, 0].min(), envs[:, 1].min()
+        maxx, maxy = envs[:, 2].max(), envs[:, 3].max()
+        ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+                (minx, miny)]
+        import struct as _struct
+
+        wkb = _struct.pack("<BII", 1, 3, 1) + _struct.pack("<I", len(ring))
+        for px, py in ring:
+            wkb += _struct.pack("<dd", px, py)
+        rows.append({"geometry": wkb, "location": os.path.abspath(p),
+                     "n_features": int(len(df))})
+    import ray.data as rd
+
+    if rows:
+        _vector_write(rd.from_pandas(pd.DataFrame(rows)), out_path)
+    return len(rows)

@@ -292,9 +292,29 @@ def decode_points(bufs):
 
 
 def wkb_envelope(buf):
-    """(minx, miny, maxx, maxy) over all rings of a polygonal WKB blob."""
-    polys = decode_polygons(buf)
-    allpts = np.vstack([r for rings in polys for r in rings])
+    """(minx, miny, maxx, maxy) of any WKB geometry (OGR GetEnvelope):
+    points, lines, polygons, and their Multi forms."""
+    little, gtype, extra, off = _decode_geom(buf, 0)
+    base = gtype % 1000 if gtype < 3000 else gtype
+    if base == _WKB_POINT:
+        fmt = "<dd" if little else ">dd"
+        x, y = struct.unpack_from(fmt, buf, off)
+        return float(x), float(y), float(x), float(y)
+    if base == _WKB_MULTIPOINT:
+        fmt_n = "<I" if little else ">I"
+        n = struct.unpack_from(fmt_n, buf, off)[0]
+        o, pts = off + 4, []
+        for _ in range(n):
+            lt, _, _, o = _decode_geom(buf, o)
+            pts.append(struct.unpack_from("<dd" if lt else ">dd", buf, o))
+            o += 16
+        allpts = np.asarray(pts, dtype=np.float64)
+    elif base in (_WKB_LINESTRING, _WKB_MULTILINESTRING,
+                  _WKB_CIRCULARSTRING, _WKB_COMPOUNDCURVE, _WKB_MULTICURVE):
+        allpts = np.vstack(decode_lines(buf))
+    else:
+        polys = decode_polygons(buf)
+        allpts = np.vstack([r for rings in polys for r in rings])
     mn = allpts.min(axis=0)
     mx = allpts.max(axis=0)
     return float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])

@@ -480,6 +480,39 @@ def histogram(img, bins=256, vmin=0, vmax=256):
     )
 
 
+def equalize_histogram(img, bins=1024, out_max=255):
+    """Histogram equalization (gdalenhance -equalize,
+    apps/gdalenhance.cpp): CDF over a ``bins``-bucket histogram of the
+    band range, mapped to 0..out_max as a LUT. Returns uint8."""
+    flat = img.astype(np.float64).ravel()
+    lo, hi = float(flat.min()), float(flat.max())
+    if hi <= lo:
+        return np.zeros(img.shape, dtype=np.uint8)
+    hist = np.bincount(
+        np.clip(((flat - lo) * bins / (hi - lo)).astype(np.int64),
+                0, bins - 1),
+        minlength=bins,
+    )
+    cdf = np.cumsum(hist).astype(np.float64)
+    cdf /= cdf[-1]
+    idx = np.clip(((img.astype(np.float64) - lo) * bins
+                   / (hi - lo)).astype(np.int64), 0, bins - 1)
+    return np.round(cdf[idx] * out_max).astype(np.uint8)
+
+
+def stretch_minmax(img, lo_pct=2.0, hi_pct=98.0, out_max=255):
+    """Percent-clip linear stretch (gdalenhance linear mode): values at
+    or below the lo percentile -> 0, at or above the hi percentile ->
+    out_max. Returns uint8."""
+    flat = img.astype(np.float64).ravel()
+    lo = float(np.percentile(flat, lo_pct))
+    hi = float(np.percentile(flat, hi_pct))
+    if hi <= lo:
+        return np.zeros(img.shape, dtype=np.uint8)
+    out = (img.astype(np.float64) - lo) / (hi - lo) * out_max
+    return np.clip(np.round(out), 0, out_max).astype(np.uint8)
+
+
 # VRT pixel functions (frmts/vrt/pixelfunctions.cpp:4006) — the commonly
 # used subset, each over a list of band arrays:
 PIXEL_FUNCTIONS = {

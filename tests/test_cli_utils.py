@@ -387,3 +387,93 @@ def test_srsinfo():
     assert r3["family"] == "geographic"
     r4 = U.cmd_srsinfo("TOTALLY:bogus")
     assert r4["family"] == "unknown"
+
+
+def test_translate_outsize_and_ot(tif, tmp_path):
+    from gdal_ray.cli import cmd_translate
+    from gdal_ray.raster.kernels import resample_nearest
+
+    p, a = tif
+    out = str(tmp_path / "half.tif")
+    res = cmd_translate(p, out, outsize=[96, 0])  # 0 keeps aspect
+    assert res["size"] == [96, 64]
+    assert np.array_equal(_full(out), resample_nearest(a, 64, 96))
+    # geotransform scaled 2x
+    assert read_tiff_header(out)["gt"][1] == GT[1] * 2
+    out2 = str(tmp_path / "f32.tif")
+    res2 = cmd_translate(p, out2, ot="float32")
+    assert res2["dtype"] == "float32"
+    assert np.array_equal(_full(out2), a.astype(np.float32))
+    out3 = str(tmp_path / "bi.tif")
+    res3 = cmd_translate(p, out3, outsize=[64, 32], resample="bilinear")
+    assert res3["size"] == [64, 32]
+
+
+def test_info_reports_overviews_nodata(tif):
+    from gdal_ray.cli import cmd_info
+
+    p, a = tif
+    U.cmd_addo(p, [2, 4])
+    info = cmd_info(p)
+    assert info["overviews"] == [[96, 64], [48, 32]]
+    p2 = p.replace("in.tif", "nd.tif")
+    write_geotiff(p2, a, GT, nodata=42)
+    assert cmd_info(p2)["nodata"] == 42.0
+
+
+def test_enhance_equalize_and_minmax(tmp_path):
+    from gdal_ray.raster.kernels import equalize_histogram, stretch_minmax
+
+    rng = np.random.default_rng(9)
+    a = (rng.normal(1000, 100, (64, 64)) ** 1.2).astype(np.float64)
+    p = str(tmp_path / "e.tif")
+    write_geotiff(p, a, GT)
+    out = str(tmp_path / "eq.tif")
+    U.cmd_enhance(p, out, mode="equalize")
+    got = _full(out)
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, equalize_histogram(a))
+    # equalization flattens: every ~16-bucket of the 0..255 range gets
+    # roughly equal mass
+    h = np.bincount(got.ravel() // 16, minlength=16)
+    assert h.min() > 0.5 * h.max()
+    out2 = str(tmp_path / "mm.tif")
+    U.cmd_enhance(p, out2, mode="minmax", lo_pct=5, hi_pct=95)
+    assert np.array_equal(_full(out2), stretch_minmax(a, 5, 95))
+
+
+def test_reclass(tmp_path):
+    a = np.array([[1, 2, 3], [2, 1, 9]], dtype=np.float32)
+    p = str(tmp_path / "r.tif")
+    write_geotiff(p, a, GT)
+    out = str(tmp_path / "rc.tif")
+    res = U.cmd_reclass(p, out, "1=10,2=20")
+    assert np.array_equal(_full(out),
+                          np.array([[10, 20, 3], [20, 10, 9]]))
+    assert res["remapped"] == 4
+    out2 = str(tmp_path / "rc2.tif")
+    U.cmd_reclass(p, out2, "1=10,default=0")
+    assert np.array_equal(_full(out2), np.array([[10, 0, 0], [0, 10, 0]]))
+
+
+def test_ogrtindex(tmp_path, ray_session):
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [3.0, 7.0]},
+         "properties": {}},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [5.0, 9.0]},
+         "properties": {}},
+    ]}
+    p = tmp_path / "pts.geojson"
+    p.write_text(json.dumps(fc))
+    out = str(tmp_path / "idx.geojson")
+    n = U.cmd_ogrtindex(out, [str(p)])
+    assert n == 1
+    from gdal_ray.geo.wkb import wkb_envelope
+    from gdal_ray.sources.geojson import read_geojson
+
+    df = read_geojson(out).to_pandas()
+    assert df["n_features"][0] == 2
+    assert list(wkb_envelope(bytes(df["geometry"][0]))) == [3.0, 7.0,
+                                                            5.0, 9.0]
