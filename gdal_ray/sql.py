@@ -22,6 +22,9 @@ PostgreSQL-hstore tag lookup, swq_op_general.cpp:291 — quoted tokens,
 backslash escapes, first matching key). From the SQLite-dialect
 escape-hatch surface (ogrsqliteexecutesql.cpp; swq itself lacks these):
 CASE (searched and simple forms, first-matching-arm), COALESCE, NULLIF.
+OGR special fields (ogr/ogrfeaturequery.cpp:37-38) OGR_GEOMETRY /
+OGR_GEOM_WKT / OGR_GEOM_AREA compute from the scanned table's WKB
+``geometry`` column unless a real column shadows the name.
 Aggregates: COUNT(*) /
 COUNT(x) (NULLs skipped, like swq/DuckDB), COUNT(DISTINCT x) (swq's
 distinct_flag, ogr/ogr_swq.h — compiled to a two-stage distinct count
@@ -662,12 +665,69 @@ def _static_numeric(node, df) -> bool:
     return False
 
 
+#: OGR SQL special fields (ogr/ogrfeaturequery.cpp:37-38) — computed from
+#: the layer's WKB geometry column when no real column shadows the name.
+_SPECIAL_FIELDS = {"ogr_geometry", "ogr_geom_wkt", "ogr_geom_area"}
+
+_WKB_TYPE_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+    5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+    8: "CIRCULARSTRING", 9: "COMPOUNDCURVE", 10: "CURVEPOLYGON",
+    11: "MULTICURVE", 12: "MULTISURFACE",
+}
+
+
+def _ogr_special(name: str, df: pd.DataFrame) -> pd.Series:
+    """OGR_GEOMETRY (type name), OGR_GEOM_WKT, OGR_GEOM_AREA (0.0 for
+    non-areal geometries, like OGR's specialFieldsGetter)."""
+    import struct as _struct
+
+    geoms = df["geometry"]
+    if name == "ogr_geometry":
+        def tname(g):
+            if g is None:
+                return None
+            b = bytes(g)
+            t = _struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0]
+            return _WKB_TYPE_NAMES.get(t % 1000 if t < 3000 else t,
+                                       f"TYPE{t}")
+
+        return pd.Series([tname(g) for g in geoms], index=df.index)
+    if name == "ogr_geom_wkt":
+        from gdal_ray.geo.wkt import wkb_to_wkt
+
+        return pd.Series(
+            [wkb_to_wkt(bytes(g)) if g is not None else None
+             for g in geoms],
+            index=df.index,
+        )
+    # ogr_geom_area
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import decode_polygons
+
+    def area(g):
+        if g is None:
+            return 0.0
+        b = bytes(g)
+        t = _struct.unpack_from("<I" if b[0] == 1 else ">I", b, 1)[0]
+        base = t % 1000 if t < 3000 else t
+        if base not in (3, 6, 10, 12):
+            return 0.0
+        return float(sum(GO.polygon_area(rings)
+                         for rings in decode_polygons(b)))
+
+    return pd.Series([area(g) for g in geoms], index=df.index,
+                     dtype=np.float64)
+
+
 def _eval(node, df: pd.DataFrame):
     kind = node[0]
     if kind == "lit":
         return node[1]
     if kind == "col":
         if node[1] not in df.columns:
+            if node[1] in _SPECIAL_FIELDS and "geometry" in df.columns:
+                return _ogr_special(node[1], df)
             raise SQLError(f"unknown column {node[1]!r}")
         return df[node[1]]
     if kind == "neg":
@@ -1544,6 +1604,15 @@ def _plan(q: dict, sf_dir: str):
         _columns_of(e, data_cols)
     # hidden __grpN group keys are computed in the staging step, not scanned
     data_cols -= {name for name, _ in grp_exprs}
+    # OGR special fields compute from the geometry column at eval time
+    # unless a real column shadows the name (ogr/ogrfeaturequery.cpp)
+    specials = (data_cols & _SPECIAL_FIELDS) - set(avail)
+    if specials:
+        if "geometry" not in set(avail):
+            raise SQLError(
+                f"special field(s) {sorted(specials)} need a geometry "
+                "column in the scanned table")
+        data_cols = (data_cols - specials) | {"geometry"}
     if data_cols - set(avail):
         raise SQLError(f"unknown column(s) {sorted(data_cols - set(avail))}")
     needed = set(data_cols)

@@ -645,3 +645,46 @@ COALESCE_QUERIES = [
 @pytest.mark.parametrize("sql", COALESCE_QUERIES)
 def test_coalesce_nullif_match_duckdb(sql, con, ray_session):
     _run_both(sql, con, ray_session)
+
+
+def test_ogr_special_fields(tmp_path, ray_session):
+    """OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA special fields
+    (ogr/ogrfeaturequery.cpp:37-38) over a geometry-bearing layer."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo.wkb import encode_point, encode_polygon
+    from gdal_ray.sql import execute_sql
+
+    sq = encode_polygon([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0],
+                                   [0.0, 3.0], [0.0, 0.0]])])
+    pt = encode_point(7.0, 8.0)
+    t = pa.table({
+        "r_regionkey": pa.array([0, 1, 2], pa.int64()),
+        "r_name": pa.array(["sqr", "pnt", "non"], pa.string()),
+        "geometry": pa.array([sq, pt, None], pa.binary()),
+    })
+    pq.write_table(t, str(tmp_path / "region.parquet"))
+    got = execute_sql(
+        "SELECT r_name, OGR_GEOMETRY AS gtype, OGR_GEOM_AREA AS area, "
+        "OGR_GEOM_WKT AS wkt FROM region ORDER BY r_regionkey",
+        str(tmp_path),
+    ).to_pandas()
+    assert list(got["gtype"]) == ["POLYGON", "POINT", None]
+    assert list(got["area"]) == [12.0, 0.0, 0.0]
+    assert got["wkt"][0].startswith("POLYGON")
+    assert got["wkt"][1] == "POINT (7 8)"
+    # usable in WHERE and under aggregates
+    got2 = execute_sql(
+        "SELECT COUNT(*) AS n, SUM(OGR_GEOM_AREA) AS a FROM region "
+        "WHERE OGR_GEOMETRY = 'POLYGON'", str(tmp_path)).to_pandas()
+    assert got2["n"][0] == 1 and got2["a"][0] == 12.0
+    # a real column shadows the special name
+    t2 = t.append_column("ogr_geometry",
+                         pa.array(["x", "y", "z"], pa.string()))
+    pq.write_table(t2, str(tmp_path / "region.parquet"))
+    got3 = execute_sql(
+        "SELECT OGR_GEOMETRY AS g FROM region ORDER BY r_regionkey",
+        str(tmp_path)).to_pandas()
+    assert list(got3["g"]) == ["x", "y", "z"]
