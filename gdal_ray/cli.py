@@ -61,6 +61,8 @@ The gdal-utils script suite (cli_utils.py):
         [--lo PCT] [--hi PCT]            # gdalenhance -> uint8
     python -m gdal_ray reclass <src> <dst> --map "1=10,2=20[,default=0]"
     python -m gdal_ray ogrtindex <dst> <a.geojson> [b.shp ...]
+    python -m gdal_ray lineref create <line-vec> <dst> --step S |
+        get_pos <line-vec> x y | get_subline <line-vec> <dst> --mb A --me B
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -948,7 +950,7 @@ _UTIL_COMMANDS = {
     "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
-    "ogrtindex",
+    "ogrtindex", "lineref",
 }
 
 
@@ -1108,6 +1110,12 @@ def _dispatch_util(cmd: str, args: list):
     if cmd == "ogrtindex":
         pos, _ = _split_flags(args, {})
         return {"tiles": U.cmd_ogrtindex(pos[0], pos[1:]), "dst": pos[0]}
+    if cmd == "lineref":
+        pos, fl = _split_flags(args, {"--step": 1, "--mb": 1, "--me": 1})
+        return U.cmd_lineref(pos[0], pos[1], *pos[2:],
+                             step=float(fl.get("step", 1.0)),
+                             mb=float(fl.get("mb", 0.0)),
+                             me=float(fl.get("me", 0.0)))
     raise SystemExit(f"unknown util {cmd!r}")
 
 

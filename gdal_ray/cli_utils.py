@@ -36,7 +36,7 @@ __all__ = [
     "cmd_gdal2xyz", "cmd_transform", "cmd_compare", "cmd_gdal2tiles",
     "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
     "cmd_dumpoverviews", "cmd_layer_algebra", "cmd_srsinfo",
-    "cmd_enhance", "cmd_reclass", "cmd_ogrtindex",
+    "cmd_enhance", "cmd_reclass", "cmd_ogrtindex", "cmd_lineref",
 ]
 
 
@@ -941,3 +941,48 @@ def cmd_ogrtindex(out_path: str, vector_paths: list) -> int:
     if rows:
         _vector_write(rd.from_pandas(pd.DataFrame(rows)), out_path)
     return len(rows)
+
+
+def cmd_lineref(mode: str, line_path: str, *args_rest, step: float = 1.0,
+                mb: float = 0.0, me: float = 0.0) -> dict:
+    """ogrlineref (apps/ogrlineref.cpp): linear referencing along the
+    first LineString of the input layer — ``create`` builds the regular
+    milepost table, ``get_pos`` returns the measure of a point,
+    ``get_subline`` extracts the part between two measures."""
+    import pandas as pd
+
+    from gdal_ray.geo.lineops import (line_locate, line_milepoints,
+                                      line_substring)
+    from gdal_ray.geo.wkb import decode_lines, encode_linestring, encode_point
+
+    _ensure_ray()
+    df = _vector_read(line_path).to_pandas()
+    geoms = [g for g in df["geometry"] if g is not None]
+    if not geoms:
+        raise SystemExit("lineref: input has no geometry")
+    pts = decode_lines(bytes(geoms[0]))[0]
+    if mode == "create":
+        dst = args_rest[0]
+        mp = line_milepoints(pts, step)
+        out = pd.DataFrame({
+            "measure": mp[:, 0],
+            "geometry": [encode_point(x, y) for _, x, y in mp],
+        })
+        import ray.data as rd
+
+        _vector_write(rd.from_pandas(out), dst)
+        return {"dst": dst, "mileposts": int(len(mp)), "step": step}
+    if mode == "get_pos":
+        px, py = float(args_rest[0]), float(args_rest[1])
+        return {"measure": line_locate(pts, px, py)}
+    if mode == "get_subline":
+        dst = args_rest[0]
+        sub = line_substring(pts, mb, me)
+        import ray.data as rd
+
+        _vector_write(rd.from_pandas(pd.DataFrame({
+            "mb": [mb], "me": [me],
+            "geometry": [encode_linestring(sub)],
+        })), dst)
+        return {"dst": dst, "vertices": int(len(sub))}
+    raise SystemExit(f"lineref: unknown mode {mode!r}")

@@ -27,6 +27,9 @@ __all__ = [
     "segmentize",
     "clip_line_rect",
     "clip_line_convex",
+    "line_locate",
+    "line_substring",
+    "line_milepoints",
 ]
 
 
@@ -174,3 +177,65 @@ def clip_line_convex(pts: np.ndarray, ring: np.ndarray):
         b = np.array([x0 + t1 * dx, y0 + t1 * dy])
         parts.append(np.vstack([a, b]))
     return _merge_parts(parts)
+
+
+def line_locate(pts: np.ndarray, px: float, py: float) -> float:
+    """Measure (distance along the polyline) of the closest point to
+    (px, py) — the ogrlineref get_pos operation (apps/ogrlineref.cpp):
+    project onto every segment, clamp to the segment, take the global
+    nearest. Vectorized over segments."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if pts.shape[0] < 2:
+        return 0.0
+    a = pts[:-1]
+    d = np.diff(pts, axis=0)
+    seg2 = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+    t = np.zeros(len(a))
+    nz = seg2 > 0
+    t[nz] = ((px - a[nz, 0]) * d[nz, 0] + (py - a[nz, 1]) * d[nz, 1]) / seg2[nz]
+    t = np.clip(t, 0.0, 1.0)
+    cx = a[:, 0] + t * d[:, 0]
+    cy = a[:, 1] + t * d[:, 1]
+    d2 = (cx - px) ** 2 + (cy - py) ** 2
+    i = int(np.argmin(d2))
+    lens = np.sqrt(seg2)
+    return float(np.sum(lens[:i]) + t[i] * lens[i])
+
+
+def line_substring(pts: np.ndarray, m0: float, m1: float) -> np.ndarray:
+    """Sub-polyline between measures m0 <= m1 (ogrlineref get_subline /
+    OGRCurve segment extraction): interpolated endpoints + every interior
+    vertex whose measure falls strictly inside."""
+    pts = np.asarray(pts, dtype=np.float64)
+    total = line_length(pts)
+    m0 = max(0.0, min(float(m0), total))
+    m1 = max(m0, min(float(m1), total))
+    lens = _seg_lengths(pts)
+    acc = np.concatenate([[0.0], np.cumsum(lens)])
+    start = line_interpolate(pts, m0)
+    end = line_interpolate(pts, m1)
+    inner = pts[1:-1][(acc[1:-1] > m0) & (acc[1:-1] < m1)] \
+        if pts.shape[0] > 2 else np.empty((0, 2))
+    out = np.vstack([[start], inner, [end]])
+    # drop consecutive duplicates (a measure landing exactly on a vertex)
+    keep = np.ones(len(out), dtype=bool)
+    keep[1:] = (np.abs(np.diff(out, axis=0)) > 1e-12).any(axis=1)
+    return out[keep]
+
+
+def line_milepoints(pts: np.ndarray, step: float) -> np.ndarray:
+    """(k, 3) array of (measure, x, y) every ``step`` along the line,
+    including measure 0 and the terminal measure (ogrlineref create —
+    the regular milepost table the reference builds as its reference
+    layer)."""
+    total = line_length(pts)
+    if step <= 0:
+        raise ValueError("milepoint step must be positive")
+    ms = list(np.arange(0.0, total, step))
+    if not ms or ms[-1] < total:
+        ms.append(total)
+    out = np.empty((len(ms), 3))
+    for k, m in enumerate(ms):
+        x, y = line_interpolate(pts, m)
+        out[k] = (m, x, y)
+    return out

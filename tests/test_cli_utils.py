@@ -477,3 +477,55 @@ def test_ogrtindex(tmp_path, ray_session):
     assert df["n_features"][0] == 2
     assert list(wkb_envelope(bytes(df["geometry"][0]))) == [3.0, 7.0,
                                                             5.0, 9.0]
+
+
+def test_lineref(tmp_path, ray_session):
+    # L-shaped line: (0,0)->(10,0)->(10,5), length 15
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0.0, 0.0], [10.0, 0.0], [10.0, 5.0]]},
+         "properties": {}}]}
+    p = tmp_path / "line.geojson"
+    p.write_text(json.dumps(fc))
+    # create: mileposts every 4 units -> 0,4,8,12,15
+    out = str(tmp_path / "mp.geojson")
+    res = U.cmd_lineref("create", str(p), out, step=4.0)
+    assert res["mileposts"] == 5
+    from gdal_ray.geo.wkb import decode_points
+    from gdal_ray.sources.geojson import read_geojson
+
+    df = read_geojson(out).to_pandas().sort_values("measure")
+    assert list(df["measure"]) == [0.0, 4.0, 8.0, 12.0, 15.0]
+    xs, ys = decode_points([bytes(g) for g in df["geometry"]])
+    assert list(xs) == [0.0, 4.0, 8.0, 10.0, 10.0]
+    assert list(ys) == [0.0, 0.0, 0.0, 2.0, 5.0]
+    # get_pos: point near (10, 3) -> measure 13
+    res2 = U.cmd_lineref("get_pos", str(p), "11", "3")
+    assert res2["measure"] == pytest.approx(13.0)
+    # point before the start clamps to 0
+    assert U.cmd_lineref("get_pos", str(p), "-5", "-1")["measure"] == 0.0
+    # get_subline between 4 and 13: (4,0)->(10,0)->(10,3)
+    out3 = str(tmp_path / "sub.geojson")
+    res3 = U.cmd_lineref("get_subline", str(p), out3, mb=4.0, me=13.0)
+    assert res3["vertices"] == 3
+    from gdal_ray.geo.wkb import decode_lines
+
+    sub = decode_lines(bytes(read_geojson(out3).to_pandas()["geometry"][0]))[0]
+    assert np.allclose(sub, [[4, 0], [10, 0], [10, 3]])
+
+
+def test_line_locate_kernel_oracle():
+    from gdal_ray.geo.lineops import line_locate, line_substring
+
+    pts = np.array([[0.0, 0.0], [3.0, 4.0], [3.0, 10.0]])  # lens 5, 6
+    # closest to the first segment midpoint
+    assert line_locate(pts, 1.5, 2.0) == pytest.approx(2.5)
+    # beyond the end clamps to total length
+    assert line_locate(pts, 3.0, 99.0) == pytest.approx(11.0)
+    # substring across the vertex keeps it
+    sub = line_substring(pts, 2.5, 8.0)
+    assert np.allclose(sub, [[1.5, 2.0], [3.0, 4.0], [3.0, 7.0]])
+    # degenerate zero-length request -> single repeated point collapses
+    sub2 = line_substring(pts, 5.0, 5.0)
+    assert sub2.shape[0] == 1 and np.allclose(sub2[0], [3.0, 4.0])
