@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rat": RQ.q_rat,
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
+        "q_lineref_lattice": LO.q_lineref_lattice,
     }
 
 
@@ -1515,6 +1516,36 @@ def oracle_sql() -> dict[str, str]:
         # .gsb float32), cell fractions dyadic/2^14, so every term has
         # denominator 2^36 and x*2^36 is an exact integer — zero rounding
         # ambiguity on either side
+        # L-line linear referencing: both segment projections in closed
+        # form; clamp = LEAST/GREATEST, nearest-segment chooser = CASE
+        # (the engine's argmin-first tie rule only fires on the corner
+        # locus where both measures coincide — see the query docstring)
+        "q_lineref_lattice": """
+            WITH p AS (
+              SELECT s_suppkey,
+                     CAST(4 + s_suppkey % 7 AS DOUBLE) AS a,
+                     CAST(3 + s_suppkey % 5 AS DOUBLE) AS b,
+                     (s_suppkey % 13) - 3 + 0.25 AS px,
+                     (s_suppkey % 9) - 1 + 0.125 AS py
+              FROM supplier
+            ), m AS (
+              SELECT s_suppkey, a, b, px, py,
+                     LEAST(GREATEST(px, 0), a) AS m1x,
+                     LEAST(GREATEST(py, 0), b) AS m2y
+              FROM p
+            ), d AS (
+              SELECT s_suppkey, a, b,
+                     (px - m1x)*(px - m1x) + py*py AS d1s,
+                     (px - a)*(px - a) + (py - m2y)*(py - m2y) AS d2s,
+                     m1x AS m1, a + m2y AS m2
+              FROM m
+            )
+            SELECT s_suppkey,
+                   CAST(ROUND((CASE WHEN d1s <= d2s THEN m1 ELSE m2 END)
+                              * 10000) AS BIGINT) AS measure_q,
+                   CAST(ROUND((a + b) * 10000) AS BIGINT) AS len_q
+            FROM d ORDER BY s_suppkey
+        """,
         "q_ntv2_lattice": """
             WITH p AS (
               SELECT c_custkey,

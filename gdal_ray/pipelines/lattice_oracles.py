@@ -55,6 +55,7 @@ __all__ = [
     "q_stereo_lattice",
     "q_gcp_lattice",
     "q_ntv2_lattice",
+    "q_lineref_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -1023,4 +1024,46 @@ def q_ntv2_lattice(sf_dir: str):
         _read(sf_dir, "customer", ["c_custkey"])
         .map_batches(shift, batch_format="pyarrow")
         .sort("c_custkey")
+    )
+
+
+def q_lineref_lattice(sf_dir: str):
+    """Linear referencing (apps/ogrlineref.cpp get_pos) on closed-form
+    L-lines: supplier key k gets the polyline (0,0)->(a,0)->(a,b) with
+    a = 4 + k%7, b = 3 + k%5 and the query point
+    (k%13 - 3 + 0.25, k%9 - 1 + 0.125); the result is the measure of the
+    nearest point (geo/lineops.line_locate) plus the total length.
+
+    Exactness by construction: integer line geometry + dyadic query
+    points make both candidate squared distances exact multiples of
+    2^-6, so the engine's <=1e-13 projection rounding can never flip the
+    CASE comparison, and the tie loci (py = a - px and the outer-corner
+    parabola) are fraction-impossible for .25/.125 offsets against
+    integer a — the twin recomputes both segment projections in closed
+    form (clamp = LEAST/GREATEST, chooser = CASE) and the 1e4-quantized
+    measures match bit-exactly."""
+    from gdal_ray.geo.lineops import line_length, line_locate
+
+    def locate(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        meas = np.empty(len(keys))
+        total = np.empty(len(keys))
+        for j, k in enumerate(keys):
+            a = float(4 + k % 7)
+            b = float(3 + k % 5)
+            pts = np.array([[0.0, 0.0], [a, 0.0], [a, b]])
+            px = float(k % 13) - 3 + 0.25
+            py = float(k % 9) - 1 + 0.125
+            meas[j] = line_locate(pts, px, py)
+            total[j] = line_length(pts)
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"],
+            "measure_q": pa.array(np.round(meas * 10000).astype(np.int64)),
+            "len_q": pa.array(np.round(total * 10000).astype(np.int64)),
+        })
+
+    return (
+        _read(sf_dir, "supplier", ["s_suppkey"])
+        .map_batches(locate, batch_format="pyarrow")
+        .sort("s_suppkey")
     )
