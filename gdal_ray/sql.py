@@ -13,7 +13,8 @@ core (single input layer):
 
 Expressions: column refs (optionally table-qualified), numeric/string
 literals, + - * / % and unary -, comparisons (= != <> < <= > >=),
-AND / OR / NOT, LIKE (OGR's %/_ wildcards), IN (values or a single-column
+AND / OR / NOT, LIKE / ILIKE (OGR's %/_ wildcards, optional
+ESCAPE '<ch>' per swq_parser.y), IN (values or a single-column
 subquery), BETWEEN a AND b, IS [NOT] NULL, parentheses,
 CAST(x AS integer/float/character) — float->integer TRUNCATES like swq's
 C cast (DuckDB rounds) — and the swq string functions CONCAT / SUBSTR
@@ -317,9 +318,16 @@ class _Parser:
                 neg = True
                 tok = self.peek()
         if tok == ("kw", "like") or tok == ("kw", "ilike"):
-            # ILIKE: case-insensitive LIKE (swq_op_general.cpp ILIKE)
+            # ILIKE: case-insensitive LIKE (swq_op_general.cpp ILIKE);
+            # optional ESCAPE '<ch>' (swq_parser.y LIKE ... ESCAPE)
             self.next()
             node = (tok[1], node, self._arith())
+            if self.peek() == ("id", "escape"):
+                self.next()
+                esc = self.expect("str")[1]
+                if len(esc) != 1:
+                    raise SQLError("ESCAPE needs a single character")
+                node = node + (esc,)
         elif tok == ("kw", "in"):
             self.next()
             self.expect("op", "(")
@@ -613,10 +621,17 @@ def parse(sql: str) -> dict:
 # evaluation
 # --------------------------------------------------------------------------
 
-def _like_to_re(pattern: str, ci: bool = False) -> re.Pattern:
+def _like_to_re(pattern: str, ci: bool = False,
+                esc: str | None = None) -> re.Pattern:
     out = []
+    pending_escape = False
     for ch in pattern:
-        if ch == "%":
+        if pending_escape:
+            out.append(re.escape(ch))
+            pending_escape = False
+        elif esc is not None and ch == esc:
+            pending_escape = True
+        elif ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
@@ -758,7 +773,8 @@ def _eval(node, df: pd.DataFrame):
         pat = _eval(node[2], df)
         if not isinstance(pat, str):
             raise SQLError("LIKE pattern must be a string literal")
-        rx = _like_to_re(pat, ci=kind == "ilike")
+        rx = _like_to_re(pat, ci=kind == "ilike",
+                         esc=node[3] if len(node) > 3 else None)
         return _eval(node[1], df).astype(str).str.match(rx)
     if kind == "in":
         target = _eval(node[1], df)

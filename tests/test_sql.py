@@ -688,3 +688,22 @@ def test_ogr_special_fields(tmp_path, ray_session):
         "SELECT OGR_GEOMETRY AS g FROM region ORDER BY r_regionkey",
         str(tmp_path)).to_pandas()
     assert list(got3["g"]) == ["x", "y", "z"]
+
+
+ESCAPE_QUERIES = [
+    # escaped '#' is a plain literal (ESCAPE char + any char -> literal)
+    "SELECT c_name FROM customer WHERE c_name LIKE 'Customer!#%' "
+    "ESCAPE '!' AND c_custkey <= 12 ORDER BY c_name",
+    # escaped '%' must match a literal percent -> no rows (both engines)
+    "SELECT n_name FROM nation WHERE n_name LIKE '%!%%' ESCAPE '!' "
+    "ORDER BY n_name",
+    # escaped '_' stops the single-char wildcard
+    "SELECT p_type FROM part WHERE p_type LIKE '%TIN' AND NOT "
+    "p_type LIKE '%!_TIN' ESCAPE '!' ORDER BY p_type LIMIT 5",
+]
+
+
+@pytest.mark.parametrize("sql", ESCAPE_QUERIES)
+def test_like_escape_matches_duckdb(sql, con, ray_session):
+    """LIKE ... ESCAPE (swq_parser.y optional escape clause)."""
+    _run_both(sql, con, ray_session)
