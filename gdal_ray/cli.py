@@ -63,6 +63,9 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray ogrtindex <dst> <a.geojson> [b.shp ...]
     python -m gdal_ray lineref create <line-vec> <dst> --step S |
         get_pos <line-vec> x y | get_subline <line-vec> <dst> --mb A --me B
+    python -m gdal_ray mdiminfo <src.tif>   # gdalmdiminfo (band,y,x cube)
+    python -m gdal_ray mdim <src.tif> <dst.tif> [--view "0, 10:50, ::2"]
+        [--transpose "0,2,1"] [--reduce mean:0] [--resample H,W[,bilinear]]
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
@@ -950,7 +953,7 @@ _UTIL_COMMANDS = {
     "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
-    "ogrtindex", "lineref",
+    "ogrtindex", "lineref", "mdiminfo", "mdim",
 }
 
 
@@ -1116,6 +1119,16 @@ def _dispatch_util(cmd: str, args: list):
                              step=float(fl.get("step", 1.0)),
                              mb=float(fl.get("mb", 0.0)),
                              me=float(fl.get("me", 0.0)))
+    if cmd == "mdiminfo":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_mdiminfo(pos[0])
+    if cmd == "mdim":
+        pos, fl = _split_flags(args, {"--view": 1, "--transpose": 1,
+                                      "--reduce": 1, "--resample": 1})
+        return U.cmd_mdim(pos[0], pos[1], view=fl.get("view"),
+                          transpose=fl.get("transpose"),
+                          reduce_spec=fl.get("reduce"),
+                          resample=fl.get("resample"))
     raise SystemExit(f"unknown util {cmd!r}")
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
     "cmd_dumpoverviews", "cmd_layer_algebra", "cmd_srsinfo",
     "cmd_enhance", "cmd_reclass", "cmd_ogrtindex", "cmd_lineref",
+    "cmd_mdiminfo", "cmd_mdim",
 ]
 
 
@@ -986,3 +987,82 @@ def cmd_lineref(mode: str, line_path: str, *args_rest, step: float = 1.0,
         })), dst)
         return {"dst": dst, "vertices": int(len(sub))}
     raise SystemExit(f"lineref: unknown mode {mode!r}")
+
+
+# --------------------------------------------------------------------------
+# gdalmdiminfo / gdalmdimtranslate over the (band, y, x) cube view
+# --------------------------------------------------------------------------
+
+def _parse_view_spec(spec: str):
+    """"0, 10:50, ::2" -> slices/ints in MDArray.view's grammar."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if ":" in part:
+            bits = [int(v) if v else None for v in part.split(":")]
+            while len(bits) < 3:
+                bits.append(None)
+            out.append(slice(bits[0], bits[1], bits[2]))
+        else:
+            out.append(int(part))
+    return out
+
+
+def cmd_mdiminfo(src: str) -> dict:
+    """gdalmdiminfo (apps/gdalmdiminfo_*.cpp): dimensions / dtype of the
+    raster viewed as a (band, y, x) MDArray cube."""
+    from gdal_ray.io.tiff import read_tiff_header
+
+    hdr = read_tiff_header(src)
+    return {
+        "driver": "GeoTIFF as MDArray",
+        "arrays": [{
+            "name": os.path.splitext(os.path.basename(src))[0],
+            "datatype": str(np.dtype(hdr["dtype"]).name),
+            "dimensions": [
+                {"name": "band", "size": hdr["spp"]},
+                {"name": "y", "size": hdr["h"]},
+                {"name": "x", "size": hdr["w"]},
+            ],
+            "nodata": hdr["nodata"],
+        }],
+    }
+
+
+def cmd_mdim(src: str, dst: str, view: str | None = None,
+             transpose: str | None = None, reduce_spec: str | None = None,
+             resample: str | None = None,
+             compress: str = "deflate") -> dict:
+    """gdalmdimtranslate subset (apps/gdalalg_mdim_convert.cpp /
+    gcore/gdalmultidim.cpp GetView/Transpose/GetResampled): compose lazy
+    view ops on the (band, y, x) cube and write the materialized result.
+    ``--view "0, 10:50, ::2"`` (int squeezes), ``--transpose "0,2,1"``,
+    ``--reduce mean:0``, ``--resample H,W[,bilinear]``."""
+    from gdal_ray.raster.mdim import MDArray
+
+    arr, hdr = _read_full_tiff(src)
+    cube = (arr[None, :, :] if arr.ndim == 2
+            else np.ascontiguousarray(np.moveaxis(arr, 2, 0)))
+    md = MDArray(cube)
+    if view:
+        md = md.view(*_parse_view_spec(view))
+    if transpose:
+        md = md.transpose(tuple(int(v) for v in transpose.split(",")))
+    if resample:
+        bits = resample.split(",")
+        md = md.resampled(int(bits[0]), int(bits[1]),
+                          bits[2] if len(bits) > 2 else "nearest")
+    if reduce_spec:
+        op, _, ax = reduce_spec.partition(":")
+        out = md.reduce(op, int(ax or 0))
+    else:
+        out = md.read()
+    if out.ndim == 3:  # (band, y, x) -> chunky for the writer
+        out = np.moveaxis(out, 0, 2)
+    elif out.ndim not in (2, 3):
+        raise SystemExit(f"mdim result has {out.ndim} dims; reduce or "
+                         "squeeze to 2-3 before writing")
+    gt = list(hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    _write_raster_any(dst, np.ascontiguousarray(out), gt,
+                      epsg=hdr["epsg"], compress=compress)
+    return {"dst": dst, "shape": list(out.shape), "dtype": str(out.dtype)}

@@ -529,3 +529,31 @@ def test_line_locate_kernel_oracle():
     # degenerate zero-length request -> single repeated point collapses
     sub2 = line_substring(pts, 5.0, 5.0)
     assert sub2.shape[0] == 1 and np.allclose(sub2[0], [3.0, 4.0])
+
+
+def test_mdiminfo_and_mdim(tmp_path):
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    p = str(tmp_path / "cube.tif")
+    write_geotiff(p, rgb, GT, epsg=32633)
+    info = U.cmd_mdiminfo(p)
+    dims = info["arrays"][0]["dimensions"]
+    assert [(d["name"], d["size"]) for d in dims] == [
+        ("band", 3), ("y", 40), ("x", 60)]
+    # slice band 1, window, stride 2 in x
+    out = str(tmp_path / "v.tif")
+    res = U.cmd_mdim(p, out, view="1, 10:30, ::2")
+    assert res["shape"] == [20, 30]
+    assert np.array_equal(_full(out), rgb[10:30, ::2, 1])
+    # band-mean reduce
+    out2 = str(tmp_path / "m.tif")
+    U.cmd_mdim(p, out2, reduce_spec="mean:0")
+    assert np.allclose(_full(out2), rgb.astype(np.float64).mean(axis=2))
+    # transpose y<->x keeps a valid 3-d cube
+    out3 = str(tmp_path / "t.tif")
+    res3 = U.cmd_mdim(p, out3, transpose="0,2,1")
+    assert res3["shape"] == [60, 40, 3]
+    # resample last two dims
+    out4 = str(tmp_path / "r.tif")
+    res4 = U.cmd_mdim(p, out4, view="0", resample="20,30")
+    assert res4["shape"] == [20, 30]
