@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stack_median": RQ.q_stack_median,
         "q_mdim_cube": RQ.q_mdim_cube,
         "q_lineref_lattice": LO.q_lineref_lattice,
+        "q_substr_dup": CQ.q_substr_dup,
+        "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
     }
 
 
@@ -1520,6 +1522,25 @@ def oracle_sql() -> dict[str, str]:
         # form; clamp = LEAST/GREATEST, nearest-segment chooser = CASE
         # (the engine's argmin-first tie rule only fires on the corner
         # locus where both measures coincide — see the query docstring)
+        # span-level exact-substring dedup: DuckDB recomputes the same
+        # stride-4 8-token windows from split(' ') tokens and groups on
+        # the exact window text
+        "q_substr_dup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, CAST(p AS BIGINT),
+                                                CAST(p AS BIGINT) + 7),
+                                     ' ') AS win
+              FROM t, UNNEST(range(1, len(toks) - 6, 4)) AS u(p)
+              WHERE len(toks) >= 8
+            )
+            SELECT win, COUNT(DISTINCT doc_id) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1
+            ORDER BY win
+        """,
         "q_lineref_lattice": """
             WITH p AS (
               SELECT s_suppkey,

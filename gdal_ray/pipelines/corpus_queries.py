@@ -31,6 +31,8 @@ __all__ = [
     "q_curation_pipeline",
     "q_image_embed_topk",
     "q_datum_shift",
+    "q_substr_dup",
+    "q_substr_dup_winnow",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -290,3 +292,33 @@ def q_datum_shift(sf_dir: str):
         )
         .sort("band")
     )
+
+
+def q_substr_dup(sf_dir: str):
+    """Span-level exact-substring dedup (Lee et al., 2022) over the
+    documents table: every 8-token window (stride 4) duplicated verbatim
+    across >=2 distinct documents, with document and occurrence counts.
+    Fully SQL-twinnable — tokenization is split(' ') so DuckDB
+    recomputes identical windows (string grouping, no float hazard).
+    Ref: the suffix-array dedup the paper builds single-node; here
+    stage shapes are stages/substrdup.py's hash-shuffle + join-back."""
+    from gdal_ray.stages.substrdup import duplicated_spans
+
+    docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+    return duplicated_spans(docs, span=8, stride=4).sort("win")
+
+
+def q_substr_dup_winnow(sf_dir: str):
+    """The scale-path variant of q_substr_dup: winnowing fingerprint
+    selection (Schleimer et al. 2003) instead of a stride grid, so ANY
+    duplicated passage of >= span + w - 1 tokens is caught regardless of
+    its offsets in the two documents (tests/test_substrdup.py proves the
+    guarantee at every alignment). Rows-only under the driver gate —
+    winnowing selection is not practical to twin in SQL; the strided
+    sibling q_substr_dup carries the exact DuckDB twin."""
+    from gdal_ray.stages.substrdup import duplicated_spans
+
+    docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+    return duplicated_spans(docs, span=8, winnow=4).sort("win")
