@@ -63,6 +63,11 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray ogrtindex <dst> <a.geojson> [b.shp ...]
     python -m gdal_ray lineref create <line-vec> <dst> --step S |
         get_pos <line-vec> x y | get_subline <line-vec> <dst> --mb A --me B
+    python -m gdal_ray overview-delete <src.tif> | overview-refresh
+        <src.tif> [-r kernel]            # gdal raster overview ...
+    python -m gdal_ray nodata-to-alpha <src> <dst> [--nodata V]
+    python -m gdal_ray color-merge <gray.tif> <rgb.tif> <dst.tif>  # HSV V-merge
+    python -m gdal_ray update <src.tif> <existing-dst.tif>  # paint by georef
     python -m gdal_ray mdiminfo <src.tif>   # gdalmdiminfo (band,y,x cube)
     python -m gdal_ray mdim <src.tif> <dst.tif> [--view "0, 10:50, ::2"]
         [--transpose "0,2,1"] [--reduce mean:0] [--resample H,W[,bilinear]]
@@ -953,7 +958,8 @@ _UTIL_COMMANDS = {
     "footprint", "merge", "calc", "rgb2pct", "pct2rgb", "gdal2xyz",
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
-    "ogrtindex", "lineref", "mdiminfo", "mdim",
+    "ogrtindex", "lineref", "mdiminfo", "mdim", "overview-delete",
+    "overview-refresh", "nodata-to-alpha", "color-merge", "update",
 }
 
 
@@ -1122,6 +1128,23 @@ def _dispatch_util(cmd: str, args: list):
     if cmd == "mdiminfo":
         pos, _ = _split_flags(args, {})
         return U.cmd_mdiminfo(pos[0])
+    if cmd == "overview-delete":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_overview_delete(pos[0])
+    if cmd == "overview-refresh":
+        pos, fl = _split_flags(args, {"-r": 1})
+        return U.cmd_overview_refresh(pos[0], resample=fl.get("r", "average"))
+    if cmd == "nodata-to-alpha":
+        pos, fl = _split_flags(args, {"--nodata": 1})
+        return U.cmd_nodata_to_alpha(
+            pos[0], pos[1],
+            nodata=float(fl["nodata"]) if "nodata" in fl else None)
+    if cmd == "color-merge":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_color_merge(pos[0], pos[1], pos[2])
+    if cmd == "update":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_update(pos[0], pos[1])
     if cmd == "mdim":
         pos, fl = _split_flags(args, {"--view": 1, "--transpose": 1,
                                       "--reduce": 1, "--resample": 1})

@@ -37,7 +37,9 @@ __all__ = [
     "cmd_retile", "cmd_ogrmerge", "cmd_create", "cmd_manage", "cmd_edit",
     "cmd_dumpoverviews", "cmd_layer_algebra", "cmd_srsinfo",
     "cmd_enhance", "cmd_reclass", "cmd_ogrtindex", "cmd_lineref",
-    "cmd_mdiminfo", "cmd_mdim",
+    "cmd_mdiminfo", "cmd_mdim", "cmd_overview_delete",
+    "cmd_overview_refresh", "cmd_nodata_to_alpha", "cmd_color_merge",
+    "cmd_update",
 ]
 
 
@@ -1066,3 +1068,131 @@ def cmd_mdim(src: str, dst: str, view: str | None = None,
     _write_raster_any(dst, np.ascontiguousarray(out), gt,
                       epsg=hdr["epsg"], compress=compress)
     return {"dst": dst, "shape": list(out.shape), "dtype": str(out.dtype)}
+
+
+# --------------------------------------------------------------------------
+# gdal raster overview delete|refresh / nodata-to-alpha / color-merge /
+# update
+# --------------------------------------------------------------------------
+
+def cmd_overview_delete(src: str) -> dict:
+    """gdal raster overview delete (apps/gdalalg_raster_overview_delete
+    .cpp): drop the external overview file."""
+    ovr = src + ".ovr"
+    if os.path.exists(ovr):
+        os.remove(ovr)
+        return {"deleted": ovr}
+    return {"deleted": None}
+
+
+def cmd_overview_refresh(src: str, resample: str = "average") -> dict:
+    """gdal raster overview refresh: rebuild the existing .ovr levels
+    from the (possibly updated) base pixels, keeping the level factors."""
+    from gdal_ray.io.tiff import read_tiff_header, read_tiff_ifds
+
+    ovr = src + ".ovr"
+    if not os.path.exists(ovr):
+        raise SystemExit(f"no external overviews at {ovr} (run addo first)")
+    base_w = read_tiff_header(src)["w"]
+    factors = [max(1, round(base_w / h["w"])) for h in read_tiff_ifds(ovr)]
+    return cmd_addo(src, factors, resample=resample)
+
+
+def cmd_nodata_to_alpha(src: str, dst: str,
+                        nodata: float | None = None,
+                        compress: str = "deflate") -> dict:
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_nodata_to_alpha
+    .cpp): append an alpha band that is 0 on nodata pixels, 255
+    elsewhere."""
+    from gdal_ray.io.tiff import read_tiff_header
+
+    arr, gt, epsg = _read_raster_any(src)
+    if nodata is None:
+        try:
+            nodata = read_tiff_header(src)["nodata"]
+        except (ValueError, OSError):
+            nodata = None
+    if nodata is None:
+        raise SystemExit("nodata-to-alpha needs --nodata or a GDAL_NODATA "
+                         "tag on the input")
+    band0 = arr if arr.ndim == 2 else arr[:, :, 0]
+    alpha = np.where(band0 == nodata, 0, 255).astype(arr.dtype)
+    img = arr[:, :, None] if arr.ndim == 2 else arr
+    out = np.dstack([img, alpha])
+    _write_raster_any(dst, out, gt, epsg=epsg, compress=compress)
+    return {"dst": dst, "bands": int(out.shape[2]),
+            "transparent": int((alpha == 0).sum())}
+
+
+def cmd_color_merge(grayscale: str, color: str, dst: str,
+                    compress: str = "deflate") -> dict:
+    """gdal raster color-merge (apps/gdalalg_raster_color_merge.cpp):
+    replace the VALUE channel of the color image's HSV decomposition
+    with the grayscale band — the classic pan-fusion alternative to
+    Brovey pansharpening."""
+    gray, g_hdr = _read_full_tiff(grayscale)
+    rgb, _ = _read_full_tiff(color)
+    if rgb.ndim != 3 or rgb.shape[2] < 3:
+        raise SystemExit("color-merge needs an RGB color input")
+    if gray.ndim == 3:
+        gray = gray[:, :, 0]
+    if gray.shape != rgb.shape[:2]:
+        raise SystemExit(f"size mismatch: gray {gray.shape} vs "
+                         f"color {rgb.shape[:2]}")
+    r, g, b = (rgb[:, :, i].astype(np.float64) / 255.0 for i in range(3))
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    c = mx - mn
+    # hue sector selection, vectorized (standard RGB->HSV)
+    h = np.zeros_like(mx)
+    nz = c > 0
+    rmax = nz & (mx == r)
+    gmax = nz & (mx == g) & ~rmax
+    bmax = nz & ~rmax & ~gmax
+    h[rmax] = ((g - b)[rmax] / c[rmax]) % 6.0
+    h[gmax] = (b - r)[gmax] / c[gmax] + 2.0
+    h[bmax] = (r - g)[bmax] / c[bmax] + 4.0
+    s = np.where(mx > 0, c / np.where(mx > 0, mx, 1.0), 0.0)
+    v = np.clip(gray.astype(np.float64) / 255.0, 0.0, 1.0)  # merged value
+    # HSV -> RGB
+    c2 = v * s
+    x = c2 * (1.0 - np.abs(h % 2.0 - 1.0))
+    m = v - c2
+    sector = np.floor(h).astype(np.int64) % 6
+    r2 = np.choose(sector, [c2, x, 0 * x, 0 * x, x, c2])
+    g2 = np.choose(sector, [x, c2, c2, x, 0 * x, 0 * x])
+    b2 = np.choose(sector, [0 * x, 0 * x, x, c2, c2, x])
+    out = np.dstack([r2 + m, g2 + m, b2 + m])
+    out = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+    gt = list(g_hdr["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0])
+    _write_raster_any(dst, out, gt, epsg=g_hdr["epsg"], compress=compress)
+    return {"dst": dst, "shape": list(out.shape)}
+
+
+def cmd_update(src: str, dst: str, compress: str = "deflate") -> dict:
+    """gdal raster update (apps/gdalalg_raster_update.cpp): paint the
+    source into the EXISTING destination raster by georeference (the
+    destination's grid and extent win; source pixels landing outside are
+    dropped)."""
+    s_arr, s_gt, _ = _read_raster_any(src)
+    d_arr, d_gt, d_epsg = _read_raster_any(dst)
+    if s_arr.ndim == 3:
+        s_arr = s_arr[:, :, 0]
+    if d_arr.ndim == 3:
+        d_arr = d_arr[:, :, 0]
+    # integer pixel offset of the source origin in the destination grid
+    # (same resolution assumed, like the reference's fast path)
+    col0 = round((s_gt[0] - d_gt[0]) / d_gt[1])
+    row0 = round((s_gt[3] - d_gt[3]) / d_gt[5])
+    h, w = d_arr.shape
+    sh, sw = s_arr.shape
+    y0, x0 = max(0, row0), max(0, col0)
+    y1, x1 = min(h, row0 + sh), min(w, col0 + sw)
+    n = 0
+    if y1 > y0 and x1 > x0:
+        sub = s_arr[y0 - row0:y1 - row0, x0 - col0:x1 - col0]
+        d_arr[y0:y1, x0:x1] = sub.astype(d_arr.dtype)
+        n = int(sub.size)
+    _write_raster_any(dst, d_arr, d_gt, epsg=d_epsg, compress=compress)
+    return {"dst": dst, "updated_pixels": n,
+            "window": [int(x0), int(y0), int(x1 - x0), int(y1 - y0)]}

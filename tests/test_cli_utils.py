@@ -557,3 +557,81 @@ def test_mdiminfo_and_mdim(tmp_path):
     out4 = str(tmp_path / "r.tif")
     res4 = U.cmd_mdim(p, out4, view="0", resample="20,30")
     assert res4["shape"] == [20, 30]
+
+
+def test_overview_delete_refresh(tif):
+    p, a = tif
+    U.cmd_addo(p, [2, 4])
+    assert os.path.exists(p + ".ovr")
+    # mutate the base, refresh keeps the factors and recomputes pixels
+    a2 = (a // 2).astype(a.dtype)
+    write_geotiff(p, a2, GT, epsg=32633, tile=64)
+    res = U.cmd_overview_refresh(p)
+    assert res["levels"] == [[64, 96], [32, 48]]
+    from gdal_ray.raster.kernels import resample_average
+
+    hdrs = read_tiff_ifds(p + ".ovr")
+    assert np.array_equal(_full(p + ".ovr", hdrs[0]), resample_average(a2, 2))
+    assert U.cmd_overview_delete(p)["deleted"] == p + ".ovr"
+    assert not os.path.exists(p + ".ovr")
+    assert U.cmd_overview_delete(p)["deleted"] is None
+
+
+def test_nodata_to_alpha(tmp_path):
+    a = np.full((10, 12), 5, dtype=np.uint8)
+    a[2:4, 3:6] = 0
+    p = str(tmp_path / "n.tif")
+    write_geotiff(p, a, GT, nodata=0)
+    out = str(tmp_path / "na.tif")
+    res = U.cmd_nodata_to_alpha(p, out)  # nodata from the tag
+    assert res["bands"] == 2 and res["transparent"] == 6
+    got = _full(out)
+    assert np.array_equal(got[:, :, 0], a)
+    assert (got[2:4, 3:6, 1] == 0).all()
+    assert (got[0, 0, 1] == 255).all()
+
+
+def test_color_merge_hsv(tmp_path):
+    rng = np.random.default_rng(41)
+    rgb = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    gray = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    pg = str(tmp_path / "g.tif")
+    pc = str(tmp_path / "c.tif")
+    write_geotiff(pg, gray, GT, epsg=32633)
+    write_geotiff(pc, rgb, GT)
+    out = str(tmp_path / "m.tif")
+    U.cmd_color_merge(pg, pc, out)
+    got = _full(out)
+    # oracle: matplotlib-free HSV round trip per pixel via colorsys
+    import colorsys
+
+    for y in range(0, 16, 5):
+        for x in range(0, 16, 5):
+            r, g, b = (rgb[y, x] / 255.0).tolist()
+            hh, ss, _vv = colorsys.rgb_to_hsv(r, g, b)
+            er, eg, eb = colorsys.hsv_to_rgb(hh, ss, gray[y, x] / 255.0)
+            assert abs(int(got[y, x, 0]) - round(er * 255)) <= 1
+            assert abs(int(got[y, x, 1]) - round(eg * 255)) <= 1
+            assert abs(int(got[y, x, 2]) - round(eb * 255)) <= 1
+    # value channel == the grayscale input exactly
+    assert np.array_equal(got.max(axis=2), gray)
+
+
+def test_update_paint_by_georef(tmp_path):
+    dstv = np.zeros((20, 20), dtype=np.float32)
+    pd_ = str(tmp_path / "d.tif")
+    write_geotiff(pd_, dstv, [0.0, 1.0, 0.0, 20.0, 0.0, -1.0])
+    src = np.full((6, 6), 9, dtype=np.float32)
+    # source origin at (5, 12) in dst pixel space, partially clipped? no
+    ps = str(tmp_path / "s.tif")
+    write_geotiff(ps, src, [5.0, 1.0, 0.0, 8.0, 0.0, -1.0])
+    res = U.cmd_update(ps, pd_)
+    assert res["updated_pixels"] == 36
+    got = _full(pd_)
+    assert (got[12:18, 5:11] == 9).all()
+    assert got.sum() == 36 * 9
+    # clipped paint: source sticking out left/top
+    ps2 = str(tmp_path / "s2.tif")
+    write_geotiff(ps2, src, [-3.0, 1.0, 0.0, 23.0, 0.0, -1.0])
+    res2 = U.cmd_update(ps2, pd_)
+    assert res2["window"] == [0, 0, 3, 3]
