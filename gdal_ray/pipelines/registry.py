@@ -215,6 +215,48 @@ def _step_make_valid(ds, geom_col: str = "geometry"):
     return _geom_map(ds, mv, geom_col)
 
 
+@register_step("set-geom-type")
+def _step_set_geom_type(ds, to: str = "multi", geom_col: str = "geometry"):
+    """gdalalg_vector_set_geom_type: promote single-part geometries to
+    their Multi class (``to=multi``, the common normalization before a
+    mixed-layer write) or demote single-element Multis to singles
+    (``to=single``; multi-element geometries pass through unchanged)."""
+    import struct
+
+    from gdal_ray.geo.wkb import (decode_lines, decode_points,
+                                  decode_polygons,
+                                  encode_multilinestring,
+                                  encode_multipolygon, encode_point,
+                                  explode)
+
+    if to not in ("multi", "single"):
+        raise ValueError("set-geom-type: to= must be multi or single")
+
+    def conv(b):
+        buf = bytes(b)
+        little = buf[0] == 1
+        t = struct.unpack_from("<I" if little else ">I", buf, 1)[0]
+        base = t % 1000 if t < 3000 else t
+        if to == "multi":
+            if base == 1:
+                x, y = decode_points([buf])
+                return (struct.pack("<BII", 1, 4, 1)
+                        + encode_point(float(x[0]), float(y[0])))
+            if base == 2:
+                return encode_multilinestring([decode_lines(buf)[0]])
+            if base == 3:
+                return encode_multipolygon(decode_polygons(buf))
+            return buf  # already multi (or a curve class)
+        # to == "single": unwrap one-element multis
+        if base in (4, 5, 6):
+            parts = explode(buf)
+            if len(parts) == 1:
+                return parts[0]
+        return buf
+
+    return _geom_map(ds, conv, geom_col)
+
+
 @register_step("explode-collections")
 def _step_explode(ds, geom_col: str = "geometry"):
     from gdal_ray.geo.wkb import explode

@@ -635,3 +635,31 @@ def test_update_paint_by_georef(tmp_path):
     write_geotiff(ps2, src, [-3.0, 1.0, 0.0, 23.0, 0.0, -1.0])
     res2 = U.cmd_update(ps2, pd_)
     assert res2["window"] == [0, 0, 3, 3]
+
+
+def test_set_geom_type_step(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import encode_point, encode_polygon
+    from gdal_ray.pipelines.registry import Pipeline
+
+    sq = encode_polygon([np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                                   [0.0, 0.0]])])
+    pt = encode_point(3.0, 4.0)
+    ds = rd.from_pandas(pd.DataFrame({"geometry": [sq, pt], "v": [1, 2]}))
+    out = Pipeline([("set-geom-type", {"to": "multi"})]).run(ds).to_pandas()
+    types = [struct.unpack_from("<I", bytes(g), 1)[0]
+             for g in out["geometry"]]
+    assert types == [6, 4]  # MULTIPOLYGON, MULTIPOINT
+    # round back down: one-element multis unwrap
+    ds2 = rd.from_pandas(out)
+    back = Pipeline([("set-geom-type", {"to": "single"})]).run(ds2).to_pandas()
+    types2 = [struct.unpack_from("<I", bytes(g), 1)[0]
+              for g in back["geometry"]]
+    assert types2 == [3, 1]
+    assert bytes(back["geometry"][0]) == sq
+    assert bytes(back["geometry"][1]) == pt
