@@ -707,3 +707,46 @@ ESCAPE_QUERIES = [
 def test_like_escape_matches_duckdb(sql, con, ray_session):
     """LIKE ... ESCAPE (swq_parser.y optional escape clause)."""
     _run_both(sql, con, ray_session)
+
+
+def _rand_case(rng, depth=0):
+    """Random searched/simple CASE over part columns, valid in both
+    dialects; results are always numeric so select-list typing is
+    stable."""
+    if rng.random() < 0.4:  # simple form over a small modulus
+        m = rng.randint(2, 4)
+        arms = " ".join(
+            f"WHEN {v} THEN {rng.randint(0, 9)}" for v in range(m - 1)
+        )
+        tail = f" ELSE {rng.randint(10, 19)}" if rng.random() < 0.7 else ""
+        return f"CASE p_size % {m} {arms}{tail} END"
+    n_arms = rng.randint(1, 3)
+    arms = " ".join(
+        f"WHEN ({_rand_expr(rng, depth + 2)}) THEN "
+        f"{rng.choice(['p_size', 'p_partkey'])} + {rng.randint(0, 9)}"
+        for _ in range(n_arms)
+    )
+    tail = f" ELSE {rng.randint(0, 5)}" if rng.random() < 0.7 else ""
+    return f"CASE {arms}{tail} END"
+
+
+def test_sql_fuzz_case_vs_duckdb(con, ray_session):
+    """Seeded random CASE expressions (select list + WHERE + under SUM)
+    vs DuckDB — the searched/simple forms, first-matching-arm rule, and
+    the missing-ELSE NULL path."""
+    import random
+
+    rng = random.Random(20260820)
+    for _ in range(10):
+        sql = (
+            f"SELECT p_partkey, {_rand_case(rng)} AS c FROM part "
+            f"WHERE p_partkey <= 120 AND ({_rand_case(rng)}) >= 3 "
+            "ORDER BY p_partkey"
+        )
+        _run_both(sql, con, ray_session)
+    for _ in range(4):
+        sql = (
+            f"SELECT p_brand, CAST(SUM({_rand_case(rng)}) AS BIGINT) AS s, "
+            "COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand"
+        )
+        _run_both(sql, con, ray_session)
