@@ -327,14 +327,24 @@ def cmd_ogr2ogr(src: str, dst: str) -> int:
 
 def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
                   compress: str = "deflate", outsize=None,
-                  resample: str = "nearest", ot: str | None = None) -> dict:
-    """gdal_translate core: window subset, linear rescale, -outsize
-    resize (nearest/bilinear/cubic/lanczos), and -ot output-type cast,
-    between any supported raster formats (GeoTIFF, VRT, AAIGrid),
-    through the real kernels (raster/kernels.py)."""
+                  resample: str = "nearest", ot: str | None = None,
+                  bands: list | None = None) -> dict:
+    """gdal_translate core: window subset, -b band selection/reorder,
+    linear rescale, -outsize resize (nearest/bilinear/cubic/lanczos),
+    and -ot output-type cast, between any supported raster formats
+    (GeoTIFF, VRT, AAIGrid), through the real kernels
+    (raster/kernels.py)."""
     from gdal_ray.raster import kernels as K
 
     arr, gt, epsg = _read_raster_any(src)
+    if bands:
+        img = arr[:, :, None] if arr.ndim == 2 else arr
+        for b in bands:
+            if not 1 <= int(b) <= img.shape[2]:
+                raise SystemExit(f"translate -b {b}: input has "
+                                 f"{img.shape[2]} band(s)")
+        sel = img[:, :, [int(b) - 1 for b in bands]]
+        arr = sel[:, :, 0] if sel.shape[2] == 1 else sel
     if srcwin:
         x, y, w, ww = srcwin
         arr = K.translate_window(arr, x, y, w, ww)
@@ -742,6 +752,7 @@ def main(argv=None):
         print(json.dumps({"written": n, "dst": args[1]}))
     elif cmd == "translate":
         srcwin = scale = outsize = ot = None
+        bands = []
         compress, resample = "deflate", "nearest"
         pos = []
         i = 0
@@ -761,6 +772,9 @@ def main(argv=None):
             elif args[i] == "-ot":
                 ot = args[i + 1]
                 i += 2
+            elif args[i] == "-b":
+                bands.append(int(args[i + 1]))
+                i += 2
             elif args[i] == "--compress":
                 compress = args[i + 1]
                 i += 2
@@ -769,7 +783,8 @@ def main(argv=None):
                 i += 1
         print(json.dumps(cmd_translate(pos[0], pos[1], srcwin, scale,
                                        compress, outsize=outsize,
-                                       resample=resample, ot=ot)))
+                                       resample=resample, ot=ot,
+                                       bands=bands or None)))
     elif cmd == "dem":
         color_file, zf, compress = None, 1.0, "deflate"
         pos = []

@@ -663,3 +663,21 @@ def test_set_geom_type_step(ray_session):
     assert types2 == [3, 1]
     assert bytes(back["geometry"][0]) == sq
     assert bytes(back["geometry"][1]) == pt
+
+
+def test_translate_band_select(tmp_path):
+    from gdal_ray.cli import cmd_translate
+
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+    p = str(tmp_path / "rgb.tif")
+    write_geotiff(p, rgb, GT)
+    out = str(tmp_path / "b2.tif")
+    cmd_translate(p, out, bands=[2])
+    assert np.array_equal(_full(out), rgb[:, :, 1])
+    # reorder bgr
+    out2 = str(tmp_path / "bgr.tif")
+    cmd_translate(p, out2, bands=[3, 2, 1])
+    assert np.array_equal(_full(out2), rgb[:, :, ::-1])
+    with pytest.raises(SystemExit):
+        cmd_translate(p, out, bands=[4])
