@@ -1031,7 +1031,12 @@ def _dequalify(node, imaps: dict):
         return node
     if node[0] == "qcol":
         if node[1] not in imaps:
-            raise SQLError(f"unknown table qualifier {node[1]!r}")
+            raise SQLError(
+                f"unknown table qualifier {node[1]!r} (if this is an "
+                "outer table: correlated subqueries may reference the "
+                "IMMEDIATELY enclosing query only — re-correlate through "
+                "the middle query's columns, e.g. bind the outer key to "
+                "a middle-table column first)")
         if node[2] not in imaps[node[1]]:
             raise SQLError(f"unknown column {node[1]}.{node[2]}")
         return ("col", imaps[node[1]][node[2]])

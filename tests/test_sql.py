@@ -750,3 +750,25 @@ def test_sql_fuzz_case_vs_duckdb(con, ray_session):
             "COUNT(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand"
         )
         _run_both(sql, con, ray_session)
+
+
+def test_two_level_correlation(con, ray_session):
+    """Nested correlated EXISTS: the inner subquery may correlate to its
+    IMMEDIATELY enclosing query (s), arbitrarily deep; skipping a level
+    (innermost referencing the outermost alias) raises the documented
+    limitation instead of a cryptic qualifier error."""
+    sql = ("SELECT n_name FROM nation WHERE EXISTS ("
+           " SELECT 1 FROM supplier s WHERE s.s_nationkey = nation.n_nationkey"
+           " AND EXISTS (SELECT 1 FROM customer c"
+           "  WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000))"
+           " ORDER BY n_name")
+    _run_both(sql, con, ray_session)
+
+    from gdal_ray.sql import SQLError, execute_sql
+
+    deep = ("SELECT n_name FROM nation WHERE EXISTS ("
+            " SELECT 1 FROM supplier s WHERE s.s_nationkey = nation.n_nationkey"
+            " AND EXISTS (SELECT 1 FROM customer c"
+            "  WHERE c.c_nationkey = nation.n_nationkey))")
+    with pytest.raises(SQLError, match="IMMEDIATELY enclosing"):
+        execute_sql(deep, SF).to_pandas()
