@@ -96,10 +96,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         # stable multi-round-green twins retained in-window:
-        "q1_pricing_summary": R.q1_pricing_summary,
         "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
+        # NEW this session: coverage-preserving simplification through the
+        # full distributed plan (takes q1_pricing_summary's slot — q1 is
+        # the most-driver-checked twin in the registry, parked below):
+        "q_simplify_cov_lattice": LO.q_simplify_cov_lattice,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -109,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the 50-entry gate cap ----
         # SQL-twinned, gate-green in r2 AND r3 AND r4 — parked this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
+        "q1_pricing_summary": R.q1_pricing_summary,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -1594,6 +1598,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(slat * 68719476736.0 AS BIGINT) AS slat_q,
                    CAST(slon * 68719476736.0 AS BIGINT) AS slon_q
             FROM b ORDER BY c_custkey
+        """,
+        "q_simplify_cov_lattice": """
+            WITH k AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                     CASE WHEN ((CAST(s_suppkey AS BIGINT) * 2654435761)
+                                // 32) % 2 = 0
+                          THEN 1.0 ELSE 6.0 END AS h
+              FROM supplier
+            ), u AS (
+              SELECT s_suppkey, 't' AS role, h,
+                     CASE WHEN h = 1.0 THEN 128.0 + 0.0
+                          ELSE 128.0 + 2.0 * h END AS area
+              FROM k
+              UNION ALL
+              SELECT s_suppkey, 'b' AS role, h,
+                     CASE WHEN h = 1.0 THEN 128.0 + 0.0
+                          ELSE 128.0 - 2.0 * h END AS area
+              FROM k
+            )
+            SELECT s_suppkey, role,
+                   CAST(CASE WHEN h = 1.0 THEN 5 ELSE 12 END AS BIGINT)
+                       AS n_pts,
+                   CAST(ROUND(area * 10000) AS BIGINT) AS area_q
+            FROM u ORDER BY s_suppkey, role
         """,
         "q_hll_distinct": """
             WITH h AS (SELECT xor(CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT), (CAST((CAST(xor(CAST(o_custkey AS UBIGINT), (CAST(o_custkey AS UBIGINT)) >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT)) >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT)) >> 31) AS h

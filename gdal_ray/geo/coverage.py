@@ -1,0 +1,539 @@
+"""Coverage-preserving polygon simplification (``gdal vector simplify-coverage``).
+
+Reference semantics: ``apps/gdalalg_vector_simplify_coverage.cpp`` (GEOS
+``CoverageSimplifier``: Visvalingam-Whyatt over the shared-edge arc graph,
+``doc/source/programs/gdal_vector_simplify_coverage.rst``). Built from
+scratch on the classic topology-arc model:
+
+1. **node detection** — a vertex is a topology node when the set of its
+   neighbouring vertices across every ring traversal has size != 2 (the
+   3-way junctions where polygon boundaries meet);
+2. **arc extraction** — each ring splits into open arcs between
+   consecutive nodes (a node-free ring is one closed arc); arcs are
+   canonicalized (direction / rotation) so the SAME boundary shared by two
+   polygons maps to ONE arc record;
+3. **simplification** — every unique arc is simplified ONCE with
+   Visvalingam-Whyatt (effective-area heap with the monotone
+   max-with-removed rule; area threshold = tolerance^2, matching GEOS
+   CoverageSimplifier's distance->area mapping; arc endpoints pinned);
+4. **reassembly** — every ring re-concatenates its (possibly reversed)
+   simplified arcs, so a shared boundary stays bit-identical on both
+   sides: no new gaps or overlaps, by construction.
+
+``preserve_boundary=True`` leaves arcs used by exactly one ring (the
+coverage's exterior boundary) untouched — the reference's
+``--preserve-external-boundary``.
+
+Collapse guard: a ring whose arcs all simplify to collinear chains would
+collapse to zero area; GEOS reinstates vertices through its topological
+index. Here the guard is arc-level and therefore coverage-consistent:
+the collapsed ring's most-simplified arc gets its last-removed (largest
+effective area) vertex reinstated — in the shared arc table, so every
+ring using that arc sees the same boundary — until the ring has area
+again.
+
+Like the reference (which requires a valid GEOS coverage and "will not
+correct gaps or overlaps already present"), inputs whose shared
+boundaries disagree vertex-for-vertex are not repaired.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+__all__ = [
+    "vw_simplify_mask",
+    "simplify_coverage",
+    "simplify_coverage_ds",
+    "detect_nodes",
+    "split_ring",
+    "canonical_arc",
+]
+
+
+def _tri_area2(a, b, c) -> float:
+    """Twice the triangle area (|cross|) — exact for integer-valued floats."""
+    return abs((b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]))
+
+
+def vw_simplify_mask(pts: np.ndarray, area_tol: float, closed: bool = False):
+    """Visvalingam-Whyatt keep-mask + removal order for one arc.
+
+    ``pts``: (n,2) open vertex sequence (no closing duplicate for
+    ``closed=True``). Endpoints are pinned for open arcs; for closed arcs
+    only index 0 (the canonical anchor) is pinned and neighbours wrap.
+
+    Effective area uses the standard monotone rule: when a vertex is
+    removed, a neighbour's recomputed area is clamped to at least the
+    removed vertex's area, so removal order is non-decreasing in area.
+    Removal stops when the smallest effective area reaches
+    ``area_tol`` (strict ``<`` removes, as GEOS) or the arc hits its
+    floor (2 interior-free points open, 3 points closed).
+
+    Returns ``(keep, removals)``: boolean mask over ``pts`` and the
+    removal order as a list of (index, effective_area), smallest first.
+    """
+    n = len(pts)
+    keep = np.ones(n, dtype=bool)
+    removals: list[tuple[int, float]] = []
+    min_left = 3 if closed else 2
+    if n <= min_left or area_tol <= 0:
+        return keep, removals
+    prv = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    if closed:
+        prv[0] = n - 1
+        nxt[n - 1] = 0
+    pinned = np.zeros(n, dtype=bool)
+    pinned[0] = True
+    if not closed:
+        pinned[n - 1] = True
+
+    def area_of(i):
+        return _tri_area2(pts[prv[i]], pts[i], pts[nxt[i]]) * 0.5
+
+    heap = [(area_of(i), i) for i in range(n) if not pinned[i]]
+    heapq.heapify(heap)
+    current = {i: a for a, i in heap}
+    left = n
+    floor = 0.0
+    while heap and left > min_left:
+        a, i = heapq.heappop(heap)
+        if not keep[i] or current.get(i) != a:
+            continue  # stale entry
+        if a >= area_tol:
+            break
+        keep[i] = False
+        left -= 1
+        floor = max(floor, a)
+        removals.append((i, a))
+        del current[i]
+        p, q = prv[i], nxt[i]
+        nxt[p], prv[q] = q, p
+        for j in (p, q):
+            if keep[j] and not pinned[j]:
+                na = max(area_of(j), floor)
+                current[j] = na
+                heapq.heappush(heap, (na, j))
+    return keep, removals
+
+
+def detect_nodes(rings) -> set:
+    """Topology nodes of a ring collection: vertices whose neighbour set
+    (over every traversal, both directions) has size != 2."""
+    neigh: dict[tuple, set] = {}
+    for ring in rings:
+        p = ring[:-1] if len(ring) > 1 and (ring[0] == ring[-1]).all() else ring
+        n = len(p)
+        for i in range(n):
+            v = (p[i, 0], p[i, 1])
+            s = neigh.setdefault(v, set())
+            s.add((p[i - 1, 0], p[i - 1, 1]))
+            s.add((p[(i + 1) % n, 0], p[(i + 1) % n, 1]))
+    return {v for v, s in neigh.items() if len(s) != 2}
+
+
+def _split_by_idx(p: np.ndarray, idx):
+    """Split an open cycle ``p`` into arcs at the vertex indices ``idx``."""
+    if not idx:
+        return [(p, True)]
+    arcs = []
+    for k in range(len(idx)):
+        a, b = idx[k], idx[(k + 1) % len(idx)]
+        seg = p[a : b + 1] if b > a else np.vstack([p[a:], p[: b + 1]])
+        arcs.append((seg, False))
+    return arcs
+
+
+def split_ring(ring: np.ndarray, nodes: set):
+    """Split one closed ring into arcs at its node vertices.
+
+    Returns a list of ``(pts, closed)``: open arcs (endpoints = nodes,
+    possibly a self-loop when the ring touches a single node) or, for a
+    node-free ring, one closed arc (open cycle, no duplicate end point).
+    """
+    p = ring[:-1]
+    idx = [i for i in range(len(p)) if (p[i, 0], p[i, 1]) in nodes]
+    return _split_by_idx(p, idx)
+
+
+def canonical_arc(pts: np.ndarray, closed: bool):
+    """Direction/rotation-canonical form of an arc.
+
+    Open arcs: the lexicographically smaller of (pts, reversed pts) by raw
+    float64 bytes. Closed arcs: rotate the cycle to start at its smallest
+    vertex, in whichever direction compares smaller. Two polygons sharing
+    the same boundary (bit-identical coordinates, as a valid coverage
+    guarantees) produce the same canonical bytes — the arc-table key.
+
+    Returns ``(canon_pts, forward, key)`` where ``forward`` says whether
+    the input traversal matches the canonical direction.
+    """
+    if not closed:
+        fwd = np.ascontiguousarray(pts)
+        rev = np.ascontiguousarray(pts[::-1])
+        bf, br = fwd.tobytes(), rev.tobytes()
+        return (fwd, True, bf) if bf <= br else (rev, False, br)
+    i0 = int(np.lexsort((pts[:, 1], pts[:, 0]))[0])
+    f = np.ascontiguousarray(np.roll(pts, -i0, axis=0))
+    rpts = pts[::-1]
+    j0 = len(pts) - 1 - i0
+    r = np.ascontiguousarray(np.roll(rpts, -j0, axis=0))
+    bf, br = f.tobytes(), r.tobytes()
+    return (f, True, bf) if bf <= br else (r, False, br)
+
+
+def _ring_area2(pts: np.ndarray) -> float:
+    """Twice the signed shoelace area of an open cycle."""
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+class _ArcTable:
+    """Shared arc store: canonical points, keep-masks, removal history."""
+
+    def __init__(self):
+        self.key_to_id: dict[bytes, int] = {}
+        self.pts: list[np.ndarray] = []
+        self.closed: list[bool] = []
+        self.keep: list[np.ndarray] = []
+        self.removals: list[list] = []
+        self.uses: list[int] = []
+
+    def add(self, pts, closed):
+        canon, forward, key = canonical_arc(pts, closed)
+        aid = self.key_to_id.get(key)
+        if aid is None:
+            aid = len(self.pts)
+            self.key_to_id[key] = aid
+            self.pts.append(canon)
+            self.closed.append(closed)
+            self.keep.append(np.ones(len(canon), dtype=bool))
+            self.removals.append([])
+            self.uses.append(0)
+        self.uses[aid] += 1
+        return aid, forward
+
+    def simplify(self, area_tol, preserve_boundary):
+        for aid in range(len(self.pts)):
+            if preserve_boundary and self.uses[aid] == 1:
+                continue
+            keep, removals = vw_simplify_mask(
+                self.pts[aid], area_tol, closed=self.closed[aid]
+            )
+            self.keep[aid] = keep
+            self.removals[aid] = removals
+
+    def reinstate_one(self, aid) -> bool:
+        """Undo the largest-area removal on one arc (collapse guard)."""
+        if not self.removals[aid]:
+            return False
+        i, _ = self.removals[aid].pop()
+        self.keep[aid][i] = True
+        return True
+
+    def walk(self, aid, forward):
+        pts = self.pts[aid][self.keep[aid]]
+        return pts if forward else pts[::-1]
+
+
+def _assemble(table: _ArcTable, ring_uses) -> np.ndarray:
+    """Rebuild one closed ring from its (arc_id, forward) uses."""
+    if len(ring_uses) == 1 and table.closed[ring_uses[0][0]]:
+        aid, forward = ring_uses[0]
+        cyc = table.walk(aid, forward)
+        return np.vstack([cyc, cyc[:1]])
+    parts = []
+    for aid, forward in ring_uses:
+        seg = table.walk(aid, forward)
+        parts.append(seg[:-1])  # next arc starts with this endpoint
+    parts.append(parts[0][:1])
+    return np.vstack(parts)
+
+
+def simplify_coverage(polys, tolerance: float, preserve_boundary: bool = False):
+    """Simplify a polygonal coverage, preserving shared boundaries.
+
+    ``polys``: list of polygons, each a list of closed rings ((n,2)
+    float64, first == last). Returns the same structure; feature order,
+    ring order and shared-boundary consistency are preserved.
+    """
+    rings = [r for poly in polys for r in poly]
+    nodes = detect_nodes(rings)
+    table = _ArcTable()
+    layout = []  # per polygon: per ring: [(arc_id, forward), ...]
+    for poly in polys:
+        pl = []
+        for ring in poly:
+            pl.append([table.add(pts, cl) for pts, cl in split_ring(ring, nodes)])
+        layout.append(pl)
+    table.simplify(float(tolerance) ** 2, preserve_boundary)
+
+    # Collapse guard: reinstate vertices (shared-arc-level, so every user
+    # of the arc stays consistent) until every ring has non-zero area.
+    for pl in layout:
+        for ring_uses in pl:
+            guard = 0
+            while guard < 100000:
+                ring = _assemble(table, ring_uses)
+                if len(ring) >= 4 and _ring_area2(ring[:-1]) != 0.0:
+                    break
+                order = sorted(
+                    ring_uses,
+                    key=lambda u: len(table.removals[u[0]]),
+                    reverse=True,
+                )
+                if not any(table.reinstate_one(aid) for aid, _ in order):
+                    break
+                guard += 1
+
+    return [
+        [_assemble(table, ring_uses) for ring_uses in pl] for pl in layout
+    ]
+
+
+# --------------------------------------------------------------------------
+# Distributed form: 2 keyed shuffles + 1 small broadcast
+# --------------------------------------------------------------------------
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _pack_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """64-bit vertex key from exact float64 bit patterns (+0.0 normalised).
+
+    Collisions are ~n^2/2^64 — negligible against the coverage sizes the
+    node-broadcast design targets; shared vertices in a valid coverage are
+    bit-identical, so equal points always map to equal keys.
+    """
+    xb = np.ascontiguousarray(x + 0.0, dtype=np.float64).view(np.uint64)
+    yb = np.ascontiguousarray(y + 0.0, dtype=np.float64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (xb * _MIX_A) ^ ((yb + np.uint64(1)) * _MIX_B)
+        h ^= h >> np.uint64(29)
+        h *= _MIX_A
+    return h.view(np.int64)
+
+
+def simplify_coverage_ds(
+    ds,
+    tolerance: float,
+    preserve_boundary: bool = False,
+    id_col: str = "fid",
+    geom_col: str = "geometry",
+    num_buckets: int = 32,
+):
+    """Coverage simplification as a Ray Data plan (the scale path).
+
+    The reference implementation is explicitly non-streaming ("requires
+    loading the entire dataset into memory at once",
+    ``gdal_vector_simplify_coverage.rst``); this plan distributes it:
+
+    1. vertex-adjacency shuffle: every ring vertex emits its two
+       neighbour keys; a bucketed group-by finds the topology **nodes**
+       (distinct-neighbour count != 2). Nodes are O(junctions) — tiny
+       next to the vertex set — and are broadcast via ``ray.put``;
+    2. arc extraction (map_batches with the broadcast node set): rings
+       split into canonical arcs; each use row carries (fid, part, ring,
+       pos, direction); one extra row per feature carries its non-geometry
+       attributes, so reassembly is a join-free co-shuffle;
+    3. arc shuffle (bucketed on the canonical-arc hash): each unique arc
+       is VW-simplified ONCE, results copied to every use row;
+    4. feature co-shuffle (bucketed on fid): rings reassemble from their
+       simplified arcs and the feature row is rebuilt.
+
+    Unlike the in-memory kernel there is no cross-feature collapse
+    reinstatement: a ring that would collapse raises ``ValueError``
+    (pick a smaller tolerance, or run the in-memory kernel).
+    """
+    import pickle
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from gdal_ray.geo.wkb import decode_polygons, encode_multipolygon, encode_polygon
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    tol2 = float(tolerance) ** 2
+    pa_schema = getattr(ds.schema(), "base_schema", None)  # Ray Schema wrapper
+    if not isinstance(pa_schema, pa.Schema):
+        # pandas-backed blocks expose a PandasBlockSchema (numpy dtypes,
+        # object for str/bytes) — infer arrow types from a 1-row sample
+        sample = ds.limit(1).to_pandas()
+        pa_schema = pa.Table.from_pandas(sample, preserve_index=False).schema
+    attr_names = [n for n in pa_schema.names if n != geom_col]
+    out_schema = pa.schema(
+        [pa_schema.field(n) for n in attr_names] + [pa.field(geom_col, pa.binary())]
+    )
+
+    # ---- stage 1: vertex adjacency -> node keys --------------------------
+    def adjacency(batch: pd.DataFrame) -> pa.Table:
+        vs, ns = [], []
+        for buf in batch[geom_col]:
+            if buf is None:
+                continue
+            for rings in decode_polygons(bytes(buf)):
+                for ring in rings:
+                    p = ring[:-1]
+                    k = _pack_xy(p[:, 0], p[:, 1])
+                    vs.append(np.concatenate([k, k]))
+                    ns.append(np.concatenate([np.roll(k, 1), np.roll(k, -1)]))
+        if not vs:
+            return pa.table({"v": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())})
+        v = np.concatenate(vs)
+        nb = np.concatenate(ns)
+        # batch-local (v, nb) dedupe: shared edges re-emit the same pair
+        u = np.unique(np.stack([v, nb], axis=1), axis=0)
+        return pa.table({"v": pa.array(u[:, 0]), "nb": pa.array(u[:, 1])})
+
+    def find_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.drop_duplicates().groupby("v")["nb"].nunique()
+        return pd.DataFrame({"v": cnt.index[cnt != 2].to_numpy(dtype=np.int64)})
+
+    node_ds = bucketed_group_apply(
+        ds.map_batches(adjacency, batch_format="pandas"),
+        ["v"],
+        find_nodes,
+        num_buckets,
+        schema=pa.schema([pa.field("v", pa.int64())]),
+    )
+    # nodes are O(boundary junctions) — a bounded small side by design
+    node_df = node_ds.to_pandas()
+    nodes = (
+        np.sort(node_df["v"].to_numpy(dtype=np.int64))
+        if "v" in node_df.columns  # all-0-row datasets lose their schema
+        else np.empty(0, dtype=np.int64)
+    )
+    nodes_ref = ray.put(nodes)
+
+    mid_schema = pa.schema(
+        [
+            pa.field("fid", pa.string()),
+            pa.field("part", pa.int32()),
+            pa.field("ring", pa.int32()),
+            pa.field("pos", pa.int32()),
+            pa.field("fwd", pa.bool_()),
+            pa.field("closed", pa.bool_()),
+            pa.field("akey", pa.string()),
+            pa.field("akey_h", pa.int64()),
+            pa.field("pts", pa.binary()),
+            pa.field("payload", pa.binary()),
+        ]
+    )
+
+    # ---- stage 2: arc extraction ----------------------------------------
+    def extract(batch: pd.DataFrame) -> pa.Table:
+        import hashlib
+        import zlib
+
+        node_keys = ray.get(nodes_ref)
+        rows = {n: [] for n in mid_schema.names}
+
+        def emit(fid, part, ring_i, pos, fwd, closed, akey, pts, payload=b""):
+            rows["fid"].append(fid)
+            rows["part"].append(part)
+            rows["ring"].append(ring_i)
+            rows["pos"].append(pos)
+            rows["fwd"].append(fwd)
+            rows["closed"].append(closed)
+            rows["akey"].append(akey)
+            src = akey if akey else "f:" + fid
+            rows["akey_h"].append(
+                np.int64(int.from_bytes(src.encode()[:8].ljust(8, b"\0"), "little", signed=True))
+                ^ np.int64(zlib.crc32(src.encode()))
+            )
+            rows["pts"].append(pts)
+            rows["payload"].append(payload)
+
+        attrs_df = batch[attr_names]
+        for r_i, buf in enumerate(batch[geom_col]):
+            fid = str(batch[id_col].iloc[r_i])
+            if buf is None:
+                raise ValueError(
+                    f"feature {fid!r} has no polygonal geometry; coverage "
+                    "simplification needs Polygon/MultiPolygon inputs"
+                )
+            for p_i, rings in enumerate(decode_polygons(bytes(buf))):
+                for g_i, ring in enumerate(rings):
+                    p = ring[:-1]
+                    k = _pack_xy(p[:, 0], p[:, 1])
+                    idx = np.flatnonzero(np.isin(k, node_keys)).tolist()
+                    for pos, (pts, closed) in enumerate(_split_by_idx(p, idx)):
+                        canon, fwd, key = canonical_arc(pts, closed)
+                        akey = hashlib.md5(key).hexdigest()
+                        emit(fid, p_i, g_i, pos, fwd, closed, akey, canon.tobytes())
+            # attrs record (join-free reassembly side-channel); its shuffle
+            # key is the fid hash so attrs spread evenly across buckets and
+            # pass through the arc stage untouched
+            payload = pickle.dumps(attrs_df.iloc[r_i].to_dict())
+            emit(fid, -1, -1, -1, True, False, "", b"", payload)
+        return pa.Table.from_pydict(rows, schema=mid_schema)
+
+    mid = ds.map_batches(extract, batch_format="pandas")
+
+    # ---- stage 3: one VW pass per unique arc ----------------------------
+    def simp_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for akey, g in df.groupby("akey", sort=False):
+            if akey == "":  # attrs records: pass through
+                outs.append(g)
+                continue
+            canon = np.frombuffer(g["pts"].iloc[0], dtype=np.float64).reshape(-1, 2)
+            closed = bool(g["closed"].iloc[0])
+            if preserve_boundary and len(g) == 1:
+                spts = canon.tobytes()
+            else:
+                keep, _ = vw_simplify_mask(canon, tol2, closed=closed)
+                spts = canon[keep].tobytes()
+            outs.append(g.assign(pts=spts))
+        return pd.concat(outs, ignore_index=True) if outs else df
+
+    simplified = bucketed_group_apply(
+        mid, ["akey_h"], simp_arcs, num_buckets, schema=mid_schema
+    )
+
+    # ---- stage 4: feature co-shuffle + reassembly -----------------------
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        out = {n: [] for n in out_schema.names}
+        for fid, g in df.groupby("fid", sort=False):
+            pay = g.loc[g["part"] < 0, "payload"]
+            if pay.empty:
+                raise ValueError(f"feature {fid!r}: attrs record missing")
+            attrs_row = pickle.loads(pay.iloc[0])
+            geo = g[g["part"] >= 0].sort_values(["part", "ring", "pos"])
+            polys = []
+            for _, gp in geo.groupby("part", sort=True):
+                rings = []
+                for _, gr in gp.groupby("ring", sort=True):
+                    parts = []
+                    closed_single = len(gr) == 1 and bool(gr["closed"].iloc[0])
+                    for _, row in gr.iterrows():
+                        pts = np.frombuffer(row["pts"], dtype=np.float64).reshape(-1, 2)
+                        if not row["fwd"]:
+                            pts = pts[::-1]
+                        parts.append(pts if closed_single else pts[:-1])
+                    ring = (
+                        np.vstack([parts[0], parts[0][:1]])
+                        if closed_single
+                        else np.vstack(parts + [parts[0][:1]])
+                    )
+                    if len(ring) < 4 or _ring_area2(ring[:-1]) == 0.0:
+                        raise ValueError(
+                            f"feature {fid!r}: ring collapsed at tolerance "
+                            f"{tolerance}; reduce it or use simplify_coverage()"
+                        )
+                    rings.append(ring)
+                polys.append(rings)
+            wkb = encode_polygon(polys[0]) if len(polys) == 1 else encode_multipolygon(polys)
+            for n in attr_names:
+                out[n].append(attrs_row[n])
+            out[geom_col].append(wkb)
+        return pa.Table.from_pydict(out, schema=out_schema)
+
+    return bucketed_group_apply(
+        simplified, ["fid"], assemble, num_buckets, schema=out_schema
+    )

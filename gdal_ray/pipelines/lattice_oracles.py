@@ -56,6 +56,7 @@ __all__ = [
     "q_gcp_lattice",
     "q_ntv2_lattice",
     "q_lineref_lattice",
+    "q_simplify_cov_lattice",
 ]
 
 _TWO24 = 1 << 24
@@ -1066,4 +1067,81 @@ def q_lineref_lattice(sf_dir: str):
         _read(sf_dir, "supplier", ["s_suppkey"])
         .map_batches(locate, batch_format="pyarrow")
         .sort("s_suppkey")
+    )
+
+
+def q_simplify_cov_lattice(sf_dir: str):
+    """Coverage-preserving simplification (apps/
+    gdalalg_vector_simplify_coverage.cpp; GEOS CoverageSimplifier VW
+    semantics) through the REAL distributed plan — node-detection
+    shuffle, shared-arc VW shuffle, feature co-shuffle
+    (geo/coverage.simplify_coverage_ds) — on closed-form zigzag pairs.
+
+    Per supplier key k: two 16x8 rectangles share a 7-vertex zigzag edge
+    of height h = 1 or 6 (bit 5 of k*LATTICE_A), the pair offset to cell
+    (64*(k%256), 64*(k//256)) so coverages never touch across keys. With
+    tolerance^2 ~ 17: h=1 collapses fully (every intermediate effective
+    area <= 16h = 16 < 17; VW floor rule keeps the chain below 17), h=6
+    keeps every vertex (min initial area = 3h = 18 >= 17). The twin is a
+    pure CASE on the same bit: vertex counts 5 vs 12, areas 128 vs
+    128 +/- 2h (the zigzag's trapezoid integral), exact integers
+    throughout (coords <= ~250k, shoelace sums << 2^53)."""
+    from gdal_ray.geo.coverage import simplify_coverage_ds
+    from gdal_ray.geo.wkb import decode_polygons, encode_polygon
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        h = np.where((((keys * LATTICE_A) >> 5) & 1) == 0, 1.0, 6.0)
+        dx = (64 * (keys % 256)).astype(np.float64)
+        dy = (64 * (keys // 256)).astype(np.float64)
+        rows = {"fid": [], "s_suppkey": [], "role": [], "geometry": []}
+        for j, k in enumerate(keys):
+            shared = [(dx[j], dy[j])]
+            for i, x in enumerate(np.arange(2.0, 16.0, 2.0)):
+                shared.append((dx[j] + x, dy[j] + (-h[j] if i % 2 == 0 else h[j])))
+            shared.append((dx[j] + 16.0, dy[j]))
+            top = shared + [(dx[j] + 16.0, dy[j] + 8.0), (dx[j], dy[j] + 8.0)]
+            bot = shared[::-1] + [(dx[j], dy[j] - 8.0), (dx[j] + 16.0, dy[j] - 8.0)]
+            for role, pts in (("t", top), ("b", bot)):
+                ring = np.asarray(pts + pts[:1], dtype=np.float64)
+                rows["fid"].append(f"s{int(k):07d}{role}")
+                rows["s_suppkey"].append(int(k))
+                rows["role"].append(role)
+                rows["geometry"].append(encode_polygon([ring]))
+        return pa.table(
+            {
+                "fid": pa.array(rows["fid"], pa.string()),
+                "s_suppkey": pa.array(rows["s_suppkey"], pa.int64()),
+                "role": pa.array(rows["role"], pa.string()),
+                "geometry": pa.array(rows["geometry"], pa.binary()),
+            }
+        )
+
+    layer = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    simplified = simplify_coverage_ds(
+        layer, tolerance=float(np.sqrt(17.0)), id_col="fid", num_buckets=16
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        n_pts = np.empty(len(batch), dtype=np.int64)
+        area_q = np.empty(len(batch), dtype=np.int64)
+        for j, buf in enumerate(batch["geometry"]):
+            ring = decode_polygons(bytes(buf.as_py()))[0][0][:-1]
+            x, y = ring[:, 0], ring[:, 1]
+            a2 = np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+            n_pts[j] = len(ring) + 1
+            area_q[j] = np.int64(round(abs(a2) * 0.5 * 10000.0))
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "role": batch["role"],
+                "n_pts": pa.array(n_pts),
+                "area_q": pa.array(area_q),
+            }
+        )
+
+    return simplified.map_batches(metrics, batch_format="pyarrow").sort(
+        ["s_suppkey", "role"]
     )

@@ -215,6 +215,44 @@ def _step_make_valid(ds, geom_col: str = "geometry"):
     return _geom_map(ds, mv, geom_col)
 
 
+@register_step("simplify-coverage")
+def _step_simplify_coverage(ds, tolerance: float, preserve_boundary: bool = False,
+                            geom_col: str = "geometry"):
+    """gdalalg_vector_simplify_coverage: simplify WITHOUT breaking shared
+    boundaries (GEOS CoverageSimplifier semantics — Visvalingam-Whyatt over
+    the shared-arc graph, geo/coverage.py). Non-streaming by contract, like
+    the reference ("requires loading the entire dataset into memory at
+    once", gdal_vector_simplify_coverage.rst); for id-keyed layers the
+    distributed plan is ``geo.coverage.simplify_coverage_ds``."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo.coverage import simplify_coverage
+    from gdal_ray.geo.wkb import (decode_polygons, encode_multipolygon,
+                                  encode_polygon)
+
+    df = ds.to_pandas()
+    polys, spans = [], []
+    for buf in df[geom_col]:
+        if buf is None:
+            raise ValueError("simplify-coverage needs polygonal geometries "
+                             "on every feature")
+        parts = decode_polygons(bytes(buf))
+        spans.append(len(parts))
+        polys.extend(parts)
+    simplified = simplify_coverage(polys, float(tolerance),
+                                   preserve_boundary=bool(preserve_boundary))
+    out, i = [], 0
+    for n in spans:
+        parts = simplified[i : i + n]
+        i += n
+        out.append(encode_polygon(parts[0]) if n == 1
+                   else encode_multipolygon(parts))
+    df = df.copy()
+    df[geom_col] = pd.Series(out, dtype=object, index=df.index)
+    return rd.from_pandas(df)
+
+
 @register_step("set-geom-type")
 def _step_set_geom_type(ds, to: str = "multi", geom_col: str = "geometry"):
     """gdalalg_vector_set_geom_type: promote single-part geometries to
