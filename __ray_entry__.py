@@ -96,13 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         # stable multi-round-green twins retained in-window:
-        "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
         # NEW this session: coverage-preserving simplification through the
-        # full distributed plan (takes q1_pricing_summary's slot — q1 is
-        # the most-driver-checked twin in the registry, parked below):
+        # full distributed plan, and exact distributed percentiles (take
+        # the slots of q1_pricing_summary and q_knn_lattice — the two
+        # most-driver-checked twins in the registry, parked below):
         "q_simplify_cov_lattice": LO.q_simplify_cov_lattice,
+        "q_quantile_chars": EQ.q_quantile_chars,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-twinned, gate-green in r2 AND r3 AND r4 — parked this round
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
         "q1_pricing_summary": R.q1_pricing_summary,
+        "q_knn_lattice": LO.q_knn_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -186,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineref_lattice": LO.q_lineref_lattice,
         "q_substr_dup": CQ.q_substr_dup,
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
+        "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
     }
 
 
@@ -1598,6 +1601,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(slat * 68719476736.0 AS BIGINT) AS slat_q,
                    CAST(slon * 68719476736.0 AS BIGINT) AS slon_q
             FROM b ORDER BY c_custkey
+        """,
+        "q_quantile_chars": """
+            WITH c AS (
+              SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY n_chars
+            ), s AS (
+              SELECT v,
+                     CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                     CAST(SUM(cnt) OVER () AS BIGINT) AS n
+              FROM c
+            ), qq AS (
+              SELECT CAST(q_pct AS BIGINT) AS q_pct
+              FROM (VALUES (10),(25),(50),(75),(90),(99),(100)) AS t(q_pct)
+            )
+            SELECT q_pct, CAST(MIN(v) AS BIGINT) AS value
+            FROM s CROSS JOIN qq
+            WHERE cum >= (q_pct * n + 99) // 100
+            GROUP BY q_pct ORDER BY q_pct
         """,
         "q_simplify_cov_lattice": """
             WITH k AS (

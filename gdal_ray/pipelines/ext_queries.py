@@ -14,6 +14,7 @@ __all__ = [
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
+    "q_quantile_chars", "q_quantile_sketch_price",
 ]
 
 
@@ -553,3 +554,34 @@ def q_hll_distinct(sf_dir: str):
     ds = _rpt(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
     table, _ = hll_registers(ds, "o_custkey")
     return table
+
+
+def q_quantile_chars(sf_dir: str):
+    """Exact distributed percentiles over documents.n_chars (engine
+    addition, stages/quantile.py exact_int_quantiles): per-block
+    (value,count) partial histograms, ONE small merge group-by, driver
+    cumsum over the <= distinct-count rows — the shape that keeps exact
+    p50/p90/p99 one-pass at 10^12 rows. Rank rule (smallest v with
+    cum >= ceil(q*n/100)) is replayed by the DuckDB twin with window
+    functions in exact integer math."""
+    from gdal_ray.stages.quantile import exact_int_quantiles
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    return exact_int_quantiles(ds, "n_chars", [10, 25, 50, 75, 90, 99, 100])
+
+
+def q_quantile_sketch_price(sf_dir: str):
+    """KLL sketch percentiles (Karnin-Lang-Liberty 2016) over
+    orders.o_totalprice: one few-KB mergeable sketch per block, driver
+    merge — the unbounded-column scale path next to q_quantile_chars'
+    exact histogram. Rows-only under the gate; the ~1.65/k rank-error
+    bound is pinned by tests/test_quantile.py across distributions,
+    merges and the distributed path."""
+    import numpy as np
+
+    from gdal_ray.stages.quantile import kll_quantiles
+
+    ds = _rpt(os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"])
+    df = kll_quantiles(ds, "o_totalprice", [0.5, 0.9, 0.99], k=256)
+    df["q_pct"] = (df["q"] * 100).astype(np.int64)
+    return df[["q_pct", "value", "n"]]
