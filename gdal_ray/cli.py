@@ -18,10 +18,10 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray grid <src-points> <dst.tif> --size W H [-a invdist|...]
     python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
-        steps: filter/derive/select/rename/sort/limit/sample/distinct plus
-        geometry swap-xy/segmentize/simplify/simplify-coverage/reproject/
-        centroid/make-valid/explode-collections/set-geom-type/clip
-        (quote the ! in most shells)
+        steps: filter/derive/select/rename/sort/limit/sample/distinct/
+        sql/concat plus geometry swap-xy/segmentize/simplify/
+        simplify-coverage/buffer/reproject/centroid/make-valid/
+        explode-collections/set-geom-type/clip (quote ! in most shells)
     python -m gdal_ray buildvrt <dst.vrt> <a.tif> [b.tif ...]  # gdalbuildvrt
     python -m gdal_ray tindex <dst.(gpkg|shp|geojsonl|...)> <a.tif> [b.tif ...]
     python -m gdal_ray rasterize <src-vector> <dst.tif> --size W H

@@ -215,6 +215,58 @@ def _step_make_valid(ds, geom_col: str = "geometry"):
     return _geom_map(ds, mv, geom_col)
 
 
+@register_step("sql")
+def _step_sql(ds, statement: str):
+    """gdalalg_vector_sql: run the parsed OGR SQL engine with the piped
+    layer bound as table ``input`` (``SELECT ... FROM input ...``)."""
+    from gdal_ray.sql import execute_sql
+
+    return execute_sql(statement, {"input": ds})
+
+
+@register_step("concat")
+def _step_concat(ds, src: str):
+    """gdalalg_vector_concat: append another layer's features (columns
+    match by name; missing columns null-fill, Arrow union semantics)."""
+    from gdal_ray.cli import _vector_read
+
+    return ds.union(_vector_read(src))
+
+
+@register_step("buffer")
+def _step_buffer(ds, distance: float, quadsegs: int = 8,
+                 geom_col: str = "geometry"):
+    """gdalalg_vector_buffer (OGRGeometry::Buffer): positive disc buffer.
+    Points buffer to ``4*quadsegs``-gon discs; polygons buffer their
+    convex hull (the engine's documented convex-buffer kernel,
+    geo/geomops.buffer_convex — same semantics as q_buffer_lattice)."""
+    import struct
+
+    import numpy as np
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo.wkb import decode_polygons, encode_polygon
+
+    d = float(distance)
+    qs = int(quadsegs)
+
+    def buf_one(b: bytes) -> bytes:
+        geom_type = struct.unpack_from("<I", b, 1)[0] & 0xFF
+        if geom_type == 1:  # point -> disc
+            x, y = struct.unpack_from("<2d", b, 5)
+            ang = np.linspace(0.0, 2.0 * np.pi, 4 * qs + 1)
+            ring = np.stack(
+                [x + d * np.cos(ang), y + d * np.sin(ang)], axis=1
+            )
+            ring[-1] = ring[0]
+            return encode_polygon([ring])
+        rings = decode_polygons(b)[0]
+        hull = GO.convex_hull(rings[0][:-1])
+        return encode_polygon([GO.buffer_convex(hull, d, qs)])
+
+    return _geom_map(ds, buf_one, geom_col)
+
+
 @register_step("simplify-coverage")
 def _step_simplify_coverage(ds, tolerance: float, preserve_boundary: bool = False,
                             geom_col: str = "geometry"):

@@ -96,11 +96,6 @@ import pandas as pd
 
 __all__ = ["execute_sql", "parse", "SQLError"]
 
-_TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
 class SQLError(ValueError):
     pass
 
@@ -484,8 +479,6 @@ class _Parser:
                     break
         p.expect("kw", "from")
         table = p.expect("id")[1]
-        if table not in _TABLES:
-            raise SQLError(f"unknown table {table!r}; expected one of {_TABLES}")
         alias = p.table_alias() or table
         # OGR SQL secondary-table joins: each is ON a1.f1 = a2.f2 where one
         # side names the NEW instance's alias and the other any instance
@@ -502,8 +495,6 @@ class _Parser:
             elif not p.accept("kw", "join"):
                 break
             jtable = p.expect("id")[1]
-            if jtable not in _TABLES:
-                raise SQLError(f"unknown join table {jtable!r}")
             jalias = p.table_alias() or jtable
             if jalias in seen_aliases:
                 raise SQLError(
@@ -1453,10 +1444,36 @@ def _limit_offset(ds, limit, offset):
     return ds
 
 
-def execute_sql(sql: str, sf_dir: str):
-    """Run an OGR-SQL SELECT against the parquet tables under ``sf_dir``.
-    Returns a ray.data.Dataset (lazy until consumed, except IN-subquery
-    value sets which resolve eagerly)."""
+def _load_table(source, name: str):
+    """Resolve a FROM/JOIN table: ``source`` is either a directory of
+    parquet tables (the ExecuteSQL-on-datasource case) or a
+    ``{name: Dataset}`` dict (the ``vector sql`` pipeline-step case, where
+    the piped layer is table ``input``)."""
+    from gdal_ray.sources.corpus import read_parquet_tight as _rpt
+
+    if isinstance(source, dict):
+        if name not in source:
+            raise SQLError(
+                f"unknown table {name!r}; known: {sorted(source)}"
+            )
+        return source[name]
+    path = os.path.join(source, f"{name}.parquet")
+    if not os.path.exists(path):
+        import glob
+
+        have = sorted(
+            os.path.basename(f)[:-8]
+            for f in glob.glob(os.path.join(source, "*.parquet"))
+        )
+        raise SQLError(f"unknown table {name!r}; available: {have}")
+    return _rpt(path)
+
+
+def execute_sql(sql: str, sf_dir):
+    """Run an OGR-SQL SELECT against the parquet tables under ``sf_dir``
+    (a directory path, or a ``{name: Dataset}`` dict for in-memory
+    layers). Returns a ray.data.Dataset (lazy until consumed, except
+    IN-subquery value sets which resolve eagerly)."""
     q = parse(sql)
     if "union" in q:
         return _plan_union(q, sf_dir)
@@ -1509,7 +1526,7 @@ def _plan(q: dict, sf_dir: str):
 
     from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
-    ds = _rpt(os.path.join(sf_dir, f"{q['table']}.parquet"))
+    ds = _load_table(sf_dir, q["table"])
     primary_cols = list(ds.schema().names)
     # instance maps: one per FROM/JOIN instance alias, {original column ->
     # internal name}. The primary instance keeps natural names; a joined
@@ -1521,7 +1538,7 @@ def _plan(q: dict, sf_dir: str):
     taken = set(primary_cols)
     join_scans = []  # (join spec, dataset, {orig -> internal})
     for j in q["joins"]:
-        ds2 = _rpt(os.path.join(sf_dir, f"{j['table']}.parquet"))
+        ds2 = _load_table(sf_dir, j["table"])
         al = j.get("alias", j["table"])
         if al in imaps:
             raise SQLError(f"duplicate table alias {al!r}")

@@ -209,3 +209,61 @@ def test_clip_pipeline_step(ray_session):
         rings = W.decode_polygons(bytes(b))
         areas.append(sum(abs(GO.ring_area(r[0])) for r in rings))
     assert areas == pytest.approx([0.25, 0.5, 0.25])
+
+
+def test_sql_pipeline_step(ray_session):
+    """sql step (gdalalg_vector_sql): the piped layer binds as table
+    ``input``; full OGR SQL surface applies."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import Pipeline
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4], "g": ["a", "b", "a", "b"], "v": [10, 20, 30, 40]}))
+    out = Pipeline([
+        ("sql", {"statement":
+                 "SELECT g, SUM(v) AS total FROM input "
+                 "WHERE k > 1 GROUP BY g ORDER BY g"}),
+    ]).run(ds).to_pandas()
+    assert list(out["g"]) == ["a", "b"]
+    assert list(out["total"]) == [30, 60]
+
+
+def test_concat_pipeline_step(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import Pipeline
+
+    other = tmp_path / "other.parquet"
+    pd.DataFrame({"fid": [10, 11], "v": [7, 8]}).to_parquet(other)
+    ds = rd.from_pandas(pd.DataFrame({"fid": [1, 2], "v": [5, 6]}))
+    out = Pipeline([("concat", {"src": str(other)})]).run(ds).to_pandas()
+    assert sorted(out["fid"].tolist()) == [1, 2, 10, 11]
+    assert out["v"].sum() == 26
+
+
+def test_buffer_pipeline_step(ray_session):
+    """buffer step: point -> disc area converges to pi*r^2; polygon ->
+    convex buffer area = A + P*r + pi*r^2 (Minkowski, up to arc
+    discretization)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import geomops as GO
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.registry import Pipeline
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    ds = rd.from_pandas(pd.DataFrame({
+        "fid": [0, 1],
+        "geometry": [W.encode_point(1.0, 2.0), W.encode_polygon([sq])],
+    }))
+    out = Pipeline([("buffer", {"distance": 2.0, "quadsegs": 32})]) \
+        .run(ds).to_pandas().sort_values("fid")
+    areas = [abs(GO.ring_area(W.decode_polygons(bytes(b))[0][0]))
+             for b in out["geometry"]]
+    assert areas[0] == pytest.approx(np.pi * 4.0, rel=2e-3)
+    assert areas[1] == pytest.approx(16.0 + 16.0 * 2.0 + np.pi * 4.0, rel=2e-3)
