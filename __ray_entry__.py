@@ -96,14 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         # stable multi-round-green twins retained in-window:
-        "q_pip_lattice": LO.q_pip_lattice,
         "q_zonal_lattice": RL.q_zonal_lattice,
         # NEW this session: coverage-preserving simplification through the
-        # full distributed plan, and exact distributed percentiles (take
-        # the slots of q1_pricing_summary and q_knn_lattice — the two
-        # most-driver-checked twins in the registry, parked below):
+        # full distributed plan, plus exact global AND per-group
+        # distributed percentiles (take the slots of q1_pricing_summary,
+        # q_knn_lattice and q_pip_lattice — the three most-driver-checked
+        # twins in the registry, parked below):
         "q_simplify_cov_lattice": LO.q_simplify_cov_lattice,
         "q_quantile_chars": EQ.q_quantile_chars,
+        "q_quantile_by_lang": EQ.q_quantile_by_lang,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (still value-checked by scripts/check_oracle.py + pytest oracles):
         "q1_pricing_summary": R.q1_pricing_summary,
         "q_knn_lattice": LO.q_knn_lattice,
+        "q_pip_lattice": LO.q_pip_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -1619,6 +1621,25 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_quantile_by_lang": """
+            WITH c AS (
+              SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY lang, n_chars
+            ), s AS (
+              SELECT lang, v,
+                     CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v)
+                          AS BIGINT) AS cum,
+                     CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM c
+            ), qq AS (
+              SELECT CAST(q_pct AS BIGINT) AS q_pct
+              FROM (VALUES (50),(90),(99)) AS t(q_pct)
+            )
+            SELECT lang, q_pct, CAST(MIN(v) AS BIGINT) AS value
+            FROM s CROSS JOIN qq
+            WHERE cum >= (q_pct * n + 99) // 100
+            GROUP BY lang, q_pct ORDER BY lang, q_pct
         """,
         "q_simplify_cov_lattice": """
             WITH k AS (

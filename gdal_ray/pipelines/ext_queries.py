@@ -14,7 +14,7 @@ __all__ = [
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
-    "q_quantile_chars", "q_quantile_sketch_price",
+    "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
 ]
 
 
@@ -585,3 +585,18 @@ def q_quantile_sketch_price(sf_dir: str):
     df = kll_quantiles(ds, "o_totalprice", [0.5, 0.9, 0.99], k=256)
     df["q_pct"] = (df["q"] * 100).astype(np.int64)
     return df[["q_pct", "value", "n"]]
+
+
+def q_quantile_by_lang(sf_dir: str):
+    """Exact per-group percentiles (stages/quantile.grouped_int_quantiles):
+    documents.n_chars p50/p90/p99 PER LANGUAGE. The shuffle carries
+    (lang, value, count) partial-histogram rows — distinct pairs, not
+    data rows. Twin: the same rank rule replayed with PARTITION BY
+    window functions."""
+    from gdal_ray.stages.quantile import grouped_int_quantiles
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["lang", "n_chars"])
+    return grouped_int_quantiles(ds, "lang", "n_chars", [50, 90, 99]).sort(
+        ["lang", "q_pct"]
+    )

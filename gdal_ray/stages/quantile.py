@@ -32,7 +32,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["exact_int_quantiles", "KLLSketch", "kll_quantiles"]
+__all__ = [
+    "exact_int_quantiles",
+    "grouped_int_quantiles",
+    "KLLSketch",
+    "kll_quantiles",
+]
 
 
 def exact_int_quantiles(ds, col: str, q_pcts, max_distinct: int = 2_000_000):
@@ -76,6 +81,63 @@ def exact_int_quantiles(ds, col: str, q_pcts, max_distinct: int = 2_000_000):
     return pd.DataFrame(
         {"q_pct": pd.Series(out["q_pct"], dtype=np.int64),
          "value": pd.Series(out["value"], dtype=np.int64)}
+    )
+
+
+def grouped_int_quantiles(ds, key: str, col: str, q_pcts, num_buckets: int = 32):
+    """Exact per-group percentiles of an integer column.
+
+    Same rank rule as ``exact_int_quantiles``, one group per key value.
+    The shuffle moves (key, value, count) partial-histogram rows — not
+    data rows — so a 10^12-row table with bounded per-group cardinality
+    shuffles only its distinct (key, value) pairs. Returns a Dataset
+    with one row per (key, q_pct).
+    """
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    pcts = [int(q) for q in q_pcts]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {key: batch[key].to_pandas(),
+             "v": np.asarray(batch[col], dtype=np.int64)}
+        )
+        g = df.groupby([key, "v"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        outs = {key: [], "q_pct": [], "value": []}
+        for kv, g in df.groupby(key, sort=False):
+            g = g.groupby("v", sort=True)["cnt"].sum()
+            cum = g.to_numpy(dtype=np.int64).cumsum()
+            n = int(cum[-1])
+            vals = g.index.to_numpy(dtype=np.int64)
+            for q in pcts:
+                thresh = max(-(-q * n // 100), 1)
+                i = int(np.searchsorted(cum, thresh, side="left"))
+                outs[key].append(kv)
+                outs["q_pct"].append(np.int64(q))
+                outs["value"].append(vals[min(i, len(vals) - 1)])
+        return pd.DataFrame(
+            {key: outs[key],
+             "q_pct": pd.Series(outs["q_pct"], dtype=np.int64),
+             "value": pd.Series(outs["value"], dtype=np.int64)}
+        )
+
+    key_field = None
+    sch = getattr(ds.schema(), "base_schema", None)
+    if isinstance(sch, pa.Schema) and key in sch.names:
+        key_field = sch.field(key).type
+    out_schema = pa.schema(
+        [pa.field(key, key_field or pa.string()),
+         pa.field("q_pct", pa.int64()), pa.field("value", pa.int64())]
+    )
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        partials, [key], per_key, num_buckets, schema=out_schema
     )
 
 

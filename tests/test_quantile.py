@@ -124,3 +124,26 @@ class TestKLL:
         s = np.sort(vals)
         for _, row in out.iterrows():
             assert rank_err(s, row["value"], row["q"]) <= 3.0 / 200 + 1e-9
+
+
+class TestGrouped:
+    def test_matches_per_group_rank_rule(self, ray_session):
+        import ray.data as rd
+
+        from gdal_ray.stages.quantile import grouped_int_quantiles
+
+        rng = np.random.default_rng(13)
+        n = 30_000
+        keys = rng.choice(["en", "de", "fr", "zz"], size=n, p=[0.6, 0.25, 0.1, 0.05])
+        vals = rng.integers(0, 400, size=n) + (keys == "de") * 1000
+        ds = rd.from_pandas(pd.DataFrame({"lang": keys, "x": vals})).repartition(8)
+        out = (
+            grouped_int_quantiles(ds, "lang", "x", [50, 90, 99], num_buckets=4)
+            .to_pandas()
+            .set_index(["lang", "q_pct"])
+        )
+        assert len(out) == 4 * 3
+        for lang in ("en", "de", "fr", "zz"):
+            grp = vals[keys == lang]
+            for q in (50, 90, 99):
+                assert out.loc[(lang, q), "value"] == exact_rank_quantile(grp, q)
