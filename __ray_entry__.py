@@ -76,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first gate-green in r4 — kept for a second driver check:
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
-        "q_hll_distinct": EQ.q_hll_distinct,
         "q_ogrsql": EQ.q_ogrsql,
         "q_stereo_lattice": LO.q_stereo_lattice,
         "q_gcp_lattice": LO.q_gcp_lattice,
@@ -96,15 +95,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_near_dup": RQ.q_jaccard_near_dup,
         "q_embed_near_dup": RQ.q_embed_near_dup,
         # stable multi-round-green twins retained in-window:
-        "q_zonal_lattice": RL.q_zonal_lattice,
         # NEW this session: coverage-preserving simplification through the
-        # full distributed plan, plus exact global AND per-group
-        # distributed percentiles (take the slots of q1_pricing_summary,
-        # q_knn_lattice and q_pip_lattice — the three most-driver-checked
-        # twins in the registry, parked below):
+        # full distributed plan, exact global AND per-group distributed
+        # percentiles, stratified per-group sampling and Misra-Gries
+        # heavy hitters (take the slots of q1_pricing_summary,
+        # q_knn_lattice, q_pip_lattice, q_zonal_lattice and
+        # q_window_events_hourly — the five most-driver-checked twins in
+        # the registry, parked below):
         "q_simplify_cov_lattice": LO.q_simplify_cov_lattice,
         "q_quantile_chars": EQ.q_quantile_chars,
         "q_quantile_by_lang": EQ.q_quantile_by_lang,
+        "q_stratified_docs": EQ.q_stratified_docs,
+        "q_heavy_users": EQ.q_heavy_users,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -117,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q_knn_lattice": LO.q_knn_lattice,
         "q_pip_lattice": LO.q_pip_lattice,
+        "q_zonal_lattice": RL.q_zonal_lattice,
+        # r4-green, parked to fit the five new never-checked twins under
+        # the cap (integer-exact register twin + pytest estimate pins):
+        "q_hll_distinct": EQ.q_hll_distinct,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -1621,6 +1627,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_stratified_docs": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+                       % 4294967296 AS hh
+              FROM documents
+            ), r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY hh, doc_id) AS rn
+              FROM h
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+            FROM r WHERE rn <= 40 ORDER BY lang, doc_id
+        """,
+        "q_heavy_users": """
+            WITH t AS (SELECT CAST((COUNT(*) + 127) // 128 AS BIGINT) AS th
+                       FROM events)
+            SELECT CAST(user_id AS BIGINT) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events, t
+            GROUP BY user_id, th HAVING COUNT(*) >= th
+            ORDER BY cnt DESC, value
         """,
         "q_quantile_by_lang": """
             WITH c AS (

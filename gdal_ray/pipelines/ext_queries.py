@@ -15,6 +15,7 @@ __all__ = [
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
+    "q_stratified_docs", "q_heavy_users",
 ]
 
 
@@ -600,3 +601,30 @@ def q_quantile_by_lang(sf_dir: str):
     return grouped_int_quantiles(ds, "lang", "n_chars", [50, 90, 99]).sort(
         ["lang", "q_pct"]
     )
+
+
+def q_stratified_docs(sf_dir: str):
+    """Balanced per-group sampling (stages/sampling.stratified_sample):
+    the 40 documents with the smallest Knuth id-hash PER LANGUAGE —
+    reproducible curation sampling whose one keyed shuffle carries only
+    per-block top-n pre-reductions. Twin: ROW_NUMBER() OVER
+    (PARTITION BY lang ORDER BY hash, id) <= 40 with the identical
+    uint32 hash."""
+    from gdal_ray.stages.sampling import stratified_sample
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["lang", "doc_id"])
+    return stratified_sample(ds, "lang", "doc_id", 40).sort(
+        ["lang", "doc_id"]
+    )
+
+
+def q_heavy_users(sf_dir: str):
+    """Exact heavy hitters over events.user_id (stages/heavyhitters):
+    Misra-Gries candidate pass (O(k) state per block, no shuffle) + an
+    exact broadcast-verify count — the output EQUALS the exact
+    HAVING COUNT(*) >= ceil(n/128) answer, which is the twin."""
+    from gdal_ray.stages.heavyhitters import heavy_hitters
+
+    ds = _rpt(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", denom=128)

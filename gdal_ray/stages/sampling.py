@@ -19,7 +19,8 @@ import pyarrow as pa
 
 KNUTH = 2654435761
 
-__all__ = ["random_sample", "deterministic_sample", "approx_decode_stats"]
+__all__ = ["random_sample", "deterministic_sample", "stratified_sample",
+           "approx_decode_stats"]
 
 
 def random_sample(ds, fraction: float, seed: int | None = None):
@@ -68,4 +69,45 @@ def approx_decode_stats(corpus_dir: str, pct: int = 10):
 
     return src.map_batches(flt, batch_format="pyarrow").map_batches(
         decode_stats, batch_format="pyarrow", batch_size=128
+    )
+
+
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
+                      num_buckets: int = 32):
+    """Fixed-size per-group sample: the ``n_per_key`` rows with the
+    smallest deterministic Knuth hash of ``id_col`` inside each
+    ``key_col`` group (ties broken by id) — the balanced-curation shape
+    (same N docs per language/source), reproducible across runs and
+    SQL-expressible as ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    hash, id) <= n``.
+
+    Scale path: every block pre-reduces to its LOCAL per-key top-n (the
+    global top-n is a subset of the union of block top-ns), so the one
+    keyed shuffle carries at most n * keys * blocks rows, not the table.
+    """
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    n = int(n_per_key)
+
+    def add_hash_and_prereduce(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        ids = np.asarray(batch[id_col], dtype=np.int64).astype(np.uint64)
+        df["__h"] = (
+            ((ids % np.uint64(1 << 32)) * np.uint64(KNUTH))
+            % np.uint64(1 << 32)
+        ).astype(np.int64)
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(n)
+
+    def exact_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["__h", id_col], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(n).drop(columns="__h")
+
+    return bucketed_group_apply(
+        ds.map_batches(add_hash_and_prereduce, batch_format="pyarrow"),
+        [key_col],
+        exact_top,
+        num_buckets,
     )
