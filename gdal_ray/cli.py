@@ -69,6 +69,9 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray nodata-to-alpha <src> <dst> [--nodata V]
     python -m gdal_ray color-merge <gray.tif> <rgb.tif> <dst.tif>  # HSV V-merge
     python -m gdal_ray update <src.tif> <existing-dst.tif>  # paint by georef
+    python -m gdal_ray vsi copy|move|delete|list|sync <args...>  # gdal vsi
+    python -m gdal_ray vsi sozip create [--chunk N] [--enable auto|yes|no]
+        <dst.zip> <file...> | list <z.zip> | validate <z.zip> [entry]
     python -m gdal_ray mdiminfo <src.tif>   # gdalmdiminfo (band,y,x cube)
     python -m gdal_ray mdim <src.tif> <dst.tif> [--view "0, 10:50, ::2"]
         [--transpose "0,2,1"] [--reduce mean:0] [--resample H,W[,bilinear]]
@@ -975,7 +978,7 @@ _UTIL_COMMANDS = {
     "transform", "compare", "gdal2tiles", "retile", "ogrmerge", "create",
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
     "ogrtindex", "lineref", "mdiminfo", "mdim", "overview-delete",
-    "overview-refresh", "nodata-to-alpha", "color-merge", "update",
+    "overview-refresh", "nodata-to-alpha", "color-merge", "update", "vsi",
 }
 
 
@@ -1006,6 +1009,8 @@ def _split_flags(args, flag_spec):
 def _dispatch_util(cmd: str, args: list):
     from gdal_ray import cli_utils as U
 
+    if cmd == "vsi":
+        return U.cmd_vsi(args[0], args[1:])
     if cmd == "addo":
         pos, fl = _split_flags(args, {"-r": 1})
         return U.cmd_addo(pos[0], pos[1:] or [2, 4, 8],

@@ -1196,3 +1196,99 @@ def cmd_update(src: str, dst: str, compress: str = "deflate") -> dict:
     _write_raster_any(dst, d_arr, d_gt, epsg=d_epsg, compress=compress)
     return {"dst": dst, "updated_pixels": n,
             "window": [int(x0), int(y0), int(x1 - x0), int(y1 - y0)]}
+
+
+def cmd_vsi(sub: str, args: list) -> dict | list:
+    """The ``gdal vsi`` command family (apps/gdalalg_vsi_*.cpp): local
+    filesystem copy/move/delete/list/sync plus the SOZip utility
+    (apps/gdalalg_vsi_sozip.cpp; io/sozip.py implements the format)."""
+    import os
+    import shutil
+
+    if sub == "copy":
+        src, dst = args[0], args[1]
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+        return {"copied": src, "to": dst}
+    if sub == "move":
+        shutil.move(args[0], args[1])
+        return {"moved": args[0], "to": args[1]}
+    if sub == "delete":
+        p = args[0]
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+        return {"deleted": p}
+    if sub == "list":
+        p = args[0]
+        recursive = "-r" in args
+        if os.path.isfile(p) and p.endswith(".zip"):
+            from gdal_ray.io.sozip import sozip_list
+
+            return [{k: e[k] for k in ("name", "size", "csize", "sozip")}
+                    for e in sozip_list(p)]
+        out = []
+        if recursive:
+            for root, _, names in os.walk(p):
+                for n in sorted(names):
+                    fp = os.path.join(root, n)
+                    out.append({"name": os.path.relpath(fp, p),
+                                "size": os.path.getsize(fp)})
+        else:
+            for n in sorted(os.listdir(p)):
+                fp = os.path.join(p, n)
+                out.append({"name": n,
+                            "size": os.path.getsize(fp)
+                            if os.path.isfile(fp) else None,
+                            "dir": os.path.isdir(fp)})
+        return out
+    if sub == "sync":
+        src, dst = args[0].rstrip("/"), args[1].rstrip("/")
+        copied = 0
+        for root, _, names in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(troot, exist_ok=True)
+            for n in names:
+                s, t = os.path.join(root, n), os.path.join(troot, n)
+                if (not os.path.exists(t)
+                        or os.path.getmtime(s) > os.path.getmtime(t)
+                        or os.path.getsize(s) != os.path.getsize(t)):
+                    shutil.copy2(s, t)
+                    copied += 1
+        return {"synced": src, "to": dst, "copied": copied}
+    if sub == "sozip":
+        from gdal_ray.io.sozip import (DEFAULT_CHUNK, sozip_create,
+                                       sozip_list, sozip_validate)
+
+        op = args[0]
+        if op == "create":
+            chunk = DEFAULT_CHUNK
+            enable = None
+            rest = []
+            i = 1
+            while i < len(args):
+                if args[i] == "--chunk":
+                    chunk = int(args[i + 1]); i += 2
+                elif args[i] == "--enable":
+                    v = args[i + 1].lower()
+                    enable = None if v == "auto" else (v == "yes"); i += 2
+                else:
+                    rest.append(args[i]); i += 1
+            zip_path, files = rest[0], rest[1:]
+            return sozip_create(
+                zip_path, [(os.path.basename(f), f) for f in files],
+                chunk_size=chunk, force_sozip=enable)
+        if op == "list":
+            return sozip_list(args[1])
+        if op == "validate":
+            zp = args[1]
+            names = ([args[2]] if len(args) > 2 else
+                     [e["name"] for e in sozip_list(zp) if e["sozip"]])
+            return [sozip_validate(zp, n) for n in names]
+        raise SystemExit(f"vsi sozip: unknown op {op!r}")
+    raise SystemExit(f"vsi: unknown subcommand {sub!r} "
+                     "(copy|move|delete|list|sync|sozip)")
