@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
         "q_ogrsql": EQ.q_ogrsql,
-        "q_stereo_lattice": LO.q_stereo_lattice,
         "q_gcp_lattice": LO.q_gcp_lattice,
         "q_fillnodata_lattice": RL.q_fillnodata_lattice,
         "q_curation_pipeline": CQ.q_curation_pipeline,
@@ -107,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_by_lang": EQ.q_quantile_by_lang,
         "q_stratified_docs": EQ.q_stratified_docs,
         "q_heavy_users": EQ.q_heavy_users,
+        "q_repetition_docs": EQ.q_repetition_docs,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4-green, parked to fit the five new never-checked twins under
         # the cap (integer-exact register twin + pytest estimate pins):
         "q_hll_distinct": EQ.q_hll_distinct,
+        "q_stereo_lattice": LO.q_stereo_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -1627,6 +1628,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_repetition_docs": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), g AS (
+              SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c,
+                     CAST(length(line) AS BIGINT) AS len
+              FROM l GROUP BY doc_id, line
+            ), a AS (
+              SELECT doc_id,
+                     CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+                     CAST(SUM((c - 1) * len) AS BIGINT) AS dupchars,
+                     CAST(SUM(c * len) AS BIGINT) AS chars
+              FROM g GROUP BY doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_dup_lines,
+                   dupchars * 10000 // GREATEST(chars, 1)
+                       AS dup_line_char_frac_q
+            FROM a ORDER BY doc_id
         """,
         "q_stratified_docs": """
             WITH h AS (

@@ -15,7 +15,7 @@ __all__ = [
     "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
-    "q_stratified_docs", "q_heavy_users",
+    "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
 ]
 
 
@@ -628,3 +628,22 @@ def q_heavy_users(sf_dir: str):
 
     ds = _rpt(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     return heavy_hitters(ds, "user_id", denom=128)
+
+
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition quality metrics (stages/text.RepetitionStats,
+    Rae et al. 2021): per-document duplicate-line count and duplicate-line
+    character fraction, quantized in EXACT integer math
+    (dup_chars*10000 // chars) so the DuckDB twin (string_split(chr(10))
+    + GROUP BY + integer division) matches bit-for-bit."""
+    import pandas as pd  # noqa: F401
+
+    from gdal_ray.stages.text import RepetitionStats
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    return (
+        ds.map_batches(RepetitionStats(), batch_format="pandas")
+        .select_columns(["doc_id", "n_dup_lines", "dup_line_char_frac_q"])
+        .sort("doc_id")
+    )

@@ -12,7 +12,8 @@ import re
 import numpy as np
 import pandas as pd
 
-__all__ = ["TextStats", "LangId", "Fingerprint", "token_count_sql_parity"]
+__all__ = ["TextStats", "LangId", "Fingerprint", "RepetitionStats",
+           "token_count_sql_parity"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "as",
@@ -135,6 +136,62 @@ class Fingerprint:
                 active = j < lens
                 h = np.where(active, (h ^ mat[:, j].astype(np.uint64)) * self.BASE, h)
         batch["fingerprint"] = h.view(np.int64)
+        return batch
+
+
+class RepetitionStats:
+    """Gopher-style repetition metrics (Rae et al. 2021 quality rules):
+    duplicate-line count and the duplicate-line CHARACTER fraction
+    (characters in occurrences beyond a line's first, over all line
+    characters), plus the top word-bigram character fraction.
+
+    The line metrics are exact-integer: the fraction is quantized as
+    ``dup_chars * 10000 // total_chars`` so the DuckDB twin
+    (string_split(chr(10)) + GROUP BY + integer division) matches
+    bit-for-bit with no float rounding to tie-break. Splitting uses
+    bare \n on both sides (python str.split('\n') == string_split(t,
+    chr(10)), empty pieces kept)."""
+
+    def __init__(self):
+        import re as _re
+
+        self.token = _re.compile(r"\w+", _re.ASCII)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        text = batch["text"].fillna("")
+        lines = text.str.split("\n")
+        ex = lines.explode()
+        g = (
+            pd.DataFrame({"row": ex.index, "line": ex.to_numpy()})
+            .groupby(["row", "line"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        g["len"] = g["line"].str.len().astype("int64")
+        g["dupchars"] = (g["c"] - 1) * g["len"]
+        g["chars"] = g["c"] * g["len"]
+        g["duplines"] = g["c"] - 1
+        agg = g.groupby("row")[["dupchars", "chars", "duplines"]].sum()
+        agg = agg.reindex(range(len(batch))).fillna(0).astype("int64")
+        batch["n_dup_lines"] = agg["duplines"]
+        batch["dup_line_char_frac_q"] = (
+            agg["dupchars"] * 10000 // agg["chars"].clip(lower=1)
+        )
+        # top word-bigram char fraction (rows-only; pytest-pinned)
+        toks = text.str.lower().str.findall(self.token)
+
+        def top2(tl):
+            if len(tl) < 2:
+                return 0.0
+            big = {}
+            for a, b in zip(tl, tl[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+            (a, b), c = max(big.items(), key=lambda kv: (kv[1], kv[0]))
+            return c * (len(a) + len(b)) / max(sum(len(t) for t in tl), 1)
+
+        batch["top_bigram_char_frac"] = toks.map(top2)
         return batch
 
 

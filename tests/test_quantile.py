@@ -147,3 +147,26 @@ class TestGrouped:
             grp = vals[keys == lang]
             for q in (50, 90, 99):
                 assert out.loc[(lang, q), "value"] == exact_rank_quantile(grp, q)
+
+
+class TestRepetition:
+    def test_scalar_oracle(self):
+        from gdal_ray.stages.text import RepetitionStats
+
+        df = pd.DataFrame({"text": [
+            "a\nb\na\nc", "xx\nxx\nxx", "", "no dups here",
+            "long line\nlong line\nshort",
+        ]})
+        out = RepetitionStats()(df.copy())
+        # hand-computed: (dup lines, dup_chars*10000//chars)
+        assert list(out["n_dup_lines"]) == [1, 2, 0, 0, 1]
+        assert list(out["dup_line_char_frac_q"]) == [
+            2500, 4 * 10000 // 6, 0, 0, 9 * 10000 // 23]
+
+    def test_top_bigram(self):
+        from gdal_ray.stages.text import RepetitionStats
+
+        df = pd.DataFrame({"text": ["one two one two one two", "a b c d"]})
+        out = RepetitionStats()(df.copy())
+        assert out["top_bigram_char_frac"].iloc[0] == pytest.approx(1.0)
+        assert out["top_bigram_char_frac"].iloc[1] == pytest.approx(0.5)
