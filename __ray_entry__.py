@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substr_dup": CQ.q_substr_dup,
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
+        "q_sim_pq": RQ.q_sim_pq,
     }
 
 

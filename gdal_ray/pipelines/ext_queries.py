@@ -598,9 +598,10 @@ def q_quantile_by_lang(sf_dir: str):
 
     ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
               columns=["lang", "n_chars"])
-    return grouped_int_quantiles(ds, "lang", "n_chars", [50, 90, 99]).sort(
-        ["lang", "q_pct"]
-    )
+    # num_buckets sized to the handful of distinct languages (empty
+    # hash buckets only add 0-row blocks and executor noise)
+    return grouped_int_quantiles(ds, "lang", "n_chars", [50, 90, 99],
+                                 num_buckets=8).sort(["lang", "q_pct"])
 
 
 def q_stratified_docs(sf_dir: str):
@@ -614,7 +615,7 @@ def q_stratified_docs(sf_dir: str):
 
     ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
               columns=["lang", "doc_id"])
-    return stratified_sample(ds, "lang", "doc_id", 40).sort(
+    return stratified_sample(ds, "lang", "doc_id", 40, num_buckets=8).sort(
         ["lang", "doc_id"]
     )
 

@@ -41,6 +41,7 @@ __all__ = [
     "q_rat",
     "q_stack_median",
     "q_mdim_cube",
+    "q_sim_pq",
 ]
 
 
@@ -1269,3 +1270,38 @@ def q_stack_median(sf_dir: str):
         schema=pa.schema([("stack_id", pa.int64()), ("n_layers", pa.int64()),
                           ("median_cksum", pa.int64())]),
     )
+
+
+def q_sim_pq(sf_dir: str):
+    """Product-quantization approximate cosine top-5 over embeddings
+    (stages/simsearch.topk_cosine_pq, Jegou et al. 2011): uint8 codes +
+    broadcast ADC lookup tables shortlist per batch, exact-cosine refine
+    before the global reduce. Rows-only under the gate; recall + exact-
+    refine bounds pinned in tests/test_simsearch_pq.py."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gdal_ray.stages.simsearch import topk_cosine_pq
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    qt = qt.filter(pc.less(qt["vec_id"], 8)).sort_by("vec_id")
+    queries = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()]
+    )
+    qids = np.asarray(qt["vec_id"])
+    ds = _rpt(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    top = topk_cosine_pq(ds, queries, k=5, m_sub=8, shortlist=8)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["query_id"] = qids[batch["query_idx"].to_numpy()]
+        return batch[["query_id", "rank", "vec_id"]]
+
+    return top.map_batches(finish, batch_format="pandas")

@@ -426,3 +426,107 @@ def embedding_near_dup_lsh(ds, threshold: float, n_bits: int = 64, band_bits: in
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (ADC shortlist + exact refine)
+# --------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, m_sub: int = 8, n_codes: int = 256,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """PQ codebooks (Jegou et al. 2011): one seeded k-means per subspace
+    over UNIT-normalized training vectors. Returns (m_sub, n_codes, d/m)."""
+    x = _unit(np.asarray(sample, dtype=np.float64)).astype(np.float32)
+    d = x.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds_ = d // m_sub
+    return np.stack([
+        kmeans_fit(x[:, j * ds_ : (j + 1) * ds_], n_codes, iters, seed + j)
+        for j in range(m_sub)
+    ])
+
+
+def pq_encode(vectors: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8 codes (n, m_sub): nearest codeword per subspace (unit-norm)."""
+    x = _unit(np.asarray(vectors, dtype=np.float64)).astype(np.float32)
+    m_sub, _, ds_ = books.shape
+    codes = np.empty((len(x), m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        sub = x[:, j * ds_ : (j + 1) * ds_]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def topk_cosine_pq(ds, queries: np.ndarray, k: int = 10, m_sub: int = 8,
+                   n_codes: int = 256, shortlist: int = 4,
+                   train_size: int = 4096, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Approximate top-k with PQ asymmetric-distance shortlisting.
+
+    The 10^12-vector memory shape: per batch, vectors score against the
+    query set through m_sub uint8 LOOKUPS each (the ADC table is
+    query x n_codes per subspace, broadcast once) instead of a d-wide
+    matmul; the per-batch shortlist (k * ``shortlist`` candidates) is
+    then refined with EXACT cosine before the global reduce, so the only
+    approximation is shortlist membership. Codebooks train driver-side
+    on a bounded ``train_size`` sample (seeded, deterministic). Recall
+    bounds are pinned in tests/test_simsearch_pq.py.
+    """
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    sample = _matrix_sample(ds, vec_col, train_size)
+    books = pq_train(sample, m_sub, n_codes)
+    m_subN, n_codesN, ds_ = books.shape
+    # ADC tables: lut[j][qi, code] = <q_sub, codeword>
+    lut = np.stack([
+        q[:, j * ds_ : (j + 1) * ds_] @ books[j].T.astype(np.float64)
+        for j in range(m_subN)
+    ])  # (m_sub, nq, n_codes)
+    refs = ray.put((q, books.astype(np.float32), lut))
+    nshort = k * int(shortlist)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qq, bks, tab = ray.get(refs)
+        vecs = _matrix(batch, vec_col, np.float64)
+        ids = np.asarray(batch[id_col])
+        codes = pq_encode(vecs, bks)
+        nq = len(qq)
+        # approx[qi, row] = sum_j tab[j, qi, codes[row, j]]
+        approx = np.zeros((nq, len(vecs)))
+        for j in range(len(bks)):
+            approx += tab[j][:, codes[:, j]]
+        take = min(nshort, len(vecs))
+        rows = {"query_idx": [], "vec_id": [], "score": []}
+        vn = _unit(vecs)
+        for qi in range(nq):
+            cand = np.argpartition(-approx[qi], take - 1)[:take]
+            exact = vn[cand] @ qq[qi]
+            rows["query_idx"].extend([qi] * len(cand))
+            rows["vec_id"].extend(ids[cand])
+            rows["score"].extend(exact)
+        out = pd.DataFrame(rows)
+        out = out.sort_values(["query_idx", "score", "vec_id"],
+                              ascending=[True, False, True])
+        out = out.groupby("query_idx", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cand = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+    def reduce_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.astype("int32")
+        return pa.Table.from_pandas(
+            g[["query_idx", "rank", "vec_id", "score"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return cand.groupby("query_idx").map_groups(reduce_group,
+                                                batch_format="pandas")
+
+
+def _matrix_sample(ds, vec_col: str, n: int) -> np.ndarray:
+    """Bounded deterministic training sample: the first ``n`` rows."""
+    rows = ds.limit(int(n)).to_pandas()
+    return np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
