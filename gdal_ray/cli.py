@@ -19,7 +19,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
         steps: filter/derive/select/rename/sort/limit/sample/distinct/
-        sql/concat plus geometry swap-xy/segmentize/simplify/
+        sql/concat/quantiles/heavy-hitters/stratified-sample plus
+        geometry swap-xy/segmentize/simplify/
         simplify-coverage/buffer/reproject/centroid/make-valid/
         explode-collections/set-geom-type/clip (quote ! in most shells)
     python -m gdal_ray buildvrt <dst.vrt> <a.tif> [b.tif ...]  # gdalbuildvrt

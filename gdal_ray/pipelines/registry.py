@@ -215,6 +215,41 @@ def _step_make_valid(ds, geom_col: str = "geometry"):
     return _geom_map(ds, mv, geom_col)
 
 
+@register_step("quantiles")
+def _step_quantiles(ds, col: str, q, key: str | None = None):
+    """Exact distributed percentiles (stages/quantile.py) as a step:
+    ``q`` is a comma-separated percent list; with ``key`` the result is
+    per-group. Emits the small (``[key,] q_pct, value``) table."""
+    import ray.data as rd
+
+    from gdal_ray.stages.quantile import exact_int_quantiles, grouped_int_quantiles
+
+    pcts = [int(v) for v in str(q).split(",")]
+    if key:
+        return grouped_int_quantiles(ds, key, col, pcts)
+    return rd.from_pandas(exact_int_quantiles(ds, col, pcts))
+
+
+@register_step("heavy-hitters")
+def _step_heavy_hitters(ds, col: str, denom: int = 128):
+    """Exact items with count >= ceil(n/denom) via the Misra-Gries
+    two-pass plan (stages/heavyhitters.py)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.heavyhitters import heavy_hitters
+
+    return rd.from_pandas(heavy_hitters(ds, col, denom=int(denom)))
+
+
+@register_step("stratified-sample")
+def _step_stratified_sample(ds, key: str, id_col: str, n: int):
+    """Balanced per-group sample: smallest-Knuth-hash ``n`` rows per
+    ``key`` (stages/sampling.stratified_sample)."""
+    from gdal_ray.stages.sampling import stratified_sample
+
+    return stratified_sample(ds, key, id_col, int(n))
+
+
 @register_step("sql")
 def _step_sql(ds, statement: str):
     """gdalalg_vector_sql: run the parsed OGR SQL engine with the piped

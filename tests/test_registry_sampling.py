@@ -267,3 +267,32 @@ def test_buffer_pipeline_step(ray_session):
              for b in out["geometry"]]
     assert areas[0] == pytest.approx(np.pi * 4.0, rel=2e-3)
     assert areas[1] == pytest.approx(16.0 + 16.0 * 2.0 + np.pi * 4.0, rel=2e-3)
+
+
+def test_quantiles_and_heavy_hitters_steps(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import Pipeline
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 4000),
+        "v": rng.integers(0, 50, 4000),
+        "id": np.arange(4000, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = Pipeline([("quantiles", {"col": "v", "q": "50,90"})]).run(ds).to_pandas()
+    assert set(out["q_pct"]) == {50, 90}
+    grp = Pipeline([("quantiles", {"col": "v", "q": "50", "key": "g"})]) \
+        .run(ds).to_pandas()
+    assert len(grp) == 2
+    hh = Pipeline([("heavy-hitters", {"col": "v", "denom": 60})]).run(ds) \
+        .to_pandas()
+    thresh = -(-4000 // 60)
+    uniq, cnt = np.unique(df["v"], return_counts=True)
+    assert set(hh["value"]) == {int(v) for v, c in zip(uniq, cnt) if c >= thresh}
+    ss = Pipeline([("stratified-sample", {"key": "g", "id_col": "id", "n": 7})]) \
+        .run(ds).to_pandas()
+    assert (ss.groupby("g").size() == 7).all()
