@@ -298,24 +298,28 @@ def simplify_coverage(polys, tolerance: float, preserve_boundary: bool = False):
 # Distributed form: 2 keyed shuffles + 1 small broadcast
 # --------------------------------------------------------------------------
 
-_MIX_A = np.uint64(0x9E3779B97F4A7C15)
-_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al.) — full avalanche,
+    unlike a xor-of-linear-products combine, which measurably collides on
+    lattice-structured coordinates (15 collisions in a 13k-vertex grid)."""
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def _pack_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """64-bit vertex key from exact float64 bit patterns (+0.0 normalised).
 
-    Collisions are ~n^2/2^64 — negligible against the coverage sizes the
-    node-broadcast design targets; shared vertices in a valid coverage are
-    bit-identical, so equal points always map to equal keys.
+    Two chained splitmix64 rounds give avalanche-quality mixing, so
+    residual collisions are the generic ~n^2/2^64; shared vertices in a
+    valid coverage are bit-identical, so equal points always map to
+    equal keys.
     """
     xb = np.ascontiguousarray(x + 0.0, dtype=np.float64).view(np.uint64)
     yb = np.ascontiguousarray(y + 0.0, dtype=np.float64).view(np.uint64)
-    with np.errstate(over="ignore"):
-        h = (xb * _MIX_A) ^ ((yb + np.uint64(1)) * _MIX_B)
-        h ^= h >> np.uint64(29)
-        h *= _MIX_A
-    return h.view(np.int64)
+    return _splitmix64(_splitmix64(xb) ^ yb).view(np.int64)
 
 
 def simplify_coverage_ds(
