@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
         "q_ogrsql": EQ.q_ogrsql,
-        "q_gcp_lattice": LO.q_gcp_lattice,
         "q_fillnodata_lattice": RL.q_fillnodata_lattice,
         "q_curation_pipeline": CQ.q_curation_pipeline,
         "q_mosaic_lattice": CO.q_mosaic_lattice,
@@ -107,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_docs": EQ.q_stratified_docs,
         "q_heavy_users": EQ.q_heavy_users,
         "q_repetition_docs": EQ.q_repetition_docs,
+        "q_cc_lattice": EQ.q_cc_lattice,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the cap (integer-exact register twin + pytest estimate pins):
         "q_hll_distinct": EQ.q_hll_distinct,
         "q_stereo_lattice": LO.q_stereo_lattice,
+        "q_gcp_lattice": LO.q_gcp_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
+        "q_dup_clusters": EQ.q_dup_clusters,
     }
 
 
@@ -1629,6 +1631,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_cc_lattice": """
+            SELECT CAST(s_suppkey * 16 + i AS BIGINT) AS node,
+                   CAST(s_suppkey * 16 AS BIGINT) AS comp
+            FROM supplier,
+                 UNNEST(generate_series(0,
+                        CAST(s_suppkey % 7 + 1 AS BIGINT))) AS t(i)
+            ORDER BY node
         """,
         "q_repetition_docs": """
             WITH l AS (

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pyarrow as pa
 import ray.data as rd  # noqa: F401
 from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 from ray.data.aggregate import Count, Min
@@ -16,6 +18,7 @@ __all__ = [
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
+    "q_cc_lattice", "q_dup_clusters",
 ]
 
 
@@ -648,3 +651,58 @@ def q_repetition_docs(sf_dir: str):
         .select_columns(["doc_id", "n_dup_lines", "dup_line_char_frac_q"])
         .sort("doc_id")
     )
+
+
+def q_cc_lattice(sf_dir: str):
+    """Distributed connected components (stages/cc.py filtering scheme:
+    per-block union-find -> spanning-forest contraction -> fan-in
+    repartition rounds) on closed-form chains: supplier key k owns the
+    chain k*16+0 .. k*16+(k%7+1). Edges are scatter-sorted first so
+    chains straddle blocks and the multi-round forest merging actually
+    runs. Twin: the component id is the chain head by construction."""
+    from gdal_ray.stages.cc import connected_components
+
+    def build(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["s_suppkey"], dtype=np.int64)
+        a_all, b_all = [], []
+        for k in keys:
+            m = int(k % 7) + 2  # nodes per chain: 2..8
+            base = int(k) * 16
+            a_all.extend(range(base, base + m - 1))
+            b_all.extend(range(base + 1, base + m))
+        a = np.asarray(a_all, dtype=np.int64)
+        b = np.asarray(b_all, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            scatter = ((a * 2654435761) % (1 << 32)).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "scatter": pa.array(scatter)})
+
+    edges = (
+        _rpt(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+        .map_batches(build, batch_format="pyarrow")
+        .sort("scatter")
+    )
+    return connected_components(edges).sort("node")
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup pairs -> duplicate clusters (the dedup family's missing
+    last stage): the REAL MinHash-LSH verified pair set feeds
+    stages/cc.dup_clusters; output = one row per cluster (keeper, size).
+    Rows-only under the gate; exactness pinned by the union-find oracle
+    in tests/test_cc.py and the pair set's own green twins."""
+    from gdal_ray.stages.cc import dup_clusters
+    from gdal_ray.stages.dedup import verified_text_near_dups
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    pairs = verified_text_near_dups(ds, jaccard_threshold=0.8)
+    def norm(batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        a = "id_a" if "id_a" in names else names[0]
+        b = "id_b" if "id_b" in names else names[1]
+        return pa.table({"a": batch[a].cast(pa.int64()),
+                         "b": batch[b].cast(pa.int64())})
+
+    return dup_clusters(pairs.map_batches(norm, batch_format="pyarrow"),
+                        num_buckets=8)

@@ -2,19 +2,22 @@
 
 The missing last stage of the dedup family: pHash/MinHash/SimHash emit
 verified PAIRS, but curation needs CLUSTERS (keep one canonical doc per
-component). ``connected_components`` combines the two classic
-label-propagation moves, each expressed as bucketed co-shuffles:
+component). ``connected_components`` uses the filtering scheme of
+Kiveris et al. ("Connected components in MapReduce and beyond", 2014,
+simplified): every block runs a LOCAL min-root union-find over its
+edges and emits only its spanning forest as (node, root) rows — at most
+one row per distinct node in the block. Blocks then merge 8-into-1
+(``repartition`` without shuffle — a cheap block concatenation, no
+sort) and the contraction repeats. Each round shrinks both the edge
+volume (forest <= nodes, while input edges can be much denser) and the
+block count, so O(log_8 blocks) rounds reach a single block whose
+union-find over the accumulated forests is connectivity-equivalent to
+the whole graph — the result is EXACT, determinism comes from the
+min-root rule.
 
-- **neighbour propagation**: every node offers its current label to its
-  edge peers (edges + labels co-shuffle on the node id);
-- **pointer jumping**: every node also asks its current label-parent
-  for THAT node's label (label[n] <- label[label[n]]), which collapses
-  chains exponentially — total rounds are O(log n) instead of
-  O(diameter), the Shiloach-Vishkin shortcut.
-
-Rounds repeat until no label changes. Each round materializes the
-(node, label) table — the iterative-algorithm checkpoint shape, bounded
-by the DISTINCT NODES in the pair set (not the corpus).
+The final round runs in one Ray task over the concatenated forests;
+its size is bounded by the DISTINCT NODES in the pair set (the docs
+that have at least one near-dup partner), not the corpus.
 
 ``dup_clusters`` composes it: pairs -> components -> per-component
 canonical keeper (min id) + size.
@@ -28,123 +31,67 @@ import pyarrow as pa
 
 __all__ = ["connected_components", "dup_clusters"]
 
-_NODE_SCHEMA = pa.schema(
-    [pa.field("node", pa.int64()), pa.field("label", pa.int64())]
-)
-# internal mixed-row schema: kind 0 = label row (key = node it labels),
-# kind 1 = offer/request row (key = lookup node, target = recipient)
-_MIX_SCHEMA = pa.schema(
-    [pa.field("key", pa.int64()), pa.field("target", pa.int64()),
-     pa.field("label", pa.int64()), pa.field("kind", pa.int8())]
+_EDGE_SCHEMA = pa.schema(
+    [pa.field("node", pa.int64()), pa.field("root", pa.int64())]
 )
 
 
-def _resolve(labels_mixed_ds, num_buckets):
-    """Co-shuffle label rows + request rows on ``key``; every request
-    (key=L, target=n) yields an offer (node=n, label=label[L])."""
-    from gdal_ray.ops.shuffle import bucketed_group_apply
+def _local_forest(batch: pa.Table) -> pa.Table:
+    """Min-root union-find over one block's edges -> spanning rows
+    (node, root), one per distinct node (roots map to themselves)."""
+    a = np.asarray(batch[0], dtype=np.int64)
+    b = np.asarray(batch[1], dtype=np.int64)
+    parent: dict[int, int] = {}
 
-    def fulfil(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[df["kind"] == 0]
-        req = df[df["kind"] == 1]
-        m = dict(zip(lab["key"], lab["label"]))
-        return pd.DataFrame(
-            {"node": req["target"].to_numpy(dtype=np.int64),
-             "label": req["key"].map(m).to_numpy(dtype=np.int64)}
-        )
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
 
-    return bucketed_group_apply(
-        labels_mixed_ds, ["key"], fulfil, num_buckets, schema=_NODE_SCHEMA
-    )
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-root rule keeps the labelling deterministic
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                        count=len(nodes))
+    return pa.table({"node": pa.array(nodes), "root": pa.array(roots)})
 
 
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
-                         max_iters: int = 40, num_buckets: int = 16):
-    """(a, b) int64 pair Dataset -> (node, comp) with comp = the
-    component's smallest node id. Deterministic."""
-    from gdal_ray.ops.shuffle import bucketed_group_apply
+                         fan_in: int = 8):
+    """(a, b) int64 pair Dataset -> (node, comp) Dataset with comp = the
+    component's smallest node id. Exact and deterministic."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch[a_col], dtype=np.int64)
-        b = np.asarray(batch[b_col], dtype=np.int64)
-        # both directions so each endpoint sees the edge in its group
         return pa.table(
-            {"node": pa.array(np.concatenate([a, b])),
-             "peer": pa.array(np.concatenate([b, a]))}
+            {"node": batch[a_col].cast(pa.int64()),
+             "root": batch[b_col].cast(pa.int64())}
         )
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
-
-    def init_labels(batch: pa.Table) -> pd.DataFrame:
-        n = np.unique(np.asarray(batch["node"], dtype=np.int64))
-        return pd.DataFrame({"node": n, "label": n})
-
-    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["label"].min()
-
-    labels = bucketed_group_apply(
-        edges.map_batches(init_labels, batch_format="pyarrow"),
-        ["node"], dedup_nodes, num_buckets, schema=_NODE_SCHEMA,
+    eds = pairs_ds.map_batches(
+        to_edges, batch_format="pyarrow"
+    ).map_batches(
+        _local_forest, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    def label_mix(batch: pa.Table) -> pa.Table:
-        n = np.asarray(batch["node"], dtype=np.int64)
-        lb = np.asarray(batch["label"], dtype=np.int64)
-        return pa.table(
-            {"key": pa.array(n), "target": pa.array(n),
-             "label": pa.array(lb),
-             "kind": pa.array(np.zeros(len(n), np.int8))}
-        )
-
-    def edge_req(batch: pa.Table) -> pa.Table:
-        # neighbour propagation: ask peer's label, deliver to me — and
-        # symmetric rows exist because edges carry both directions
-        n = np.asarray(batch["node"], dtype=np.int64)
-        p = np.asarray(batch["peer"], dtype=np.int64)
-        return pa.table(
-            {"key": pa.array(n), "target": pa.array(p),
-             "label": pa.array(np.full(len(n), -1, np.int64)),
-             "kind": pa.array(np.ones(len(n), np.int8))}
-        )
-
-    def jump_req(batch: pa.Table) -> pa.Table:
-        # pointer jumping: label[n] <- label[label[n]]
-        n = np.asarray(batch["node"], dtype=np.int64)
-        lb = np.asarray(batch["label"], dtype=np.int64)
-        return pa.table(
-            {"key": pa.array(lb), "target": pa.array(n),
-             "label": pa.array(np.full(len(n), -1, np.int64)),
-             "kind": pa.array(np.ones(len(n), np.int8))}
-        )
-
-    for _ in range(max_iters):
-        mixed = (
-            labels.map_batches(label_mix, batch_format="pyarrow")
-            .union(edges.map_batches(edge_req, batch_format="pyarrow"))
-            .union(labels.map_batches(jump_req, batch_format="pyarrow"))
-        )
-        offers = _resolve(mixed, num_buckets)
-        new_labels = bucketed_group_apply(
-            offers.union(labels), ["node"], dedup_nodes, num_buckets,
-            schema=_NODE_SCHEMA,
+    while eds.num_blocks() > 1:
+        target = max(1, eds.num_blocks() // int(fan_in))
+        eds = eds.repartition(target).map_batches(
+            _local_forest, batch_format="pyarrow", batch_size=None
         ).materialize()
 
-        def diff_count(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node")["label"]
-            return pd.DataFrame({"changed": [int((g.nunique() > 1).sum())]})
-
-        changed = bucketed_group_apply(
-            labels.union(new_labels), ["node"], diff_count, num_buckets,
-            schema=pa.schema([pa.field("changed", pa.int64())]),
-        ).to_pandas()["changed"].sum()
-        labels = new_labels
-        if int(changed) == 0:
-            break
-
-    def finish(batch: pa.Table) -> pa.Table:
+    def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["node", "comp"])
 
-    return labels.map_batches(finish, batch_format="pyarrow")
+    return eds.map_batches(rename, batch_format="pyarrow")
 
 
 def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
@@ -154,8 +101,7 @@ def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
     back to drop the other members."""
     from gdal_ray.ops.shuffle import bucketed_group_apply
 
-    comp = connected_components(pairs_ds, a_col, b_col,
-                                num_buckets=num_buckets)
+    comp = connected_components(pairs_ds, a_col, b_col)
 
     def per_comp(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("comp")["node"]

@@ -47,7 +47,7 @@ class TestCC:
     def test_chain_diameter(self, ray_session):
         # a 40-node chain: worst case for label propagation rounds
         pairs = [(i, i + 1) for i in range(40)]
-        got = run_cc(ray_session, pairs, num_buckets=4)
+        got = run_cc(ray_session, pairs)
         assert set(got.values()) == {0} and len(got) == 41
 
     def test_random_graph_matches_union_find(self, ray_session):
@@ -56,7 +56,7 @@ class TestCC:
         pairs = [tuple(sorted(rng.choice(nodes, 2, replace=False).tolist()))
                  for _ in range(220)]
         pairs = [p for p in pairs if p[0] != p[1]]
-        got = run_cc(ray_session, pairs, num_buckets=8)
+        got = run_cc(ray_session, pairs)
         assert got == union_find_oracle(pairs)
 
     def test_dup_clusters(self, ray_session):
