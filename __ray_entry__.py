@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
         "q_ogrsql": EQ.q_ogrsql,
-        "q_fillnodata_lattice": RL.q_fillnodata_lattice,
         "q_curation_pipeline": CQ.q_curation_pipeline,
         "q_mosaic_lattice": CO.q_mosaic_lattice,
         "q_overview_lattice": CO.q_overview_lattice,
@@ -107,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_users": EQ.q_heavy_users,
         "q_repetition_docs": EQ.q_repetition_docs,
         "q_cc_lattice": EQ.q_cc_lattice,
+        "q_rare_tokens": EQ.q_rare_tokens,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_distinct": EQ.q_hll_distinct,
         "q_stereo_lattice": LO.q_stereo_lattice,
         "q_gcp_lattice": LO.q_gcp_lattice,
+        "q_fillnodata_lattice": RL.q_fillnodata_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -201,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
         "q_dup_clusters": EQ.q_dup_clusters,
+        "q_tfidf_topk": EQ.q_tfidf_topk,
     }
 
 
@@ -1631,6 +1633,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_rare_tokens": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                         lower(text), '[0-9a-z_]+'))) AS token
+              FROM documents
+            ), df AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS dfreq
+              FROM tok GROUP BY token
+            )
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(SUM(CASE WHEN d.dfreq <= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rare
+            FROM tok t JOIN df d ON t.token = d.token
+            GROUP BY t.doc_id ORDER BY doc_id
         """,
         "q_cc_lattice": """
             SELECT CAST(s_suppkey * 16 + i AS BIGINT) AS node,

@@ -18,7 +18,7 @@ __all__ = [
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
-    "q_cc_lattice", "q_dup_clusters",
+    "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
 ]
 
 
@@ -706,3 +706,28 @@ def q_dup_clusters(sf_dir: str):
 
     return dup_clusters(pairs.map_batches(norm, batch_format="pyarrow"),
                         num_buckets=8)
+
+
+def q_rare_tokens(sf_dir: str):
+    """Rare-vocabulary counts (stages/tfidf.rare_token_counts): per doc,
+    its distinct tokens with global document frequency <= 2. DF partials
+    pre-combine per batch; doc-token rows co-shuffle against the df table
+    on the token (no join operator, no rare-vocab broadcast). Twin:
+    regexp_extract_all + GROUP BY replay in DuckDB (the corpus is pure
+    ASCII, so lower()/\\w+ tokenization agrees byte-for-byte)."""
+    from gdal_ray.stages.tfidf import rare_token_counts
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    return rare_token_counts(ds, max_df=2, num_buckets=16).sort("doc_id")
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (stages/tfidf.tf_idf_topk) —
+    rows-only under the gate; the scalar-replica oracle in
+    tests/test_tfidf.py pins scores to 1e-12."""
+    from gdal_ray.stages.tfidf import tf_idf_topk
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    return tf_idf_topk(ds, k=3, num_buckets=16)
