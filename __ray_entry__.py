@@ -1645,8 +1645,9 @@ def oracle_sql() -> dict[str, str]:
               FROM tok GROUP BY token
             )
             SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
-                   CAST(SUM(CASE WHEN d.dfreq <= 2 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_rare
+                   CAST(SUM(CASE WHEN d.dfreq <=
+                            (SELECT COUNT(*) * 775 // 1000 FROM documents)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
             FROM tok t JOIN df d ON t.token = d.token
             GROUP BY t.doc_id ORDER BY doc_id
         """,

@@ -710,16 +710,20 @@ def q_dup_clusters(sf_dir: str):
 
 def q_rare_tokens(sf_dir: str):
     """Rare-vocabulary counts (stages/tfidf.rare_token_counts): per doc,
-    its distinct tokens with global document frequency <= 2. DF partials
-    pre-combine per batch; doc-token rows co-shuffle against the df table
-    on the token (no join operator, no rare-vocab broadcast). Twin:
-    regexp_extract_all + GROUP BY replay in DuckDB (the corpus is pure
-    ASCII, so lower()/\\w+ tokenization agrees byte-for-byte)."""
+    its distinct tokens that are globally rare. DF partials pre-combine
+    per batch; doc-token rows co-shuffle against the df table on the
+    token (no join operator, no rare-vocab broadcast). The threshold is
+    FRACTIONAL (df <= 775 permille of N, exact integer math) because the
+    synthetic corpus draws from a 31-token vocabulary where every token
+    appears in ~78% of documents — an absolute cutoff is degenerate.
+    Twin: regexp_extract_all + GROUP BY replay in DuckDB (the corpus is
+    pure ASCII, so lower()/\\w+ tokenization agrees byte-for-byte)."""
     from gdal_ray.stages.tfidf import rare_token_counts
 
     ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
               columns=["doc_id", "text"])
-    return rare_token_counts(ds, max_df=2, num_buckets=16).sort("doc_id")
+    return rare_token_counts(ds, max_df_frac=0.775,
+                             num_buckets=16).sort("doc_id")
 
 
 def q_tfidf_topk(sf_dir: str):

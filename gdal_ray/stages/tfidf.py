@@ -106,12 +106,17 @@ def _token_coshuffle(ds, dfreq, distinct: bool, num_buckets: int):
                                 schema=_MIX_SCHEMA)
 
 
-def rare_token_counts(ds, max_df: int = 2, num_buckets: int = 32):
-    """Per document: how many of its DISTINCT tokens have global
-    df <= max_df (the rare-vocabulary signal quality filters threshold
-    on). Documents with no tokens emit no row (matching the SQL join)."""
+def rare_token_counts(ds, max_df: int | None = 2, max_df_frac=None,
+                      num_buckets: int = 32):
+    """Per document: how many of its DISTINCT tokens are globally rare —
+    df <= max_df, or df <= floor(N * max_df_frac) when the fractional
+    form is given (permille precision, so the threshold stays exact
+    integer math on both engine and SQL sides). Documents with no
+    tokens emit no row (matching the SQL join)."""
     from gdal_ray.ops.shuffle import bucketed_group_apply
 
+    if max_df_frac is not None:
+        max_df = int(ds.count()) * int(round(max_df_frac * 1000)) // 1000
     dfreq = document_frequencies(ds, num_buckets)
     joined = _token_coshuffle(ds, dfreq, distinct=True, num_buckets=num_buckets)
 
