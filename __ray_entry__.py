@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_point_query_lattice": RL.q_point_query_lattice,
         "q_contour_lattice": RL.q_contour_lattice,
         # first gate-green in r4 — kept for a second driver check:
-        "q_union_lattice": LO.q_union_lattice,
         "q_symdiff_lattice": LO.q_symdiff_lattice,
         "q_ogrsql": EQ.q_ogrsql,
         "q_curation_pipeline": CQ.q_curation_pipeline,
@@ -107,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_docs": EQ.q_repetition_docs,
         "q_cc_lattice": EQ.q_cc_lattice,
         "q_rare_tokens": EQ.q_rare_tokens,
+        "q_curation_sql": EQ.q_curation_sql,
         # late-r5 twins, never driver-checked before — first gate pass:
         "q_geojson_roundtrip": EQ.q_geojson_roundtrip,
         "q_gpkg_roundtrip": EQ.q_gpkg_roundtrip,
@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stereo_lattice": LO.q_stereo_lattice,
         "q_gcp_lattice": LO.q_gcp_lattice,
         "q_fillnodata_lattice": RL.q_fillnodata_lattice,
+        "q_union_lattice": LO.q_union_lattice,
         "q_window_events_hourly": R.q_window_events_hourly,
         "q_sessionize_events": R.q_sessionize_events,
         "q_sim_topk": R.q_sim_topk,
@@ -1633,6 +1634,52 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN qq
             WHERE cum >= (q_pct * n + 99) // 100
             GROUP BY q_pct ORDER BY q_pct
+        """,
+        "q_curation_sql": """
+            WITH dedup AS (
+              SELECT doc_id, lang, text, n_chars FROM (
+                SELECT d.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) AS rn
+                FROM documents d) WHERE rn = 1
+            ), c AS (
+              SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM dedup GROUP BY n_chars
+            ), s AS (
+              SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                     CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM c
+            ), b AS (
+              SELECT (SELECT MIN(v) FROM s
+                      WHERE cum >= (10 * n + 99) // 100) AS p10,
+                     (SELECT MIN(v) FROM s
+                      WHERE cum >= (90 * n + 99) // 100) AS p90
+            ), gated AS (
+              SELECT dd.* FROM dedup dd, b
+              WHERE n_chars BETWEEN p10 AND p90
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                         lower(text), '[0-9a-z_]+'))) AS token
+              FROM gated
+            ), dfq AS (
+              SELECT token, COUNT(*) AS dfreq FROM tok GROUP BY token
+            ), rare AS (
+              SELECT t.doc_id,
+                     SUM(CASE WHEN d.dfreq <=
+                         (SELECT COUNT(*) * 775 // 1000 FROM gated)
+                         THEN 1 ELSE 0 END) AS n_rare
+              FROM tok t JOIN dfq d USING (token) GROUP BY t.doc_id
+            ), pass AS (
+              SELECT g.lang, g.doc_id FROM gated g
+              JOIN rare r USING (doc_id) WHERE r.n_rare <= 9
+            ), samp AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                       ((CAST(doc_id AS UBIGINT) % 4294967296)
+                        * 2654435761) % 4294967296, doc_id) AS rn
+              FROM pass
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+            FROM samp WHERE rn <= 30 ORDER BY lang, doc_id
         """,
         "q_rare_tokens": """
             WITH tok AS (

@@ -19,6 +19,7 @@ __all__ = [
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
+    "q_curation_sql",
 ]
 
 
@@ -735,3 +736,83 @@ def q_tfidf_topk(sf_dir: str):
     ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
               columns=["doc_id", "text"])
     return tf_idf_topk(ds, k=3, num_buckets=16)
+
+
+def q_curation_sql(sf_dir: str):
+    """End-to-end curation where EVERY stage is twin-checked in one SQL
+    statement: exact dedup (min doc per md5) -> length gate at the exact
+    p10..p90 rank-rule percentiles of the deduped set -> rare-vocabulary
+    gate (n_rare <= 9 at the 775-permille df threshold over the gated
+    set) -> balanced 30-per-language stratified sample. Composes
+    stages/dedup.exact_dedup, stages/quantile.exact_int_quantiles,
+    stages/tfidf.rare_token_counts and stages/sampling.stratified_sample
+    over four keyed shuffles plus two driver-side scalar reductions (the
+    2-row percentile table and the threshold count)."""
+    import pyarrow.compute as pc
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.stages.dedup import add_md5, exact_dedup
+    from gdal_ray.stages.quantile import exact_int_quantiles
+    from gdal_ray.stages.sampling import stratified_sample
+    from gdal_ray.stages.tfidf import rare_token_counts
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "lang", "text", "n_chars"])
+    dedup = exact_dedup(
+        ds.map_batches(add_md5, batch_format="pyarrow"), "md5", "doc_id"
+    )
+    qb = exact_int_quantiles(dedup, "n_chars", [10, 90]).set_index("q_pct")
+    lo, hi = int(qb.loc[10, "value"]), int(qb.loc[90, "value"])
+
+    def length_gate(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"]
+        return batch.filter(
+            pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        )
+
+    gated = dedup.map_batches(length_gate, batch_format="pyarrow")
+    rare = rare_token_counts(gated, max_df_frac=0.775, num_buckets=16)
+
+    mix_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lang", pa.string()),
+         pa.field("n_rare", pa.int64())]
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()),
+             "lang": batch["lang"],
+             "n_rare": pa.array(np.full(n, -1, np.int64))}
+        )
+
+    def rare_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang": pa.array([""] * n),
+             "n_rare": batch["n_rare"]}
+        )
+
+    mixed = gated.map_batches(doc_rows, batch_format="pyarrow").union(
+        rare.map_batches(rare_rows, batch_format="pyarrow")
+    )
+
+    def rare_gate(df):
+        import pandas as pd
+
+        counts = df[df["n_rare"] >= 0]
+        docs = df[df["n_rare"] < 0]
+        m = dict(zip(counts["doc_id"], counts["n_rare"]))
+        keep = docs[docs["doc_id"].map(lambda d: m.get(d, 10**9)) <= 9]
+        return keep[["doc_id", "lang"]]
+
+    passed = bucketed_group_apply(
+        mixed, ["doc_id"], rare_gate, 16,
+        schema=pa.schema([pa.field("doc_id", pa.int64()),
+                          pa.field("lang", pa.string())]),
+    )
+    return (
+        stratified_sample(passed, "lang", "doc_id", 30, num_buckets=8)
+        .select_columns(["lang", "doc_id"])
+        .sort(["lang", "doc_id"])
+    )
