@@ -250,6 +250,23 @@ def _step_stratified_sample(ds, key: str, id_col: str, n: int):
     return stratified_sample(ds, key, id_col, int(n))
 
 
+@register_step("connected-components")
+def _step_connected_components(ds, a: str = "a", b: str = "b"):
+    """Distributed connected components over a pair layer
+    (stages/cc.py filtering scheme) -> (node, comp)."""
+    from gdal_ray.stages.cc import connected_components
+
+    return connected_components(ds, a_col=a, b_col=b)
+
+
+@register_step("dup-clusters")
+def _step_dup_clusters(ds, a: str = "a", b: str = "b"):
+    """Near-dup pair layer -> (comp, size, keeper) duplicate clusters."""
+    from gdal_ray.stages.cc import dup_clusters
+
+    return dup_clusters(ds, a_col=a, b_col=b)
+
+
 @register_step("sql")
 def _step_sql(ds, statement: str):
     """gdalalg_vector_sql: run the parsed OGR SQL engine with the piped
