@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineref_lattice": LO.q_lineref_lattice,
         "q_substr_dup": CQ.q_substr_dup,
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
+        "q_decontam": CQ.q_decontam,
+        "q_decontam_bloom": CQ.q_decontam_bloom,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
         "q_dup_clusters": EQ.q_dup_clusters,
@@ -1562,6 +1564,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_occ
             FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1
             ORDER BY win
+        """,
+        # benchmark decontamination: DuckDB recomputes every 8-token
+        # window of both halves (split(' ') tokens, stride 1), benchmark
+        # = doc_id % 17 = 0, and counts per corpus doc the DISTINCT
+        # windows shared with the benchmark side — integer-exact
+        "q_decontam": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(toks, CAST(p AS BIGINT),
+                                                CAST(p AS BIGINT) + 7),
+                                     ' ') AS win
+              FROM t, UNNEST(range(1, len(toks) - 6, 1)) AS u(p)
+              WHERE len(toks) >= 8
+            ), b AS (
+              SELECT DISTINCT win FROM w WHERE doc_id % 17 = 0
+            ), c AS (
+              SELECT DISTINCT doc_id, win FROM w WHERE doc_id % 17 <> 0
+            )
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contam
+            FROM c JOIN b USING (win)
+            GROUP BY c.doc_id ORDER BY c.doc_id
         """,
         "q_lineref_lattice": """
             WITH p AS (

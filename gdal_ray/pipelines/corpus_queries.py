@@ -33,6 +33,8 @@ __all__ = [
     "q_datum_shift",
     "q_substr_dup",
     "q_substr_dup_winnow",
+    "q_decontam",
+    "q_decontam_bloom",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -322,3 +324,45 @@ def q_substr_dup_winnow(sf_dir: str):
     docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "text"])
     return duplicated_spans(docs, span=8, winnow=4).sort("win")
+
+
+def _doc_halves(sf_dir: str):
+    """documents split into (corpus, benchmark) on doc_id % 17 — the
+    deterministic stand-in for a held-out eval set."""
+    docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+
+    def keep(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 17 == 0) if bench else (ids % 17 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    return (docs.map_batches(keep(False), batch_format="pyarrow"),
+            docs.map_batches(keep(True), batch_format="pyarrow"))
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM n-gram
+    overlap rule): a corpus document is contaminated when any 8-token
+    window appears VERBATIM in any benchmark document (benchmark =
+    doc_id % 17 == 0 here). Exact arm — integer output, full DuckDB twin
+    recomputing the same split(' ') windows."""
+    from gdal_ray.stages.decontam import contaminated_docs
+
+    corpus, bench = _doc_halves(sf_dir)
+    return contaminated_docs(corpus, bench, span=8).sort("doc_id")
+
+
+def q_decontam_bloom(sf_dir: str):
+    """Scale-path decontamination: the benchmark side folds into a Bloom
+    filter (OR-able per-block partials, ~2 bytes/n-gram at 1% FPR)
+    broadcast once via ray.put; the corpus probes it vectorized and only
+    FLAGGED window rows shuffle. No benchmark shuffle, no text shuffle —
+    the right shape at 10^12 corpus docs. Superset guarantee vs q_decontam
+    (no false negatives) is pytest-enforced; rows-only under the gate."""
+    from gdal_ray.stages.decontam import contaminated_docs_bloom
+
+    corpus, bench = _doc_halves(sf_dir)
+    return contaminated_docs_bloom(corpus, bench, span=8).sort("doc_id")

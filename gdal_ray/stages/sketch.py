@@ -17,7 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hll_partial", "hll_registers", "hll_estimate"]
+__all__ = ["hll_partial", "hll_registers", "hll_estimate",
+           "bloom_partial", "bloom_probe", "bloom_fold"]
 
 _P = 12  # 4096 registers
 _M = 1 << _P
@@ -68,6 +69,57 @@ def hll_registers(ds, column: str, p: int = _P):
             "register": pa.array(acc[nz].astype(np.int64)),
         }
     ), acc
+
+
+_BLOOM_SALT = np.uint64(0xA24BAED4963EE407)
+
+
+def _bloom_indices(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit indices via double hashing (Kirsch & Mitzenmacher 2006):
+    idx_i = (h1 + i*h2) mod m, h2 forced odd so the stride cycles."""
+    u = np.asarray(keys).astype(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ _BLOOM_SALT) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int = 1 << 20,
+                  k: int = 7) -> np.ndarray:
+    """uint64/int64 key array -> packed uint8 Bloom bitmap (m_bits/8 bytes).
+
+    Partials combine by elementwise OR — associative, so distributed build
+    is a map_batches partial + a driver-side fold (the HLL shape). At
+    m_bits = 2^20 / k = 7 the filter holds ~10^5 keys at ~1% FPR; size
+    m_bits ~ 14 * n_keys (power of two) for that rate at other scales.
+    """
+    idx = _bloom_indices(keys, m_bits, k).ravel()
+    bits = np.zeros(m_bits, dtype=np.uint8)
+    bits[idx] = 1
+    return np.packbits(bits)
+
+
+def bloom_fold(partials) -> np.ndarray:
+    """OR-combine an iterable of packed bitmaps (bytes or uint8 arrays)."""
+    acc: np.ndarray | None = None
+    for p in partials:
+        a = np.frombuffer(p, dtype=np.uint8) if isinstance(p, (bytes, bytearray)) else p
+        acc = a.copy() if acc is None else np.bitwise_or(acc, a)
+    if acc is None:
+        raise ValueError("no partials to fold")
+    return acc
+
+
+def bloom_probe(keys: np.ndarray, packed: np.ndarray, k: int = 7) -> np.ndarray:
+    """Vectorized membership test -> bool array (no false negatives)."""
+    m_bits = len(packed) * 8
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    idx = _bloom_indices(keys, m_bits, k)
+    bits = (packed[idx >> 3] >> (np.uint8(7) - (idx & 7).astype(np.uint8))) & 1
+    return bits.all(axis=1)
 
 
 def hll_estimate(registers: np.ndarray) -> float:
