@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontam_bloom": CQ.q_decontam_bloom,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
+        "q_semdedup": RQ.q_semdedup,
         "q_dup_clusters": EQ.q_dup_clusters,
         "q_tfidf_topk": EQ.q_tfidf_topk,
     }

@@ -42,6 +42,7 @@ __all__ = [
     "q_stack_median",
     "q_mdim_cube",
     "q_sim_pq",
+    "q_semdedup",
 ]
 
 
@@ -1305,3 +1306,20 @@ def q_sim_pq(sf_dir: str):
         return batch[["query_id", "rank", "vec_id"]]
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    clusters (seeded driver fit), ONE bucketed cluster shuffle, duplicate
+    components at cosine > 0.45 (the table's established near-dup
+    threshold), keep per component the lowest-centroid-sim item. Rows-only
+    under the gate (k-means is not SQL-expressible); the exact
+    single-process replica is pinned in tests/test_semdedup.py."""
+    import os
+
+    from gdal_ray.stages.simsearch import semdedup
+
+    ds = _rpt(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, threshold=0.45).sort("vec_id")

@@ -24,6 +24,7 @@ __all__ = [
     "kmeans_fit",
     "hyperplane_bands",
     "embedding_near_dup_lsh",
+    "semdedup",
 ]
 
 
@@ -530,3 +531,101 @@ def _matrix_sample(ds, vec_col: str, n: int) -> np.ndarray:
     """Bounded deterministic training sample: the first ``n`` rows."""
     rows = ds.limit(int(n)).to_pandas()
     return np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
+
+
+def _dup_components(unit: np.ndarray, ids: np.ndarray, threshold: float,
+                    chunk: int = 2048) -> np.ndarray:
+    """Union-find roots of the within-cluster duplicate graph
+    (cos > threshold). Pairwise sims are computed in (chunk x n) tiles so
+    a degenerate giant cluster costs bounded memory, and only EDGES enter
+    Python (the duplicate pairs, not the n^2 matrix)."""
+    n = len(ids)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for lo in range(0, n, chunk):
+        s = unit[lo:lo + chunk] @ unit.T
+        ia, ib = np.nonzero(s > threshold)
+        ia += lo
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            if a >= b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n)])
+
+
+def semdedup(ds, threshold: float = 0.95, n_clusters: int = 16,
+             sample_size: int = 2048, seed: int = 42,
+             centroids: np.ndarray | None = None, num_buckets: int = 32,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al., 2023): semantic deduplication of an
+    embedding table. K-means clusters the space (driver-side fit on a
+    bounded sample — the IVF coarse-quantizer reuse); ONE bucketed shuffle
+    co-locates each cluster; within a cluster, items whose cosine
+    similarity exceeds ``threshold`` form duplicate components and only
+    one representative per component survives — per the paper, the item
+    with the LOWEST cosine to the cluster centroid (tie-break: lower id),
+    i.e. the least-prototypical example carries the most information.
+
+    Output: (vec_id, cluster, keep, n_dup) for EVERY row — n_dup = size of
+    the row's duplicate component (1 = unique). Deterministic given the
+    seed; the exact single-process replica is pinned in
+    tests/test_semdedup.py. Not SQL-expressible (k-means) -> rows-only
+    under the driver gate.
+    """
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            _matrix_sample(ds, vec_col, sample_size).astype(np.float32),
+            n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    assigned = ds.map_batches(
+        lambda b: ivf_assign(b, cent_ref, vec_col), batch_format="pyarrow")
+
+    cent_unit = _unit(np.asarray(centroids, dtype=np.float64))
+
+    def dedup_cluster(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, g in part.groupby("bucket", sort=False):
+            g = g.sort_values(id_col, kind="stable")
+            ids = g[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in g[vec_col]])
+            u = _unit(m)
+            root = _dup_components(u, ids, threshold)
+            csim = u @ cent_unit[int(cid)]
+            _, inv, counts = np.unique(root, return_inverse=True,
+                                       return_counts=True)
+            # keeper per component: lowest centroid-sim, then lowest id
+            order = np.lexsort((ids, csim))
+            keep = np.zeros(len(ids), dtype=bool)
+            first = np.unique(inv[order], return_index=True)[1]
+            keep[order[first]] = True
+            outs.append(pd.DataFrame({
+                "vec_id": ids.astype(np.int64),
+                "cluster": np.full(len(ids), int(cid), dtype=np.int32),
+                "keep": keep,
+                "n_dup": counts[inv].astype(np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int32"),
+            "keep": pd.Series([], dtype="bool"),
+            "n_dup": pd.Series([], dtype="int64"),
+        })
+
+    schema = pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int32()),
+        ("keep", pa.bool_()), ("n_dup", pa.int64()),
+    ])
+    return bucketed_group_apply(assigned, ["bucket"], dedup_cluster,
+                                min(num_buckets, n_clusters), schema=schema)
