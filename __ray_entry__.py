@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
         "q_decontam": CQ.q_decontam,
         "q_decontam_bloom": CQ.q_decontam_bloom,
+        "q_lm_score": CQ.q_lm_score,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
         "q_semdedup": RQ.q_semdedup,
@@ -1565,6 +1566,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_occ
             FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1
             ORDER BY win
+        """,
+        # n-gram LM scoring: stupid backoff S(w|pw) = c(pw,w)/c(pw), else
+        # (0.4*c(w))/N (first token: c(w)/N), per-token ln quantized to
+        # 1e-6 BEFORE the per-doc integer sum — order-independent; op
+        # order of every float expression mirrors stages/lm.py
+        "q_lm_score": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     toks[CAST(p AS BIGINT)] AS w,
+                     CASE WHEN p > 1 THEN toks[CAST(p AS BIGINT) - 1]
+                          ELSE NULL END AS pw
+              FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS u(p)
+            ), uni AS (
+              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM tok
+            ), bi AS (
+              SELECT pw, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok
+              WHERE pw IS NOT NULL GROUP BY pw, w
+            ), sc AS (
+              SELECT tok.doc_id,
+                     CASE WHEN tok.pw IS NULL THEN ln(u1.c / tot.s)
+                          WHEN b.c IS NOT NULL THEN ln(b.c / u0.c)
+                          ELSE ln(0.4 * u1.c / tot.s) END AS lp,
+                     CASE WHEN tok.pw IS NOT NULL AND b.c IS NULL
+                          THEN 1 ELSE 0 END AS bo
+              FROM tok
+              JOIN uni u1 ON u1.w = tok.w
+              LEFT JOIN uni u0 ON u0.w = tok.pw
+              LEFT JOIN bi b ON b.pw = tok.pw AND b.w = tok.w
+              CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(bo) AS BIGINT) AS n_backoff,
+                   CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT))
+                        AS BIGINT) AS lp_q
+            FROM sc GROUP BY doc_id ORDER BY doc_id
         """,
         # benchmark decontamination: DuckDB recomputes every 8-token
         # window of both halves (split(' ') tokens, stride 1), benchmark

@@ -35,6 +35,7 @@ __all__ = [
     "q_substr_dup_winnow",
     "q_decontam",
     "q_decontam_bloom",
+    "q_lm_score",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -366,3 +367,18 @@ def q_decontam_bloom(sf_dir: str):
 
     corpus, bench = _doc_halves(sf_dir)
     return contaminated_docs_bloom(corpus, bench, span=8).sort("doc_id")
+
+
+def q_lm_score(sf_dir: str):
+    """N-gram LM quality scoring (CCNet's perplexity filter, stupid
+    backoff per Brants et al. 2007): train a bigram model on the documents
+    table (distributed pre-combined counts, ONE gram shuffle), broadcast
+    it, score every document. Output is integer-exact (per-token log-probs
+    quantized to 1e-6 before the per-doc sum) so the DuckDB twin
+    recomputes it verbatim; quantization-boundary margin is pinned in
+    tests/test_lm.py."""
+    from gdal_ray.stages.lm import lm_scored_docs
+
+    docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+    return lm_scored_docs(docs).sort("doc_id")
