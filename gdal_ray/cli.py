@@ -49,7 +49,11 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray gdal2xyz <src.tif> <dst.(xyz|csv|parquet)>
     python -m gdal_ray transform -s_srs EPSG:4326 -t_srs EPSG:3857 x y [x y ..]
     python -m gdal_ray compare <a.tif> <b.tif>           # gdalcompare
-    python -m gdal_ray gdal2tiles <src.tif> <out_dir> --zoom zmin zmax [--tms]
+    python -m gdal_ray gdal2tiles <src.tif> <out_dir|out.mbtiles>
+        --zoom zmin zmax [--tms]
+    python -m gdal_ray mbtiles write <pyramid_dir> <out.mbtiles> [name]
+    python -m gdal_ray mbtiles info <file.mbtiles>
+    python -m gdal_ray mbtiles extract <file.mbtiles> <out_dir>
     python -m gdal_ray retile <src.tif> <out_dir> --ps W H
     python -m gdal_ray ogrmerge <dst> <src1> [src2 ...]
     python -m gdal_ray create <dst.tif> --size W H [--burn V] [--gt 6 vals]
@@ -980,6 +984,7 @@ _UTIL_COMMANDS = {
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
     "ogrtindex", "lineref", "mdiminfo", "mdim", "overview-delete",
     "overview-refresh", "nodata-to-alpha", "color-merge", "update", "vsi",
+    "mbtiles",
 }
 
 
@@ -1088,6 +1093,9 @@ def _dispatch_util(cmd: str, args: list):
                       else [0, 3])
         return U.cmd_gdal2tiles(pos[0], pos[1], zmin, zmax,
                                 xyz=not fl.get("tms"))
+    if cmd == "mbtiles":
+        pos, _ = _split_flags(args, {})
+        return U.cmd_mbtiles(*pos)
     if cmd == "retile":
         pos, fl = _split_flags(args, {"--ps": 2})
         if "ps" not in fl:

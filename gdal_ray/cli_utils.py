@@ -26,6 +26,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 
 from gdal_ray.cli import (_ensure_ray, _read_full_tiff, _read_raster_any,
                           _vector_read, _vector_write, _write_raster_any)
@@ -39,7 +40,7 @@ __all__ = [
     "cmd_enhance", "cmd_reclass", "cmd_ogrtindex", "cmd_lineref",
     "cmd_mdiminfo", "cmd_mdim", "cmd_overview_delete",
     "cmd_overview_refresh", "cmd_nodata_to_alpha", "cmd_color_merge",
-    "cmd_update",
+    "cmd_update", "cmd_mbtiles",
 ]
 
 
@@ -511,7 +512,9 @@ def cmd_gdal2tiles(src: str, out_dir: str, z_min: int, z_max: int,
 
     The corpus-scale distributed form of this is
     ``pipelines/tiling.tile_pyramid`` + ``export_tile_tree``; this
-    command covers the single-file tool shape."""
+    command covers the single-file tool shape. An ``out_dir`` ending in
+    ``.mbtiles`` writes one MBTiles file instead of a tree (the
+    reference's gdal_translate -of MBTILES + gdaladdo path)."""
     from gdal_ray.geo import mercator as M
     from gdal_ray.io.codec import encode_png
     from gdal_ray.io.tiff import read_tiff_header
@@ -536,6 +539,8 @@ def cmd_gdal2tiles(src: str, out_dir: str, z_min: int, z_max: int,
         mx, my = M.latlon_to_meters(np.array([ys[0], ys[1]]),
                                     np.array([xs[0], xs[1]]))
         xs, ys = sorted(mx.tolist()), sorted(my.tolist())
+    to_mbtiles = out_dir.endswith(".mbtiles")
+    rows = []
     n_tiles = 0
     for z in range(z_min, z_max + 1):
         tx0, ty0 = M.meters_to_tile(xs[0] + 1e-9, ys[0] + 1e-9, z)
@@ -546,17 +551,76 @@ def cmd_gdal2tiles(src: str, out_dir: str, z_min: int, z_max: int,
                 if res is None:
                     continue
                 tile, _mask = res
+                if to_mbtiles:
+                    rows.append((z, tx, M.tms_to_xyz(ty_tms, z),
+                                 encode_png(tile)))
+                    n_tiles += 1
+                    continue
                 ty_out = M.tms_to_xyz(ty_tms, z) if xyz else ty_tms
                 d = os.path.join(out_dir, str(z), str(tx))
                 os.makedirs(d, exist_ok=True)
                 with open(os.path.join(d, f"{ty_out}.png"), "wb") as fh:
                     fh.write(encode_png(tile))
                 n_tiles += 1
+    if to_mbtiles:
+        from gdal_ray.sources.mbtiles import write_mbtiles
+
+        df = pd.DataFrame(rows, columns=["z", "x", "y", "png"])
+        s = write_mbtiles(df, out_dir,
+                          name=os.path.splitext(os.path.basename(src))[0])
+        return {"dst": out_dir, "tiles": n_tiles, "profile": "mercator",
+                "minzoom": s["minzoom"], "maxzoom": s["maxzoom"],
+                "format": "png"}
     meta = {"profile": "mercator", "scheme": "xyz" if xyz else "tms",
             "minzoom": z_min, "maxzoom": z_max, "format": "png"}
     with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
         json.dump(meta, fh)
     return {"dst": out_dir, "tiles": n_tiles, **meta}
+
+
+def cmd_mbtiles(action: str, *args) -> dict:
+    """MBTiles tileset tool over ``sources/mbtiles.py`` (the reference's
+    MBTiles driver surface: gdalinfo metadata, CreateCopy write, tile
+    read):
+
+    - ``write <pyramid_dir> <out.mbtiles> [name]`` — one file from a
+      parquet tile pyramid (distributed read, driver-side sink);
+    - ``info <path>`` — metadata table + per-zoom tile counts;
+    - ``extract <path> <out_dir>`` — back to a z/x/y.png XYZ tree.
+    """
+    from gdal_ray.sources.mbtiles import (export_mbtiles, mbtiles_metadata,
+                                          read_mbtiles)
+
+    if action == "write":
+        _ensure_ray()
+        return export_mbtiles(args[0], args[1],
+                              **({"name": args[2]} if len(args) > 2 else {}))
+    if action == "info":
+        import sqlite3
+
+        meta = mbtiles_metadata(args[0])
+        con = sqlite3.connect(f"file:{args[0]}?mode=ro", uri=True)
+        try:
+            per_zoom = dict(con.execute(
+                "SELECT zoom_level, COUNT(*) FROM tiles GROUP BY 1"))
+        finally:
+            con.close()
+        return {"metadata": meta,
+                "tiles_per_zoom": {int(k): int(v)
+                                   for k, v in per_zoom.items()}}
+    if action == "extract":
+        _ensure_ray()
+        path, out_dir = args[0], args[1]
+        n = 0
+        for b in read_mbtiles(path).iter_batches(batch_format="pandas"):
+            for _, r in b.iterrows():
+                d = os.path.join(out_dir, str(int(r["z"])), str(int(r["x"])))
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{int(r['y'])}.png"), "wb") as fh:
+                    fh.write(bytes(r["png"]))
+                n += 1
+        return {"dst": out_dir, "tiles": n}
+    raise SystemExit("mbtiles action must be write|info|extract")
 
 
 # --------------------------------------------------------------------------
