@@ -18,6 +18,47 @@ from typing import Any
 
 _SF001 = "/root/testdata/sf0.001"
 
+# Shared LM CTE chain (q_lm_score / q_ccnet_buckets): trains the stupid-
+# backoff bigram model on `documents` and produces one row per doc —
+# (doc_id, n_tok, n_backoff, lp_q) with per-token ln quantized to 1e-6
+# before the integer sum; mirrors gdal_ray/stages/lm.py verbatim.
+_LM_DOC_CTE = """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     toks[CAST(p AS BIGINT)] AS w,
+                     CASE WHEN p > 1 THEN toks[CAST(p AS BIGINT) - 1]
+                          ELSE NULL END AS pw
+              FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS u(p)
+            ), uni AS (
+              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM tok
+            ), bi AS (
+              SELECT pw, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok
+              WHERE pw IS NOT NULL GROUP BY pw, w
+            ), sc AS (
+              SELECT tok.doc_id,
+                     CASE WHEN tok.pw IS NULL THEN ln(u1.c / tot.s)
+                          WHEN b.c IS NOT NULL THEN ln(b.c / u0.c)
+                          ELSE ln(0.4 * u1.c / tot.s) END AS lp,
+                     CASE WHEN tok.pw IS NOT NULL AND b.c IS NULL
+                          THEN 1 ELSE 0 END AS bo
+              FROM tok
+              JOIN uni u1 ON u1.w = tok.w
+              LEFT JOIN uni u0 ON u0.w = tok.pw
+              LEFT JOIN bi b ON b.pw = tok.pw AND b.w = tok.w
+              CROSS JOIN tot
+            ), doc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(SUM(bo) AS BIGINT) AS n_backoff,
+                     CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT))
+                          AS BIGINT) AS lp_q
+              FROM sc GROUP BY doc_id
+            )
+"""
+
 
 def entry() -> Any:
     """Flagship tile-assignment result on the sf0.001-sized corpus."""
@@ -48,7 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The 5 twins added late in r5 (geojson/gpkg/geotiff/fingerprint/ntv2)
     # have never been driver-checked, so they take window slots from 5
     # thrice-green (r2+r3+r4) stable entries; those park below the cap
-    # alongside the other 18 twins green in r2+r3+r4.
+    # alongside the other 18 twins green in r2+r3+r4. Final session: the
+    # two new LM twins (q_lm_score, q_ccnet_buckets) swap in for
+    # q_minhash_pairs / q_quantile_chars (see the inline swap note).
     return {
         # ---- gate window (first 50): SQL-twinned, dtype-strict-verified ----
         # rotated back in (parked during r4, green in r2 and r3):
@@ -84,7 +127,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mdim_lattice": CO.q_mdim_lattice,
         "q_phash_lattice": CO.q_phash_lattice,
         "q_viewshed_lattice": CO.q_viewshed_lattice,
-        "q_minhash_pairs": CQ.q_minhash_pairs,
+        # q_lm_score / q_ccnet_buckets are NEW (never driver-checked), so
+        # they take the slots of q_minhash_pairs (its chain is a strict
+        # prefix of in-window q_jaccard_near_dup) and q_quantile_chars
+        # (subset of in-window q_quantile_by_lang; q_ccnet_buckets
+        # re-exercises the same ceil-rank threshold SQL besides):
+        "q_lm_score": CQ.q_lm_score,
         "q_text_analysis": CQ.q_text_analysis,
         "q_sim_ivf": RQ.q_sim_ivf,
         "q_simhash_docs": RQ.q_simhash_docs,
@@ -99,7 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q_window_events_hourly — the five most-driver-checked twins in
         # the registry, parked below):
         "q_simplify_cov_lattice": LO.q_simplify_cov_lattice,
-        "q_quantile_chars": EQ.q_quantile_chars,
+        "q_ccnet_buckets": CQ.q_ccnet_buckets,
         "q_quantile_by_lang": EQ.q_quantile_by_lang,
         "q_stratified_docs": EQ.q_stratified_docs,
         "q_heavy_users": EQ.q_heavy_users,
@@ -202,7 +250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substr_dup_winnow": CQ.q_substr_dup_winnow,
         "q_decontam": CQ.q_decontam,
         "q_decontam_bloom": CQ.q_decontam_bloom,
-        "q_lm_score": CQ.q_lm_score,
+        # parked this session for the two LM twins above (both r4
+        # driver-green; their machinery stays window-covered — see the
+        # swap note at the top of the window):
+        "q_minhash_pairs": CQ.q_minhash_pairs,
+        "q_quantile_chars": EQ.q_quantile_chars,
         "q_quantile_sketch_price": EQ.q_quantile_sketch_price,
         "q_sim_pq": RQ.q_sim_pq,
         "q_semdedup": RQ.q_semdedup,
@@ -1571,40 +1623,48 @@ def oracle_sql() -> dict[str, str]:
         # (0.4*c(w))/N (first token: c(w)/N), per-token ln quantized to
         # 1e-6 BEFORE the per-doc integer sum — order-independent; op
         # order of every float expression mirrors stages/lm.py
-        "q_lm_score": """
-            WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), tok AS (
-              SELECT doc_id,
-                     toks[CAST(p AS BIGINT)] AS w,
-                     CASE WHEN p > 1 THEN toks[CAST(p AS BIGINT) - 1]
-                          ELSE NULL END AS pw
-              FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS u(p)
-            ), uni AS (
-              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w
-            ), tot AS (
-              SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM tok
-            ), bi AS (
-              SELECT pw, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok
-              WHERE pw IS NOT NULL GROUP BY pw, w
-            ), sc AS (
-              SELECT tok.doc_id,
-                     CASE WHEN tok.pw IS NULL THEN ln(u1.c / tot.s)
-                          WHEN b.c IS NOT NULL THEN ln(b.c / u0.c)
-                          ELSE ln(0.4 * u1.c / tot.s) END AS lp,
-                     CASE WHEN tok.pw IS NOT NULL AND b.c IS NULL
-                          THEN 1 ELSE 0 END AS bo
-              FROM tok
-              JOIN uni u1 ON u1.w = tok.w
-              LEFT JOIN uni u0 ON u0.w = tok.pw
-              LEFT JOIN bi b ON b.pw = tok.pw AND b.w = tok.w
-              CROSS JOIN tot
+        "q_lm_score": _LM_DOC_CTE + """
+            SELECT doc_id, n_tok, n_backoff, lp_q
+            FROM doc ORDER BY doc_id
+        """,
+        # CCNet perplexity bucketing on top of the same LM: per-doc mean
+        # quantized log-prob via EXACT integer floor division (DuckDB //
+        # truncates toward zero, numpy floors — the mod-adjust expression
+        # makes them agree on negative lp_q), ceil-rank quartile
+        # thresholds (the q_quantile_chars pattern), bucket = #thresholds
+        # strictly below, 4-row per-bucket aggregate
+        "q_ccnet_buckets": _LM_DOC_CTE + """
+            , m AS (
+              SELECT doc_id, n_tok, n_backoff,
+                     (lp_q - (((lp_q % n_tok) + n_tok) % n_tok)) // n_tok
+                       AS mlp_q
+              FROM doc
+            ), c AS (
+              SELECT mlp_q AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM m GROUP BY mlp_q
+            ), s AS (
+              SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                     CAST(SUM(cnt) OVER () AS BIGINT) AS n
+              FROM c
+            ), thr AS (
+              SELECT q_pct, MIN(v) AS value
+              FROM s CROSS JOIN (VALUES (25),(50),(75)) AS q(q_pct)
+              WHERE cum >= (q_pct * n + 99) // 100
+              GROUP BY q_pct
+            ), bk AS (
+              SELECT m.doc_id, m.n_tok, m.n_backoff, m.mlp_q,
+                     CAST(SUM(CASE WHEN m.mlp_q > t.value
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ppl_bucket
+              FROM m CROSS JOIN thr t
+              GROUP BY m.doc_id, m.n_tok, m.n_backoff, m.mlp_q
             )
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-                   CAST(SUM(bo) AS BIGINT) AS n_backoff,
-                   CAST(SUM(CAST(ROUND(lp * 1000000) AS BIGINT))
-                        AS BIGINT) AS lp_q
-            FROM sc GROUP BY doc_id ORDER BY doc_id
+            SELECT ppl_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(SUM(n_backoff) AS BIGINT) AS sum_backoff,
+                   CAST(MIN(mlp_q) AS BIGINT) AS min_mlp,
+                   CAST(MAX(mlp_q) AS BIGINT) AS max_mlp
+            FROM bk GROUP BY ppl_bucket ORDER BY ppl_bucket
         """,
         # benchmark decontamination: DuckDB recomputes every 8-token
         # window of both halves (split(' ') tokens, stride 1), benchmark

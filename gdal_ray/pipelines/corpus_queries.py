@@ -36,6 +36,7 @@ __all__ = [
     "q_decontam",
     "q_decontam_bloom",
     "q_lm_score",
+    "q_ccnet_buckets",
 ]
 
 _SF_IMAGES = {"sf0.001": 500, "sf0.01": 3000, "sf0.1": 50000}
@@ -382,3 +383,16 @@ def q_lm_score(sf_dir: str):
     docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
                 columns=["doc_id", "text"])
     return lm_scored_docs(docs).sort("doc_id")
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing over the LM scores (Wenzek et al. 2020
+    §3.3): exact quartiles of the per-doc mean quantized log-prob, then a
+    4-row per-bucket aggregate. Fully twin-checked: the DuckDB twin
+    recomputes the LM, the floor-divided mean, the ceil-rank quartile
+    thresholds and the bucket CASE verbatim."""
+    from gdal_ray.stages.lm import ccnet_buckets
+
+    docs = _rpt(os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"])
+    return ccnet_buckets(docs).sort("ppl_bucket")

@@ -34,7 +34,8 @@ import pyarrow as pa
 
 from gdal_ray.ops.shuffle import bucketed_group_apply
 
-__all__ = ["train_ngrams", "score_docs", "lm_scored_docs"]
+__all__ = ["train_ngrams", "score_docs", "lm_scored_docs",
+           "ccnet_buckets"]
 
 _SEP = " "  # joins (prev, word) into one bigram key — tokens are produced
 # by split(' ') so no token contains a space (NB: a NUL separator silently
@@ -165,3 +166,69 @@ def lm_scored_docs(docs_ds, score_ds=None, id_col: str = "doc_id",
     model = train_ngrams(docs_ds, id_col, text_col, **train_kw)
     return score_docs(score_ds if score_ds is not None else docs_ds,
                       model, id_col, text_col)
+
+
+def ccnet_buckets(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                  **train_kw):
+    """CCNet's perplexity bucketing (Wenzek et al., 2020 §3.3: head /
+    middle / tail thirds by LM perplexity — here exact QUARTILES, 4
+    buckets): per-doc mean quantized log-prob ``mlp_q = lp_q // n_tok``
+    (integer floor division — monotone inverse of perplexity, so quartiles
+    of mlp_q ARE perplexity quartiles), exact 25/50/75 thresholds via the
+    distributed histogram quantile (``stages/quantile.py``), bucket =
+    number of thresholds strictly below the doc's mlp_q (0 = worst ppl
+    quartile, 3 = best). Returns one row per bucket: n_docs, sum_tok,
+    sum_backoff, min/max mlp_q.
+
+    Scale shape: scoring is one map_batches pass; the quantile pass is
+    bounded by DISTINCT mlp_q values (not rows); threshold broadcast is
+    3 ints; the final aggregate has 4 groups. The score pass runs twice
+    (once under the quantile, once under the bucket assignment) — at
+    petabyte scale persist the 4-int score table to parquet between the
+    passes instead of recomputing (the checkpointed-pipeline pattern,
+    ``pipelines/checkpointed.py``); both passes stream either way.
+    """
+    from gdal_ray.stages.quantile import exact_int_quantiles
+
+    scored = lm_scored_docs(docs_ds, id_col=id_col, text_col=text_col,
+                            **train_kw)
+
+    def add_mlp(batch: pa.Table) -> pa.Table:
+        lp = np.asarray(batch["lp_q"], dtype=np.int64)
+        n = np.asarray(batch["n_tok"], dtype=np.int64)
+        return batch.append_column("mlp_q", pa.array(lp // n))
+
+    scored = scored.map_batches(add_mlp, batch_format="pyarrow")
+    th = exact_int_quantiles(scored, "mlp_q", [25, 50, 75])
+    t = np.sort(th["value"].to_numpy(np.int64))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        mlp = np.asarray(batch["mlp_q"], dtype=np.int64)
+        bucket = (mlp[:, None] > t[None, :]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({
+            "ppl_bucket": bucket,
+            "n_tok": np.asarray(batch["n_tok"], dtype=np.int64),
+            "n_backoff": np.asarray(batch["n_backoff"], dtype=np.int64),
+            "mlp_q": mlp,
+        })
+        g = df.groupby("ppl_bucket", sort=False).agg(
+            n_docs=("mlp_q", "size"), sum_tok=("n_tok", "sum"),
+            sum_backoff=("n_backoff", "sum"), min_mlp=("mlp_q", "min"),
+            max_mlp=("mlp_q", "max")).reset_index()
+        return g.astype("int64")
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("ppl_bucket", sort=False).agg(
+            n_docs=("n_docs", "sum"), sum_tok=("sum_tok", "sum"),
+            sum_backoff=("sum_backoff", "sum"), min_mlp=("min_mlp", "min"),
+            max_mlp=("max_mlp", "max")).reset_index()
+        return g.astype("int64")
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+
+    schema = pa.schema([(c, pa.int64()) for c in
+                        ("ppl_bucket", "n_docs", "sum_tok", "sum_backoff",
+                         "min_mlp", "max_mlp")])
+    return bucketed_group_apply(
+        scored.map_batches(assign, batch_format="pyarrow"),
+        ["ppl_bucket"], combine, 4, schema=schema)

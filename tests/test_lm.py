@@ -123,6 +123,37 @@ def test_quantization_boundary_margin(ray_session):
     assert frac.min() > 1e-4, f"lp too close to a .5 boundary: {frac.min()}"
 
 
+def test_ccnet_buckets_scalar_oracle(ray_session):
+    """Bucket assignment replicated in scalar Python: floor-div mean,
+    ceil-rank quartile thresholds, strict-greater bucket counting."""
+    from gdal_ray.stages.lm import ccnet_buckets
+
+    docs = {i: " ".join(f"w{j % (i + 2)}" for j in range(3 + i))
+            for i in range(12)}
+    got = (ccnet_buckets(_mkds(docs).repartition(3)).to_pandas()
+           .sort_values("ppl_bucket").reset_index(drop=True))
+
+    uni, bi, total = _train_oracle(docs)
+    sc = _score_oracle(docs, uni, bi, total)
+    mlp = {d: lp_q // n for d, (n, _, lp_q) in sc.items()}
+    vals = sorted(mlp.values())
+    n = len(vals)
+    thr = []
+    for q in (25, 50, 75):
+        rank = -(-q * n // 100)  # ceil
+        thr.append(vals[rank - 1])
+    bucket = {d: sum(v > t for t in thr) for d, v in mlp.items()}
+    for b in sorted(set(bucket.values())):
+        members = [d for d, bb in bucket.items() if bb == b]
+        row = got[got["ppl_bucket"] == b].iloc[0]
+        assert int(row["n_docs"]) == len(members)
+        assert int(row["sum_tok"]) == sum(sc[d][0] for d in members)
+        assert int(row["sum_backoff"]) == sum(sc[d][1] for d in members)
+        assert int(row["min_mlp"]) == min(mlp[d] for d in members)
+        assert int(row["max_mlp"]) == max(mlp[d] for d in members)
+    assert int(got["n_docs"].sum()) == len(docs)
+
+
 def test_registry_lm_twin_sf0001(ray_session):
     import duckdb
 
