@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4-green, parked to fit the five new never-checked twins under
         # the cap (integer-exact register twin + pytest estimate pins):
         "q_hll_distinct": EQ.q_hll_distinct,
+        "q_cms_custkey": EQ.q_cms_custkey,
         "q_stereo_lattice": LO.q_stereo_lattice,
         "q_gcp_lattice": LO.q_gcp_lattice,
         "q_fillnodata_lattice": RL.q_fillnodata_lattice,
@@ -1975,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         # 64 permutations with numpy's mod-2^64 wraparound, band fold,
         # within-bucket pairs. Generated so hash constants stay in sync.
         "q_minhash_pairs": _minhash_oracle(),
+        "q_cms_custkey": _cms_oracle(),
         "q_simhash_docs": """
             WITH toks AS (
                 SELECT doc_id,
@@ -2028,6 +2030,22 @@ def _composite_oracles() -> dict[str, str]:
     from gdal_ray.pipelines.composite_lattices import oracles
 
     return oracles()
+
+
+def _cms_oracle() -> str:
+    """CountMin register twin: same splitmix64, slots = 10-bit slices of
+    the one hash (stages/sketch.py cms_partial), counts grouped exactly."""
+    from gdal_ray.stages.dedup import splitmix64_sql
+
+    h = splitmix64_sql("CAST(o_custkey AS UBIGINT)")
+    return f"""
+        WITH h AS (SELECT {h} AS h FROM orders)
+        SELECT CAST(d.depth AS BIGINT) AS depth,
+               CAST((h >> (10 * d.depth)) & 1023 AS BIGINT) AS slot,
+               CAST(COUNT(*) AS BIGINT) AS count
+        FROM h CROSS JOIN (VALUES (0),(1),(2),(3)) AS d(depth)
+        GROUP BY 1, 2 ORDER BY depth, slot
+    """
 
 
 def _minhash_oracle() -> str:

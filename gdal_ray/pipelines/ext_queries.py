@@ -14,7 +14,8 @@ from ray.data.aggregate import Count, Min
 __all__ = [
     "q_sample_lattice", "q_pipeline_chain", "q_audio_features",
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
-    "q_hll_distinct", "q_geojson_roundtrip", "q_gpkg_roundtrip",
+    "q_hll_distinct", "q_cms_custkey", "q_geojson_roundtrip",
+    "q_gpkg_roundtrip",
     "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
@@ -558,6 +559,23 @@ def q_hll_distinct(sf_dir: str):
 
     ds = _rpt(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
     table, _ = hll_registers(ds, "o_custkey")
+    return table
+
+
+def q_cms_custkey(sf_dir: str):
+    """CountMin frequency sketch over orders.o_custkey (engine addition,
+    stages/sketch.py): per-block (4 x 1024) register partials, associative
+    sum-combine, final register TABLE (integer-exact — the DuckDB twin
+    replays splitmix64 and the bit-slice slots). Point-query accuracy
+    (estimate >= true count, equality without collisions) is pinned by
+    pytest."""
+    import os
+
+    from gdal_ray.sources.corpus import read_parquet_tight as _rpt
+    from gdal_ray.stages.sketch import cms_registers
+
+    ds = _rpt(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    table, _ = cms_registers(ds, "o_custkey")
     return table
 
 

@@ -1,4 +1,7 @@
-"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+"""Distributed sketches: HyperLogLog (Flajolet et al. 2007) cardinality,
+Bloom membership (with Kirsch-Mitzenmacher double hashing), and CountMin
+frequency (Cormode & Muthukrishnan 2005) — all built as vectorized
+map_batches partials + an associative driver-side fold, never a shuffle.
 
 Engine addition beyond GDAL (SURVEY §2.7 family — "a novel sketch" for
 training-data pipelines): COUNT(DISTINCT) over 10^12 keys without a
@@ -18,7 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hll_partial", "hll_registers", "hll_estimate",
-           "bloom_partial", "bloom_probe", "bloom_fold"]
+           "bloom_partial", "bloom_probe", "bloom_fold",
+           "cms_partial", "cms_registers", "cms_query"]
 
 _P = 12  # 4096 registers
 _M = 1 << _P
@@ -120,6 +124,68 @@ def bloom_probe(keys: np.ndarray, packed: np.ndarray, k: int = 7) -> np.ndarray:
     idx = _bloom_indices(keys, m_bits, k)
     bits = (packed[idx >> 3] >> (np.uint8(7) - (idx & 7).astype(np.uint8))) & 1
     return bits.all(axis=1)
+
+
+def cms_partial(keys: np.ndarray, w_bits: int = 10,
+                d: int = 4) -> np.ndarray:
+    """int64/uint64 key array -> (d, 2^w_bits) int64 CountMin partial
+    (Cormode & Muthukrishnan 2005). The d row hashes are bit-slices of ONE
+    splitmix64 value — slot_j = (h >> (w_bits*j)) & (w-1) — the
+    Kirsch-Mitzenmacher less-hashing construction, which keeps the twin a
+    single reusable SQL hash expression. Partials combine by elementwise
+    SUM (associative), so the distributed build is the HLL shape: one
+    vectorized map_batches pass + a driver-side fold of (d*w)-cell arrays
+    (32 KB at the defaults — never a shuffle)."""
+    if w_bits * d > 64:
+        raise ValueError("w_bits * d must fit in the 64-bit hash")
+    h = _splitmix64(np.asarray(keys).astype(np.uint64))
+    w = 1 << w_bits
+    reg = np.zeros((d, w), dtype=np.int64)
+    for j in range(d):
+        slot = ((h >> np.uint64(w_bits * j)) & np.uint64(w - 1)).astype(np.int64)
+        np.add.at(reg[j], slot, 1)
+    return reg
+
+
+def cms_registers(ds, column: str, w_bits: int = 10, d: int = 4):
+    """Dataset + integer column -> ((depth, slot, count) arrow table with
+    count > 0 rows only — integer-exact, oracle-checkable — plus the dense
+    (d, w) array for ``cms_query``)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        reg = cms_partial(np.asarray(batch[column], dtype=np.int64),
+                          w_bits, d)
+        return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
+
+    acc = np.zeros((d, 1 << w_bits), dtype=np.int64)
+    for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["reg"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(acc.shape)
+    dep, slot = np.nonzero(acc)
+    return pa.table(
+        {
+            "depth": pa.array(dep.astype(np.int64)),
+            "slot": pa.array(slot.astype(np.int64)),
+            "count": pa.array(acc[dep, slot]),
+        }
+    ), acc
+
+
+def cms_query(acc: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized point query: upward-biased frequency estimate =
+    min over depths of the key's register (never under the true count)."""
+    d, w = acc.shape
+    w_bits = int(w).bit_length() - 1
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    h = _splitmix64(np.asarray(keys).astype(np.uint64))
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(d):
+        slot = ((h >> np.uint64(w_bits * j)) & np.uint64(w - 1)).astype(np.int64)
+        est = np.minimum(est, acc[j, slot])
+    return est
 
 
 def hll_estimate(registers: np.ndarray) -> float:
