@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dtype-strict-verified by scripts/check_oracle.py at two scales:
         "q_shp_roundtrip": EQ.q_shp_roundtrip,
         "q_csv_roundtrip": EQ.q_csv_roundtrip,
+        "q_mbtiles_roundtrip": EQ.q_mbtiles_roundtrip,
         "q_vrt_lattice": RL.q_vrt_lattice,
         "q_pipeline_geo": EQ.q_pipeline_geo,
         "q_warp_area_lattice": RL.q_warp_area_lattice,
@@ -1550,6 +1551,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
                    CAST(MAX(o_orderkey) AS BIGINT) AS max_key
             FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """,
+        # MBTiles round-trip: z/x/y derivation + digit-string blob are
+        # recomputed directly from part (p_partkey >= 0, so DuckDB's
+        # truncating // equals floor division here)
+        "q_mbtiles_roundtrip": """
+            SELECT CAST(12 + p_partkey % 3 AS BIGINT) AS z,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+                   CAST(SUM((p_partkey // 3) % 4096) AS BIGINT) AS sum_x,
+                   CAST(SUM((p_partkey // 3) // 4096) AS BIGINT) AS sum_y,
+                   CAST(MAX((p_partkey // 3) // 4096) AS BIGINT) AS max_y,
+                   CAST(SUM(length(CAST(p_partkey AS VARCHAR)))
+                        AS BIGINT) AS sum_len
+            FROM part GROUP BY 1 ORDER BY z
         """,
         "q_shp_roundtrip": """
             SELECT p_brand AS brand,

@@ -16,7 +16,8 @@ __all__ = [
     "q_ogrsql", "q_ogrsql2", "OGRSQL2_TEXT", "q_doc_fingerprint",
     "q_hll_distinct", "q_cms_custkey", "q_geojson_roundtrip",
     "q_gpkg_roundtrip",
-    "q_shp_roundtrip", "q_csv_roundtrip", "q_pipeline_geo",
+    "q_shp_roundtrip", "q_csv_roundtrip", "q_mbtiles_roundtrip",
+    "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
@@ -460,6 +461,66 @@ def q_csv_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("priority")
+    )
+
+
+def q_mbtiles_roundtrip(sf_dir: str):
+    """MBTiles driver identity round-trip, SQL-twinnable (the
+    q_gpkg_roundtrip pattern over the raster tileset driver): part keys
+    become unique valid (z, x, y) XYZ tiles at z=12..14 with the key's
+    ASCII digits as the tile blob, written through the single-writer
+    MBTiles sink (TMS rows on disk), read back by the ROWID-sharded
+    distributed reader (XYZ restored), blobs parsed and aggregated per
+    zoom. Exercises: TMS<->XYZ flip, metadata/extent computation, sqlite
+    rowid-range sharding (sources/mbtiles.py; reference
+    frmts/mbtiles/mbtilesdataset.cpp)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    ds = _rpt(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+
+    def to_tiles(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["p_partkey"], dtype=np.int64)
+        z = 12 + k % 3
+        j = k // 3
+        return pa.table({
+            "z": pa.array(z), "x": pa.array(j % 4096),
+            "y": pa.array(j // 4096),
+            "png": pa.array([str(int(v)).encode() for v in k], pa.binary()),
+        })
+
+    n_rows = ds.count()
+    path = f"/tmp/gdal_ray_fixtures/mbt_part_{n_rows}.mbtiles"
+    write_mbtiles(ds.map_batches(to_tiles, batch_format="pyarrow"), path,
+                  name="part_tiles")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "z": df["z"].astype(np.int64),
+            "key": [int(bytes(b).decode()) for b in df["png"]],
+            "x": df["x"].astype(np.int64),
+            "y": df["y"].astype(np.int64),
+            "blob_len": [len(bytes(b)) for b in df["png"]],
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        read_mbtiles(path, shard_rows=2048)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("z")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("key", alias_name="sum_key"),
+            Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"),
+            Max("y", alias_name="max_y"),
+            Sum("blob_len", alias_name="sum_len"),
+        )
+        .sort("z")
     )
 
 
