@@ -4,6 +4,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
 
     python -m gdal_ray info <file>                  # gdalinfo / ogrinfo
     python -m gdal_ray ogr2ogr <src> <dst>          # vector convert
+    python -m gdal_ray ogr2ogr <src> <dst.mbtiles> [--zoom zmin zmax]
+                                                    # MVT vector tiles
     python -m gdal_ray translate <src.tif> <dst.tif>
         [--srcwin x y w h] [--scale a b] [--compress deflate|lzw|...]
     python -m gdal_ray dem <mode> <src.tif> <dst.tif>  # gdaldem
@@ -329,9 +331,17 @@ def cmd_info(path: str) -> dict:
     return info
 
 
-def cmd_ogr2ogr(src: str, dst: str) -> int:
+def cmd_ogr2ogr(src: str, dst: str, zooms=None) -> int:
     _ensure_ray()
-    return int(_vector_write(_vector_read(src), dst) or 0)
+    ds = _vector_read(src)
+    if dst.endswith(".mbtiles"):
+        # vector tiles: the reference's ogr2ogr -f MBTILES / -f MVT path
+        # (geometry must already be EPSG:3857; warp with `transform` first)
+        from gdal_ray.pipelines.vectortiles import vector_tiles_to_mbtiles
+
+        zs = [int(z) for z in (zooms or [0, 1, 2, 3])]
+        return int(vector_tiles_to_mbtiles(ds, dst, zs)["n_tiles"])
+    return int(_vector_write(ds, dst) or 0)
 
 
 def cmd_translate(src: str, dst: str, srcwin=None, scale=None,
@@ -757,7 +767,12 @@ def main(argv=None):
     if cmd == "info":
         print(json.dumps(cmd_info(args[0]), indent=2, default=str))
     elif cmd == "ogr2ogr":
-        n = cmd_ogr2ogr(args[0], args[1])
+        zooms = None
+        if "--zoom" in args:
+            zi = args.index("--zoom")
+            zooms = range(int(args[zi + 1]), int(args[zi + 2]) + 1)
+            args = args[:zi] + args[zi + 3:]
+        n = cmd_ogr2ogr(args[0], args[1], zooms=zooms)
         print(json.dumps({"written": n, "dst": args[1]}))
     elif cmd == "translate":
         srcwin = scale = outsize = ot = None
