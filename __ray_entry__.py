@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shp_roundtrip": EQ.q_shp_roundtrip,
         "q_csv_roundtrip": EQ.q_csv_roundtrip,
         "q_mbtiles_roundtrip": EQ.q_mbtiles_roundtrip,
+        "q_mvt_tiles": DG.q_mvt_tiles,
         "q_vrt_lattice": RL.q_vrt_lattice,
         "q_pipeline_geo": EQ.q_pipeline_geo,
         "q_warp_area_lattice": RL.q_warp_area_lattice,
@@ -1551,6 +1552,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
                    CAST(MAX(o_orderkey) AS BIGINT) AS max_key
             FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """,
+        # MVT full circle: tile assignment recomputed with the vector-tile
+        # pipeline's floor rule (mirrored float op order: meters, +OS,
+        # /size with size = 2.0*OSH/2^z), counts + id sums recovered by
+        # DECODING every protobuf tile the engine encoded
+        "q_mvt_tiles": """
+            WITH m AS (
+              SELECT c_custkey,
+                     ((c_custkey * 2654435761) % 4294967296)
+                       * (2*pi()*6378137/4294967296)
+                       - (2*pi()*6378137/2.0) AS mx,
+                     ((c_custkey * 2246822519) % 4294967296)
+                       * (2*pi()*6378137/4294967296)
+                       - (2*pi()*6378137/2.0) AS my
+              FROM customer
+            )
+            SELECT CAST(4 AS BIGINT) AS z,
+                   GREATEST(0, LEAST(15,
+                     CAST(FLOOR((mx + (2*pi()*6378137/2.0))
+                       / (2.0*(2*pi()*6378137/2.0)/16)) AS BIGINT))) AS x,
+                   GREATEST(0, LEAST(15,
+                     CAST(FLOOR(((2*pi()*6378137/2.0) - my)
+                       / (2.0*(2*pi()*6378137/2.0)/16)) AS BIGINT))) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c_custkey) AS BIGINT) AS sum_fid
+            FROM m GROUP BY 2, 3 ORDER BY x, y
         """,
         # MBTiles round-trip: z/x/y derivation + digit-string blob are
         # recomputed directly from part (p_partkey >= 0, so DuckDB's

@@ -84,6 +84,59 @@ def q_tile_assign(sf_dir: str, zooms=(4, 8)):
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=65536)
 
 
+def q_mvt_tiles(sf_dir: str, z: int = 4):
+    """Full-circle MVT check, SQL-twinnable: lattice customer points ->
+    the distributed vector-tile pipeline (envelope binning, clip,
+    quantize, per-tile protobuf encode) -> decode every tile back
+    (io/mvt.py decode_mvt) -> per-tile feature count + id sum. The twin
+    recomputes the floor-rule tile assignment (pipelines/vectortiles.py
+    _tile_range, identical float op order) and aggregates customer keys
+    directly — so a hash match proves the envelope binning AND that
+    encode/decode round-trips every feature id through the wire format."""
+    import struct
+
+    import pandas as pd
+
+    from gdal_ray.pipelines.vectortiles import vector_tiles
+
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"),
+              columns=["c_custkey"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["c_custkey"], dtype=np.int64)
+        mx, my = _lattice_meters(keys)
+        n = len(keys)
+        buf = np.empty((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1:5] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+        buf[:, 5:13] = mx.astype("<f8").view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = my.astype("<f8").view(np.uint8).reshape(n, 8)
+        return pa.table({
+            "c_custkey": pa.array(keys),
+            "geometry": pa.array([r.tobytes() for r in buf], pa.binary()),
+        })
+
+    tiles = vector_tiles(ds.map_batches(to_points, batch_format="pyarrow"),
+                         [z], id_col="c_custkey", num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from gdal_ray.io.mvt import decode_mvt
+
+        ns, sums = [], []
+        for b in df["pbf"]:
+            feats = decode_mvt(bytes(b))["layer"]["features"]
+            ns.append(len(feats))
+            sums.append(sum(f["id"] for f in feats))
+        return pd.DataFrame({
+            "z": df["z"].astype(np.int64), "x": df["x"].astype(np.int64),
+            "y": df["y"].astype(np.int64),
+            "n": pd.Series(ns, dtype=np.int64),
+            "sum_fid": pd.Series(sums, dtype=np.int64),
+        })
+
+    return tiles.map_batches(finish, batch_format="pandas").sort(["x", "y"])
+
+
 def q_cell_hist(sf_dir: str, level: int = CELL_LEVEL):
     """Cell-id histogram of derived customer points (the per-partition
     metric the checkpoint manifest records)."""
