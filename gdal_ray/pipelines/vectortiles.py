@@ -45,7 +45,7 @@ from gdal_ray.io.mvt import (GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON,
                              encode_mvt)
 from gdal_ray.ops.shuffle import bucketed_group_apply
 
-__all__ = ["vector_tiles", "vector_tiles_to_mbtiles"]
+__all__ = ["vector_tiles", "vector_tiles_to_mbtiles", "read_vector_tiles"]
 
 _OSH = np.pi * 6378137.0  # mercator half-span
 
@@ -182,6 +182,74 @@ def vector_tiles(ds, zooms, layer: str = "layer", extent: int = 4096,
     return bucketed_group_apply(
         ds.map_batches(emit, batch_format="pyarrow"),
         ["z", "x", "y"], encode_tiles, num_buckets, schema=schema)
+
+
+def read_vector_tiles(path: str, zoom: int | None = None,
+                      layer: str | None = None):
+    """MBTiles-of-MVT -> Dataset (z, x, y, layer, fid, geom_type,
+    geometry: WKB in EPSG:3857, props: JSON string) — the read side of
+    the reference's MVT driver (tile-local integer coords scaled back to
+    mercator meters; a feature clipped into several tiles comes back as
+    one row per tile, exactly like ogr2ogr reading an MVT tileset)."""
+    import json as _json
+
+    from gdal_ray.geo.wkb import (encode_linestring, encode_multilinestring,
+                                  encode_point, encode_polygon)
+    from gdal_ray.io.mvt import decode_mvt
+    from gdal_ray.sources.mbtiles import read_mbtiles
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"z": [], "x": [], "y": [], "layer": [], "fid": [],
+               "geom_type": [], "geometry": [], "props": []}
+        for z, x, y, blob in zip(batch["z"].to_pylist(),
+                                 batch["x"].to_pylist(),
+                                 batch["y"].to_pylist(),
+                                 batch["png"].to_pylist()):
+            for lname, lay in decode_mvt(bytes(blob)).items():
+                if layer is not None and lname != layer:
+                    continue
+                extent = lay["extent"]
+                size = 2.0 * _OSH / (1 << z)
+                x0 = -_OSH + x * size
+                y1 = _OSH - y * size
+                for f in lay["features"]:
+                    merc = []
+                    for p in f["parts"]:
+                        m = np.empty(p.shape, dtype=np.float64)
+                        m[:, 0] = x0 + p[:, 0] / extent * size
+                        m[:, 1] = y1 - p[:, 1] / extent * size
+                        merc.append(m)
+                    gt = f["geom_type"]
+                    if gt == GEOM_POINT:
+                        wkb = encode_point(merc[0][0, 0], merc[0][0, 1])
+                    elif gt == GEOM_LINESTRING:
+                        wkb = (encode_linestring(merc[0]) if len(merc) == 1
+                               else encode_multilinestring(merc))
+                    else:
+                        closed = [np.vstack([m, m[:1]]) for m in merc]
+                        wkb = encode_polygon(closed)
+                    out["z"].append(z)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["layer"].append(lname)
+                    out["fid"].append(-1 if f["id"] is None else int(f["id"]))
+                    out["geom_type"].append(gt)
+                    out["geometry"].append(wkb)
+                    out["props"].append(_json.dumps(f["properties"],
+                                                    sort_keys=True))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "layer": pa.array(out["layer"], pa.string()),
+            "fid": pa.array(out["fid"], pa.int64()),
+            "geom_type": pa.array(out["geom_type"], pa.int64()),
+            "geometry": pa.array(out["geometry"], pa.binary()),
+            "props": pa.array(out["props"], pa.string()),
+        })
+
+    return read_mbtiles(path, zoom=zoom).map_batches(
+        explode, batch_format="pyarrow")
 
 
 def vector_tiles_to_mbtiles(ds, path: str, zooms, layer: str = "layer",

@@ -150,6 +150,45 @@ def test_vector_tiles_pipeline(ray_session, tmp_path):
     assert bytes(blob) == bytes(t43["pbf"])
 
 
+def test_read_vector_tiles(ray_session, tmp_path):
+    """Write vector tiles, read them back distributed: ids/props survive,
+    point coordinates return within half a tile-unit of the original."""
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo.wkb import decode_points, encode_point
+    from gdal_ray.pipelines.vectortiles import (read_vector_tiles,
+                                                vector_tiles_to_mbtiles)
+
+    osh = np.pi * 6378137.0
+    size = 2 * osh / 16  # z4
+    rng = np.random.default_rng(7)
+    xs = -osh + rng.uniform(0.1, 15.9, 20) * size
+    ys = osh - rng.uniform(0.1, 15.9, 20) * size
+    df = pd.DataFrame({
+        "fid": np.arange(20, dtype=np.int64),
+        "geometry": [encode_point(x, y) for x, y in zip(xs, ys)],
+        "cls": [f"c{i % 3}" for i in range(20)],
+    })
+    path = str(tmp_path / "rt.mbtiles")
+    vector_tiles_to_mbtiles(rd.from_pandas(df), path, [4], id_col="fid",
+                            prop_cols=["cls"], num_buckets=4)
+    back = read_vector_tiles(path).to_pandas().sort_values("fid")
+    assert len(back) == 20 and set(back["fid"]) == set(range(20))
+    assert (back["layer"] == "layer").all()
+    assert [json.loads(p)["cls"] for p in back["props"]] == \
+        [f"c{i % 3}" for i in back["fid"]]
+    bx, by = decode_points(back["geometry"].tolist())
+    tol = size / 4096 * 0.51  # half a quantization step
+    assert np.abs(bx - xs[back["fid"]]).max() < tol
+    assert np.abs(by - ys[back["fid"]]).max() < tol
+    # zoom/layer filters
+    assert read_vector_tiles(path, zoom=4).count() == 20
+    assert read_vector_tiles(path, layer="nope").count() == 0
+
+
 def test_ogr2ogr_mbtiles_cli(ray_session, tmp_path, capsys):
     import json
     import sqlite3
