@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": RQ.q_semdedup,
         "q_dup_clusters": EQ.q_dup_clusters,
         "q_tfidf_topk": EQ.q_tfidf_topk,
+        "q_pii_redact": EQ.q_pii_redact,
     }
 
 
@@ -573,6 +574,37 @@ def oracle_sql() -> dict[str, str]:
                ROUND(v.arho0 - v.arho*cos(v.atheta), 3) AS alb_y
         FROM lv l JOIN av v ON l.c_custkey = v.c_custkey
     """
+
+    # q_pii_redact twin: the SAME doc_id-derived PII injection as the Ray
+    # query, then RE2 regexp count/redact mirroring stages/text.PIIRedact
+    # (count on original text; redact email -> phone -> ip).
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    _pii_phone = "\\b\\d\\d\\d[- ]\\d\\d\\d[- ]\\d\\d\\d\\d\\b"
+    _pii_ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_sql = """
+        WITH inj AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id
+                         || '@ex' || (doc_id % 7) || '.org' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+                         || (100 + doc_id % 900) || '-'
+                         || (1000 + doc_id % 9000) ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.'
+                         || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                         || '.' || (doc_id % 100) ELSE '' END AS t
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(regexp_extract_all(t, '{E}')) AS BIGINT) AS n_emails,
+               CAST(length(regexp_extract_all(t, '{P}')) AS BIGINT) AS n_phones,
+               CAST(length(regexp_extract_all(t, '{I}')) AS BIGINT) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '{E}', '<EMAIL>', 'g'),
+                   '{P}', '<PHONE>', 'g'),
+                   '{I}', '<IP>', 'g')) AS redacted_md5
+        FROM inj ORDER BY doc_id
+    """.replace("{E}", _pii_email).replace("{P}", _pii_phone).replace(
+        "{I}", _pii_ip)
 
     return {
         "q_curation_pipeline": f"""
@@ -1875,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
                         CAST(s_suppkey % 7 + 1 AS BIGINT))) AS t(i)
             ORDER BY node
         """,
+        "q_pii_redact": _pii_sql,
         "q_repetition_docs": """
             WITH l AS (
               SELECT doc_id,

@@ -19,7 +19,7 @@ __all__ = [
     "q_shp_roundtrip", "q_csv_roundtrip", "q_mbtiles_roundtrip",
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
-    "q_stratified_docs", "q_heavy_users", "q_repetition_docs",
+    "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -729,6 +729,43 @@ def q_repetition_docs(sf_dir: str):
     return (
         ds.map_batches(RepetitionStats(), batch_format="pandas")
         .select_columns(["doc_id", "n_dup_lines", "dup_line_char_frac_q"])
+        .sort("doc_id")
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (stages/text.PIIRedact): emails / phones / IPv4
+    scrubbed with RE2-compatible patterns. The synthetic corpus carries
+    no PII, so the query first injects deterministic doc_id-derived PII
+    (same concatenation expression as the SQL twin) into a fraction of
+    the docs; counts are taken on the pre-redaction text and
+    ``redacted_md5`` value-checks the full string transform."""
+    import pandas as pd
+
+    from gdal_ray.stages.text import PIIRedact
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        s = d.astype(str)
+        email = (" mail user" + s + "@ex" + (d % 7).astype(str) + ".org"
+                 ).where(d % 3 == 0, "")
+        phone = (" call 555-" + (100 + d % 900).astype(str) + "-"
+                 + (1000 + d % 9000).astype(str)).where(d % 4 == 0, "")
+        ip = (" ip 10." + (d % 256).astype(str) + "."
+              + ((d * 7) % 256).astype(str) + "." + (d % 100).astype(str)
+              ).where(d % 5 == 0, "")
+        batch["text"] = batch["text"].fillna("") + email + phone + ip
+        return batch
+
+    return (
+        ds.map_batches(inject, batch_format="pandas")
+        .map_batches(PIIRedact, batch_format="pandas",
+                     concurrency=(1, 4), batch_size=2048)
+        .select_columns(["doc_id", "n_emails", "n_phones", "n_ips",
+                         "redacted_md5"])
         .sort("doc_id")
     )
 

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["TextStats", "LangId", "Fingerprint", "RepetitionStats",
-           "token_count_sql_parity"]
+           "PIIRedact", "token_count_sql_parity"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "as",
@@ -192,6 +192,49 @@ class RepetitionStats:
             return c * (len(a) + len(b)) / max(sum(len(t) for t in tl), 1)
 
         batch["top_bigram_char_frac"] = toks.map(top2)
+        return batch
+
+
+class PIIRedact:
+    """PII scrubbing (emails / IPv4 addresses / phone numbers), the
+    standard pre-training redaction pass.
+
+    Patterns are ASCII-only and RE2-compatible (no backrefs, no
+    lookaround), so every column has an exact DuckDB twin
+    (regexp_extract_all / regexp_replace ... 'g'). Semantics are pinned
+    for parity: each pattern is COUNTED against the ORIGINAL text, then
+    redaction applies sequentially email -> phone -> ip (the replacement
+    tokens contain no digits or '@', so later patterns can never match
+    inside an earlier replacement). ``redacted_md5`` is the md5 hex
+    digest of the utf-8 redacted text — a value-exact cross-check of the
+    full string transform without shipping the text twice.
+    """
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    PHONE = r"\b\d\d\d[- ]\d\d\d[- ]\d\d\d\d\b"
+    IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+    def __init__(self):
+        self.email = re.compile(self.EMAIL, re.ASCII)
+        self.phone = re.compile(self.PHONE, re.ASCII)
+        self.ip = re.compile(self.IP, re.ASCII)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        t = batch["text"].fillna("")
+        batch["n_emails"] = t.str.count(self.EMAIL, flags=re.ASCII).astype("int64")
+        batch["n_phones"] = t.str.count(self.PHONE, flags=re.ASCII).astype("int64")
+        batch["n_ips"] = t.str.count(self.IP, flags=re.ASCII).astype("int64")
+        red = (
+            t.str.replace(self.email, "<EMAIL>", regex=True)
+            .str.replace(self.phone, "<PHONE>", regex=True)
+            .str.replace(self.ip, "<IP>", regex=True)
+        )
+        batch["redacted"] = red
+        batch["redacted_md5"] = [
+            hashlib.md5(s.encode("utf-8")).hexdigest() for s in red
+        ]
         return batch
 
 
