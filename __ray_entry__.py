@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_clusters": EQ.q_dup_clusters,
         "q_tfidf_topk": EQ.q_tfidf_topk,
         "q_pii_redact": EQ.q_pii_redact,
+        "q_dsir_select": EQ.q_dsir_select,
     }
 
 
@@ -605,6 +606,41 @@ def oracle_sql() -> dict[str, str]:
         FROM inj ORDER BY doc_id
     """.replace("{E}", _pii_email).replace("{P}", _pii_phone).replace(
         "{I}", _pii_ip)
+
+    # q_dsir_select twin: the full DSIR chain in SQL — md5 bucket ids,
+    # add-0.5-smoothed log-ratio quantized floor(x*1e6 + 0.5), integer
+    # per-doc sum, deterministic top-150. Mirrors stages/dsir.py verbatim.
+    from gdal_ray.stages.dsir import bucket_sql as _dsir_bucket
+
+    _dsir_sql = f"""
+        WITH t AS (SELECT doc_id, lang,
+                          regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+                   FROM documents),
+             u AS (SELECT doc_id, lang, toks[CAST(p AS BIGINT)] AS g
+                   FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS r(p)),
+             b2 AS (SELECT doc_id, lang,
+                           toks[CAST(p AS BIGINT)] || ' '
+                             || toks[CAST(p AS BIGINT) + 1] AS g
+                    FROM t, UNNEST(range(1, len(toks), 1)) AS r(p)),
+             n AS (SELECT doc_id, lang, g FROM u
+                   UNION ALL SELECT doc_id, lang, g FROM b2),
+             h AS (SELECT doc_id, lang, {_dsir_bucket('g', 1024)} AS b FROM n),
+             c AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS cr,
+                          CAST(COUNT(*) FILTER (WHERE lang = 'en')
+                               AS DOUBLE) AS ct
+                   FROM h GROUP BY b),
+             s AS (SELECT SUM(cr) AS sr, SUM(ct) AS st FROM c),
+             lam AS (SELECT b,
+                            CAST(FLOOR((ln((ct + 0.5) / (st + 0.5 * 1024))
+                                 - ln((cr + 0.5) / (sr + 0.5 * 1024)))
+                                 * 1000000 + 0.5) AS BIGINT) AS lq
+                     FROM c, s),
+             d AS (SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                          CAST(SUM(lam.lq) AS BIGINT) AS logw_q
+                   FROM h JOIN lam ON lam.b = h.b GROUP BY h.doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams, logw_q
+        FROM d ORDER BY logw_q DESC, doc_id LIMIT 150
+    """
 
     return {
         "q_curation_pipeline": f"""
@@ -1908,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY node
         """,
         "q_pii_redact": _pii_sql,
+        "q_dsir_select": _dsir_sql,
         "q_repetition_docs": """
             WITH l AS (
               SELECT doc_id,

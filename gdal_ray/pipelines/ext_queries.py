@@ -20,6 +20,7 @@ __all__ = [
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
+    "q_dsir_select",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -768,6 +769,27 @@ def q_pii_redact(sf_dir: str):
                          "redacted_md5"])
         .sort("doc_id")
     )
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (stages/dsir.py, Xie et al. 2023): hashed
+    uni+bigram importance weights with lang='en' as the target domain,
+    deterministic top-150 by (logw_q DESC, doc_id). Integer-exact: the
+    per-bucket log-ratio is quantized to 1e-6 BEFORE the per-doc sum, so
+    the DuckDB twin recomputes the whole chain verbatim (md5 bucket ids
+    included)."""
+    import pandas as pd
+
+    from gdal_ray.stages.dsir import dsir_select
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text", "lang"])
+    sel = dsir_select(ds, "lang", "en", k=150, num_feats=1024)
+
+    def attach_lang(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "n_grams", "logw_q"]]
+
+    return sel.map_batches(attach_lang, batch_format="pandas")
 
 
 def q_cc_lattice(sf_dir: str):
