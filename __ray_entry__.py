@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_topk": EQ.q_tfidf_topk,
         "q_pii_redact": EQ.q_pii_redact,
         "q_dsir_select": EQ.q_dsir_select,
+        # rows-only: iterative trainer (merge list pinned in tests/test_bpe.py)
+        "q_bpe_fertility": EQ.q_bpe_fertility,
     }
 
 

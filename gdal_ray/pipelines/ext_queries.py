@@ -20,7 +20,7 @@ __all__ = [
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
-    "q_dsir_select",
+    "q_dsir_select", "q_bpe_fertility",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -790,6 +790,19 @@ def q_dsir_select(sf_dir: str):
         return batch[["doc_id", "n_grams", "logw_q"]]
 
     return sel.map_batches(attach_lang, batch_format="pandas")
+
+
+def q_bpe_fertility(sf_dir: str):
+    """BPE tokenizer loop (stages/bpe.py): train 48 merges on the corpus
+    word-count table (one bounded shuffle), broadcast the merges, encode
+    every doc — per-doc word/subtoken counts + a segmentation signature.
+    Iterative trainer => rows-only gate; merge selection and encoding are
+    pinned by hand-derived oracles in tests/test_bpe.py."""
+    from gdal_ray.stages.bpe import bpe_token_stats
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    return bpe_token_stats(ds, num_merges=48).sort("doc_id")
 
 
 def q_cc_lattice(sf_dir: str):
