@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": EQ.q_dsir_select,
         # rows-only: iterative trainer (merge list pinned in tests/test_bpe.py)
         "q_bpe_fertility": EQ.q_bpe_fertility,
+        "q_gpx_roundtrip": EQ.q_gpx_roundtrip,
     }
 
 
@@ -1672,6 +1673,16 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_y4,
                    CAST(MIN(p_partkey) AS BIGINT) AS min_key,
                    CAST(MAX(p_partkey) AS BIGINT) AS max_key
+            FROM part GROUP BY p_brand ORDER BY brand
+        """,
+        "q_gpx_roundtrip": """
+            SELECT p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((p_partkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((p_partkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(SUM(p_partkey % 1000) AS BIGINT) AS sum_ele
             FROM part GROUP BY p_brand ORDER BY brand
         """,
         "q_gpkg_roundtrip": """

@@ -20,7 +20,7 @@ __all__ = [
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
-    "q_dsir_select", "q_bpe_fertility",
+    "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -790,6 +790,66 @@ def q_dsir_select(sf_dir: str):
         return batch[["doc_id", "n_grams", "logw_q"]]
 
     return sel.map_batches(attach_lang, batch_format="pandas")
+
+
+def q_gpx_roundtrip(sf_dir: str):
+    """GPX driver identity round-trip, SQL-twinnable (the shp/gpkg
+    pattern over the fifth vector driver): part rows become <wpt>
+    waypoints with exactly-representable lon/lat (repr serialization is
+    shortest-round-trip, so the XML text parses back bit-exact), written
+    as one .gpx shard per block, read back by the per-file distributed
+    reader and aggregated per brand (sources/gpx.py; reference
+    ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp)."""
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import decode_points, encode_point
+    from gdal_ray.sources.gpx import read_gpx, write_gpx_dir
+
+    ds = _rpt(os.path.join(sf_dir, "part.parquet"),
+              columns=["p_partkey", "p_brand"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["p_partkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array(
+                [encode_point(float(a), float(b)) for a, b in zip(x, y)],
+                pa.binary()),
+            "name": pa.array(t["p_brand"].to_pylist(), pa.string()),
+            "desc": pa.array([None] * len(k), pa.string()),
+            "ele": pa.array((k % 1000).astype(np.float64)),
+        })
+
+    n_rows = ds.count()
+    base = f"/tmp/gdal_ray_fixtures/gpx_part_{n_rows}"
+    write_gpx_dir(ds.map_batches(to_features, batch_format="pyarrow"),
+                  base, "waypoints").materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "brand": df["name"],
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "ele": df["ele"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        read_gpx(base, "waypoints")
+        .map_batches(finish, batch_format="pandas")
+        .groupby("brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Sum("ele", alias_name="sum_ele"),
+        )
+        .sort("brand")
+    )
 
 
 def q_bpe_fertility(sf_dir: str):
