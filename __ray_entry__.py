@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: iterative trainer (merge list pinned in tests/test_bpe.py)
         "q_bpe_fertility": EQ.q_bpe_fertility,
         "q_gpx_roundtrip": EQ.q_gpx_roundtrip,
+        "q_c4_filter": EQ.q_c4_filter,
     }
 
 
@@ -1958,6 +1959,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
+        # the SAME 5-token line derivation as the Ray query, then C4's
+        # line rules (terminal punct + >=5 words) and the >=3-line doc gate
+        "q_c4_filter": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 tok AS (SELECT doc_id, (p - 1) // 5 AS li,
+                                toks[CAST(p AS BIGINT)] AS w, p
+                         FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS r(p)),
+                 ln AS (SELECT doc_id, li,
+                               string_agg(w, ' ' ORDER BY p)
+                               || CASE WHEN (doc_id + li) % 3 <> 0
+                                       THEN '.' ELSE '' END AS line
+                        FROM tok GROUP BY doc_id, li),
+                 ev AS (SELECT doc_id,
+                               CASE WHEN regexp_matches(line, '[.!?"]$')
+                                     AND length(regexp_extract_all(
+                                         line, '[^ \t]+')) >= 5
+                                     AND NOT contains(line, '{')
+                                     AND NOT contains(lower(line),
+                                                      'lorem ipsum')
+                                     AND NOT contains(lower(line),
+                                                      'javascript')
+                                    THEN 1 ELSE 0 END AS keep,
+                               CAST(length(line) AS BIGINT) AS chars
+                        FROM ln)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(keep * chars) AS BIGINT) AS kept_chars,
+                   CAST(CASE WHEN SUM(keep) >= 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS keep_doc
+            FROM ev GROUP BY doc_id ORDER BY doc_id
+        """,
         "q_repetition_docs": """
             WITH l AS (
               SELECT doc_id,

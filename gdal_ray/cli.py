@@ -21,7 +21,8 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray sql "SELECT ..." <table-dir> [--out f.parquet] [--limit N]
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
         steps: filter/derive/select/rename/sort/limit/sample/distinct/
-        sql/concat/quantiles/heavy-hitters/stratified-sample/pii-redact plus
+        sql/concat/quantiles/heavy-hitters/stratified-sample/
+        pii-redact/c4-filter plus
         geometry swap-xy/segmentize/simplify/
         simplify-coverage/buffer/reproject/centroid/make-valid/
         explode-collections/set-geom-type/clip (quote ! in most shells)

@@ -20,7 +20,7 @@ __all__ = [
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
-    "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip",
+    "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -790,6 +790,45 @@ def q_dsir_select(sf_dir: str):
         return batch[["doc_id", "n_grams", "logw_q"]]
 
     return sel.map_batches(attach_lang, batch_format="pandas")
+
+
+def q_c4_filter(sf_dir: str):
+    """C4 line-level quality filter (stages/text.C4LineFilter, Raffel et
+    al. 2020 §2.2). The corpus has no newlines, so the query first derives
+    a line-structured text deterministically (5 tokens per line; line li
+    of doc d gets a terminal '.' iff (d + li) % 3 != 0 — the same
+    expression as the SQL twin), then filters: terminal punctuation +
+    >=5 words per line, >=3 surviving lines per doc."""
+    import pandas as pd
+
+    from gdal_ray.stages.text import C4LineFilter
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        d = batch["doc_id"].astype("int64")
+        ex = batch["text"].fillna("").str.split(" ").explode()
+        rows = ex.index.to_numpy()
+        pos = pd.Series(rows).groupby(rows).cumcount().to_numpy()
+        df = pd.DataFrame({"row": rows, "li": pos // 5,
+                           "w": ex.to_numpy(object)})
+        lines = df.groupby(["row", "li"])["w"].agg(" ".join).reset_index()
+        term = ((d.to_numpy()[lines["row"]] + lines["li"]) % 3 != 0)
+        lines["line"] = lines["w"] + np.where(term, ".", "")
+        txt = lines.groupby("row")["line"].agg("\n".join)
+        batch["text"] = txt.reindex(range(len(batch))).fillna("")
+        return batch
+
+    return (
+        ds.map_batches(inject, batch_format="pandas")
+        .map_batches(C4LineFilter, batch_format="pandas",
+                     concurrency=(1, 4), batch_size=2048)
+        .select_columns(["doc_id", "n_lines", "n_kept", "kept_chars",
+                         "keep_doc"])
+        .sort("doc_id")
+    )
 
 
 def q_gpx_roundtrip(sf_dir: str):

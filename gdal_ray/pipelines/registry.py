@@ -284,6 +284,21 @@ def _step_pii_redact(ds, text_col: str = "text"):
     return out
 
 
+@register_step("c4-filter")
+def _step_c4_filter(ds, min_words: int = 5, min_kept_lines: int = 3):
+    """C4 line-level quality filter (stages/text.C4LineFilter): keeps
+    docs with >= min_kept_lines surviving lines, adds filtered text +
+    per-doc counts."""
+    from gdal_ray.stages.text import C4LineFilter
+
+    out = ds.map_batches(
+        C4LineFilter, fn_constructor_kwargs={
+            "min_words": int(min_words),
+            "min_kept_lines": int(min_kept_lines)},
+        batch_format="pandas", concurrency=(1, 8), batch_size=2048)
+    return out.filter(expr="keep_doc == 1")
+
+
 @register_step("sql")
 def _step_sql(ds, statement: str):
     """gdalalg_vector_sql: run the parsed OGR SQL engine with the piped

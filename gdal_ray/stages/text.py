@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["TextStats", "LangId", "Fingerprint", "RepetitionStats",
-           "PIIRedact", "token_count_sql_parity"]
+           "PIIRedact", "C4LineFilter", "token_count_sql_parity"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "as",
@@ -192,6 +192,58 @@ class RepetitionStats:
             return c * (len(a) + len(b)) / max(sum(len(t) for t in tl), 1)
 
         batch["top_bigram_char_frac"] = toks.map(top2)
+        return batch
+
+
+class C4LineFilter:
+    """C4 line-level quality filtering (Raffel et al., 2020 §2.2): keep a
+    line iff it ends in terminal punctuation (``. ! ? "``), has at least
+    ``min_words`` whitespace-delimited words, contains no curly brace and
+    none of the blocklist substrings ('lorem ipsum', 'javascript',
+    case-insensitive); keep the DOCUMENT iff at least ``min_kept_lines``
+    lines survive (C4's >=3-sentence rule, lines as the sentence proxy).
+
+    Emits per doc: ``filtered`` (kept lines re-joined with \\n),
+    ``n_lines``, ``n_kept``, ``kept_chars`` and ``keep_doc`` (0/1 int64).
+    Line split is bare \\n on both sides (python split == DuckDB
+    string_split(chr(10))), and every per-line predicate is expressible
+    in RE2/ANSI SQL, so the count/keep columns have an exact DuckDB twin.
+    """
+
+    def __init__(self, min_words: int = 5, min_kept_lines: int = 3):
+        self.min_words = min_words
+        self.min_kept_lines = min_kept_lines
+        self.term = re.compile(r'[.!?"]$')
+        self.word = re.compile(r"[^ \t]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        text = batch["text"].fillna("")
+        ex = text.str.split("\n").explode()
+        low = ex.str.lower()
+        keep = (
+            ex.str.contains(self.term, regex=True)
+            & (ex.str.count(self.word.pattern) >= self.min_words)
+            & ~ex.str.contains("{", regex=False)
+            & ~low.str.contains("lorem ipsum", regex=False)
+            & ~low.str.contains("javascript", regex=False)
+        )
+        df = pd.DataFrame({"row": ex.index.to_numpy(), "line": ex.to_numpy(),
+                           "keep": keep.to_numpy(),
+                           "chars": ex.str.len().to_numpy()})
+        agg = df.groupby("row").agg(
+            n_lines=("keep", "size"), n_kept=("keep", "sum"))
+        agg["kept_chars"] = (
+            (df["chars"] * df["keep"]).groupby(df["row"]).sum())
+        kept_text = (df[df["keep"]].groupby("row")["line"]
+                     .agg("\n".join))
+        agg = agg.reindex(range(len(batch))).fillna(0)
+        batch["n_lines"] = agg["n_lines"].astype("int64")
+        batch["n_kept"] = agg["n_kept"].astype("int64")
+        batch["kept_chars"] = agg["kept_chars"].astype("int64")
+        batch["keep_doc"] = (
+            batch["n_kept"] >= self.min_kept_lines).astype("int64")
+        batch["filtered"] = kept_text.reindex(range(len(batch))).fillna("")
         return batch
 
 
