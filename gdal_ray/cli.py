@@ -86,7 +86,8 @@ The gdal-utils script suite (cli_utils.py):
 
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
-.geojsons (GeoJSONSeq directory or file), .csv (CSV layer), .parquet.
+.geojsons (GeoJSONSeq directory or file), .gpx (GPX waypoints — point
+layers only, like the reference's wpt layer), .csv (CSV layer), .parquet.
 Geometry stays the engine's canonical WKB end-to-end, so vector
 conversions are byte-exact where the formats allow.
 
@@ -131,6 +132,10 @@ def _vector_read(path: str):
         from gdal_ray.sources.geojson import read_geojsonseq
 
         return read_geojsonseq(path)
+    if ext == ".gpx":
+        from gdal_ray.sources.gpx import read_gpx
+
+        return read_gpx(path, "waypoints")
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import read_csv_layer
 
@@ -162,6 +167,10 @@ def _vector_write(ds, path: str):
 
         out = path + ".d" if not os.path.isdir(path) else path
         return int(write_geojsonseq(ds, out).to_pandas()["n"].sum())
+    if ext == ".gpx":
+        from gdal_ray.sources.gpx import write_gpx
+
+        return write_gpx(ds, path, "waypoints")
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import write_csv_layer
 
