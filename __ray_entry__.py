@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_fertility": EQ.q_bpe_fertility,
         "q_gpx_roundtrip": EQ.q_gpx_roundtrip,
         "q_c4_filter": EQ.q_c4_filter,
+        "q_kml_roundtrip": EQ.q_kml_roundtrip,
     }
 
 
@@ -1675,6 +1676,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(p_partkey) AS BIGINT) AS min_key,
                    CAST(MAX(p_partkey) AS BIGINT) AS max_key
             FROM part GROUP BY p_brand ORDER BY brand
+        """,
+        "q_kml_roundtrip": """
+            SELECT c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((c_custkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((c_custkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MAX(c_custkey) AS BIGINT) AS max_key
+            FROM customer GROUP BY c_mktsegment ORDER BY segment
         """,
         "q_gpx_roundtrip": """
             SELECT p_brand AS brand,

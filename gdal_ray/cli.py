@@ -87,7 +87,8 @@ The gdal-utils script suite (cli_utils.py):
 Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
 .geojsons (GeoJSONSeq directory or file), .gpx (GPX waypoints — point
-layers only, like the reference's wpt layer), .csv (CSV layer), .parquet.
+layers only, like the reference's wpt layer), .kml (KML Placemarks),
+.csv (CSV layer), .parquet.
 Geometry stays the engine's canonical WKB end-to-end, so vector
 conversions are byte-exact where the formats allow.
 
@@ -136,6 +137,10 @@ def _vector_read(path: str):
         from gdal_ray.sources.gpx import read_gpx
 
         return read_gpx(path, "waypoints")
+    if ext == ".kml":
+        from gdal_ray.sources.kml import read_kml
+
+        return read_kml(path)
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import read_csv_layer
 
@@ -171,6 +176,10 @@ def _vector_write(ds, path: str):
         from gdal_ray.sources.gpx import write_gpx
 
         return write_gpx(ds, path, "waypoints")
+    if ext == ".kml":
+        from gdal_ray.sources.kml import write_kml
+
+        return write_kml(ds, path)
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import write_csv_layer
 

@@ -20,7 +20,7 @@ __all__ = [
     "q_pipeline_geo",
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
-    "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter",
+    "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -888,6 +888,64 @@ def q_gpx_roundtrip(sf_dir: str):
             Sum("ele", alias_name="sum_ele"),
         )
         .sort("brand")
+    )
+
+
+def q_kml_roundtrip(sf_dir: str):
+    """KML driver identity round-trip, SQL-twinnable (sixth vector
+    driver): customer rows become Placemark Points with
+    exactly-representable lon/lat, one .kml shard per block, read back
+    distributed and aggregated per segment (sources/kml.py; reference
+    ogr/ogrsf_frmts/kml/)."""
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import decode_points, encode_point
+    from gdal_ray.sources.kml import read_kml, write_kml_dir
+
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"),
+              columns=["c_custkey", "c_mktsegment"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array(
+                [encode_point(float(a), float(b)) for a, b in zip(x, y)],
+                pa.binary()),
+            "name": pa.array([f"c{int(v)}" for v in k], pa.string()),
+            "description": pa.array(t["c_mktsegment"].to_pylist(),
+                                    pa.string()),
+        })
+
+    n_rows = ds.count()
+    base = f"/tmp/gdal_ray_fixtures/kml_cust_{n_rows}"
+    write_kml_dir(ds.map_batches(to_features, batch_format="pyarrow"),
+                  base).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "segment": df["description"],
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "key": df["name"].str.slice(1).astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        read_kml(base)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Max("key", alias_name="max_key"),
+        )
+        .sort("segment")
     )
 
 
