@@ -89,22 +89,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The 5 twins added late in r5 (geojson/gpkg/geotiff/fingerprint/ntv2)
     # have never been driver-checked, so they take window slots from 5
     # thrice-green (r2+r3+r4) stable entries; those park below the cap
-    # alongside the other 18 twins green in r2+r3+r4. Final session: the
+    # alongside the other 18 twins green in r2+r3+r4. Third session: the
     # two new LM twins (q_lm_score, q_ccnet_buckets) swap in for
     # q_minhash_pairs / q_quantile_chars (see the inline swap note).
+    # Fourth session: the three new LLM-curation twins (q_pii_redact,
+    # q_dsir_select, q_c4_filter — each locally dtype-strict-green at
+    # sf0.001/0.01/0.1) swap in for q_buffer_lattice (geomops stays
+    # covered by q_geom_lattice), q_invdist_lattice (grid.py stays
+    # covered by q_grid + q_tin) and q_lshape_clip_lattice (booleanops
+    # stays covered by q_clip_pairs_lattice) — each parked entry is
+    # r2+r3 driver-green with an in-window module sibling. The GPX/KML
+    # round-trip twins stay below the cap (the round-trip family already
+    # has geojson/gpkg in-window), as does rows-only q_bpe_fertility.
     return {
         # ---- gate window (first 50): SQL-twinned, dtype-strict-verified ----
         # rotated back in (parked during r4, green in r2 and r3):
         "q_hilbert_lattice": LO.q_hilbert_lattice,
         "q_cell_hist": DG.q_cell_hist,
         "q_relate_lattice": LO.q_relate_lattice,
-        "q_buffer_lattice": LO.q_buffer_lattice,
+        "q_pii_redact": EQ.q_pii_redact,
         "q_grid_lattice": LO.q_grid_lattice,
-        "q_invdist_lattice": LO.q_invdist_lattice,
+        "q_dsir_select": EQ.q_dsir_select,
         "q_geom_lattice": LO.q_geom_lattice,
         "q_rasterize_lattice": LO.q_rasterize_lattice,
         "q_clip_pairs_lattice": LO.q_clip_pairs_lattice,
-        "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
+        "q_c4_filter": EQ.q_c4_filter,
         "q_tin_lattice": LO.q_tin_lattice,
         "q_line_lattice": LO.q_line_lattice,
         "q_sample_lattice": EQ.q_sample_lattice,
@@ -263,13 +272,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": RQ.q_semdedup,
         "q_dup_clusters": EQ.q_dup_clusters,
         "q_tfidf_topk": EQ.q_tfidf_topk,
-        "q_pii_redact": EQ.q_pii_redact,
-        "q_dsir_select": EQ.q_dsir_select,
-        # rows-only: iterative trainer (merge list pinned in tests/test_bpe.py)
-        "q_bpe_fertility": EQ.q_bpe_fertility,
+        # parked by the fourth-session swap (r2+r3 driver-green; module
+        # siblings q_geom / q_grid+q_tin / q_clip_pairs stay in-window):
+        "q_buffer_lattice": LO.q_buffer_lattice,
+        "q_invdist_lattice": LO.q_invdist_lattice,
+        "q_lshape_clip_lattice": LO.q_lshape_clip_lattice,
+        # fourth-session driver round-trips + rows-only BPE (twins locally
+        # dtype-strict-green at three scales; BPE merge oracles in pytest):
         "q_gpx_roundtrip": EQ.q_gpx_roundtrip,
-        "q_c4_filter": EQ.q_c4_filter,
         "q_kml_roundtrip": EQ.q_kml_roundtrip,
+        "q_bpe_fertility": EQ.q_bpe_fertility,
     }
 
 
