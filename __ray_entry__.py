@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gpx_roundtrip": EQ.q_gpx_roundtrip,
         "q_kml_roundtrip": EQ.q_kml_roundtrip,
         "q_bpe_fertility": EQ.q_bpe_fertility,
+        "q_hillshade_lattice": RL.q_hillshade_lattice,
     }
 
 
@@ -797,6 +798,63 @@ def oracle_sql() -> dict[str, str]:
                    0.0 AS tpi,
                    2.0*(a + b) AS roughness
             FROM asp
+        """,
+        # hillshade shading variants on the z = a*r + b*c plane: interior
+        # Horn gradient is exactly (x, y) = (-b, -a); op order mirrors
+        # kernels.hillshade_{multidirectional,combined,igor} verbatim
+        "q_hillshade_lattice": """
+            WITH g AS (SELECT s_suppkey AS k,
+                              CAST(1 + s_suppkey % 5 AS DOUBLE) AS a,
+                              CAST(2 + s_suppkey % 7 AS DOUBLE) AS b
+                       FROM supplier),
+                 c0 AS (SELECT k, a, b, -b AS x, -a AS y,
+                               sin(45.0*pi()/180.0) AS sa,
+                               cos(45.0*pi()/180.0) AS ca,
+                               a*a + b*b AS s
+                        FROM g),
+                 md AS (SELECT *,
+                               cos(225.0*pi()/180.0) * ca AS c225,
+                               GREATEST(0.0, sa + (x - y)
+                                   * (cos(225.0*pi()/180.0)*ca))*127.0 AS v225,
+                               GREATEST(0.0, sa - x*ca)*127.0 AS v270,
+                               GREATEST(0.0, sa + (x + y)
+                                   * (cos(225.0*pi()/180.0)*ca))*127.0 AS v315,
+                               GREATEST(0.0, sa - y*ca)*127.0 AS v360,
+                               0.5*s - x*y AS w225,
+                               x*x AS w270, y*y AS w360
+                        FROM c0),
+                 md2 AS (SELECT *,
+                                FLOOR(1.0 + ((w225*v225 + w270*v270
+                                      + (s - w225)*v315 + w360*v360) / s)
+                                      / sqrt(1.0 + s)) AS hs_md
+                         FROM md),
+                 cb AS (SELECT k, s,
+                               1.0 - acos(GREATEST(-1.0, LEAST(1.0,
+                                   (sa + (x*sin(315.0*pi()/180.0)
+                                          - y*cos(315.0*pi()/180.0))*ca)
+                                   / sqrt(1.0 + s))))
+                                 * atan(sqrt(s)) / ((pi()*pi())/4.0) AS cang
+                        FROM c0),
+                 ig AS (SELECT c0.k,
+                               atan(sqrt(c0.s)) * (180.0/pi()) AS slope_deg,
+                               atan2(8.0*c0.a, -(8.0*c0.b)) AS a1,
+                               (3.0*pi()/2.0 - 315.0*pi()/180.0 + 2.0*pi())
+                                   AS a2
+                        FROM c0),
+                 ig2 AS (SELECT k, slope_deg,
+                                CASE WHEN abs(a1 - a2) > pi()
+                                     THEN 2.0*pi() - abs(a1 - a2)
+                                     ELSE abs(a1 - a2) END AS diff
+                         FROM ig)
+            SELECT 'h' || lpad(CAST(md2.k AS VARCHAR), 6, '0') AS img_id,
+                   CAST(md2.hs_md AS INTEGER) AS hs_md,
+                   CAST(CASE WHEN cb.cang <= 0.0 THEN 1
+                             ELSE FLOOR(1.0 + 254.0*cb.cang) END
+                        AS INTEGER) AS hs_comb,
+                   ROUND(CAST(CAST(255.0*(1.0 - (ig2.slope_deg/90.0)
+                              *(1.0 - ig2.diff/pi())) AS REAL) AS DOUBLE), 4)
+                       AS hs_igor
+            FROM md2 JOIN cb ON cb.k = md2.k JOIN ig2 ON ig2.k = md2.k
         """,
         "q_contour_lattice": """
             WITH g AS (SELECT s_suppkey AS k,

@@ -11,6 +11,7 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray dem <mode> <src.tif> <dst.tif>  # gdaldem
         mode: hillshade|slope|aspect|tri|tpi|roughness|color-relief
         [--color-file ramp.txt] [--z FACTOR] [--compress ...]
+        [--multidirectional|--combined|--igor] [--alg horn|zt]  # hillshade
     python -m gdal_ray locationinfo <src.tif> <x> <y>  # gdallocationinfo
         [--pixel] [-r near|bilinear|cubic|cubicspline]
     python -m gdal_ray contour <src.tif> <dst-vector> -i INTERVAL [--base B]
@@ -438,11 +439,14 @@ def _read_full_tiff(src: str):
 
 
 def cmd_dem(mode: str, src: str, dst: str, color_file: str | None = None,
-            z: float = 1.0, compress: str = "deflate") -> dict:
-    """gdaldem over GeoTIFF (apps/gdaldem_lib.cpp modes): hillshade,
-    slope, aspect, TRI, TPI, roughness emit single-band rasters;
-    color-relief reads a ramp file (percent entries resolved against the
-    band range) and emits a 4-band RGBA GeoTIFF."""
+            z: float = 1.0, compress: str = "deflate",
+            shading: str = "classic", alg: str = "horn") -> dict:
+    """gdaldem over GeoTIFF (apps/gdaldem_lib.cpp modes): hillshade
+    (classic plus -multidirectional / -combined / -igor shading and the
+    -alg ZevenbergenThorne gradient), slope, aspect, TRI, TPI, roughness
+    emit single-band rasters; color-relief reads a ramp file (percent
+    entries resolved against the band range) and emits a 4-band RGBA
+    GeoTIFF."""
     from gdal_ray.io.tiff import write_geotiff
     from gdal_ray.raster import kernels as K
 
@@ -453,7 +457,15 @@ def cmd_dem(mode: str, src: str, dst: str, color_file: str | None = None,
     gt = h["gt"] or [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
     ew, ns = gt[1], gt[5]
     if mode == "hillshade":
-        out = K.hillshade(dem, ewres=ew, nsres=ns, z=z)
+        if shading == "multidirectional":
+            out = K.hillshade_multidirectional(dem, ewres=ew, nsres=ns, z=z,
+                                               alg=alg)
+        elif shading == "combined":
+            out = K.hillshade_combined(dem, ewres=ew, nsres=ns, z=z, alg=alg)
+        elif shading == "igor":
+            out = K.hillshade_igor(dem, ewres=ew, nsres=ns, z=z, alg=alg)
+        else:
+            out = K.hillshade(dem, ewres=ew, nsres=ns, z=z)
     elif mode == "slope":
         out = K.slope_horn(dem, ewres=ew, nsres=ns).astype(np.float32)
     elif mode == "aspect":
@@ -830,6 +842,7 @@ def main(argv=None):
                                        bands=bands or None)))
     elif cmd == "dem":
         color_file, zf, compress = None, 1.0, "deflate"
+        shading, dalg = "classic", "horn"
         pos = []
         i = 0
         while i < len(args):
@@ -842,12 +855,20 @@ def main(argv=None):
             elif args[i] == "--compress":
                 compress = args[i + 1]
                 i += 2
+            elif args[i] in ("--multidirectional", "--combined", "--igor"):
+                shading = args[i][2:]
+                i += 1
+            elif args[i] == "--alg":
+                dalg = ("zt" if args[i + 1].lower()
+                        in ("zt", "zevenbergenthorne") else "horn")
+                i += 2
             else:
                 pos.append(args[i])
                 i += 1
         print(json.dumps(cmd_dem(pos[0], pos[1], pos[2],
                                  color_file=color_file, z=zf,
-                                 compress=compress)))
+                                 compress=compress, shading=shading,
+                                 alg=dalg)))
     elif cmd == "locationinfo":
         resample, geoloc = "near", True
         pos = []

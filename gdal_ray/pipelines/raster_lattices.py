@@ -31,6 +31,7 @@ import ray.data as rd  # noqa: F401
 from gdal_ray.sources.corpus import read_parquet_tight as _rpt
 
 __all__ = [
+    "q_hillshade_lattice",
     "q_band_stats_lattice",
     "q_histogram_lattice",
     "q_checksum_lattice",
@@ -308,6 +309,37 @@ def q_dem_lattice(sf_dir: str):
                 "roughness": pa.array(out["roughness"], pa.float64()),
             }
         )
+
+    return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
+
+
+def q_hillshade_lattice(sf_dir: str):
+    """The three gdaldem hillshade SHADING variants (-multidirectional /
+    -combined / -igor; apps/gdaldem_lib.cpp:1238,1139,943) on the same
+    z = a*r + b*c plane as q_dem_lattice, probed at interior pixel (3,3):
+    the interior Horn gradient of the plane is exactly (x, y) = (-b, -a),
+    so every variant has a closed-form DuckDB twin (md/combined carry the
+    engine's uint8 floor; igor the trailing float32 cast)."""
+    from gdal_ray.raster import kernels as K
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        out = {"img_id": [], "hs_md": [], "hs_comb": [], "hs_igor": []}
+        for k in batch["s_suppkey"].to_pylist():
+            k = int(k)
+            a = float(1 + k % 5)
+            b = float(2 + k % 7)
+            rr, cc = np.mgrid[0:8, 0:8]
+            dem = a * rr + b * cc
+            out["img_id"].append(f"h{k:06d}")
+            out["hs_md"].append(int(K.hillshade_multidirectional(dem)[3, 3]))
+            out["hs_comb"].append(int(K.hillshade_combined(dem)[3, 3]))
+            out["hs_igor"].append(round(float(K.hillshade_igor(dem)[3, 3]), 4))
+        return pa.table({
+            "img_id": pa.array(out["img_id"], pa.string()),
+            "hs_md": pa.array(out["hs_md"], pa.int32()),
+            "hs_comb": pa.array(out["hs_comb"], pa.int32()),
+            "hs_igor": pa.array(out["hs_igor"], pa.float64()),
+        })
 
     return _suppliers(sf_dir).map_batches(per_key, batch_format="pyarrow")
 

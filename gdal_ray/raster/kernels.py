@@ -21,6 +21,9 @@ __all__ = [
     "resample_gauss",
     "reclassify",
     "hillshade",
+    "hillshade_multidirectional",
+    "hillshade_combined",
+    "hillshade_igor",
     "slope_horn",
     "aspect",
     "tri",
@@ -326,6 +329,93 @@ def hillshade(dem, ewres=1.0, nsres=-1.0, z=1.0, scale=1.0, az=315.0, alt=45.0):
     )
     out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
     return out.astype(np.uint8)
+
+
+def _zt_xy(w, ewres, nsres, z=1.0, scale=1.0):
+    """Zevenbergen-Thorne gradient (gdaldem_lib.cpp Gradient<ZT>::calc with
+    z_factor = z/2): central differences over the 4-neighborhood."""
+    x = z * (w[3] - w[5]) / (2.0 * ewres * scale)
+    y = z * (w[7] - w[1]) / (2.0 * nsres * scale)
+    return x, y
+
+
+def hillshade_multidirectional(dem, ewres=1.0, nsres=-1.0, z=1.0, scale=1.0,
+                               alt=45.0, alg="horn"):
+    """Multidirectional hillshade (gdaldem -multidirectional;
+    GDALHillshadeMultiDirectionalAlg, apps/gdaldem_lib.cpp:1238; USGS
+    OF 92-422): sin^2-weighted blend of the 225/270/315/360-degree
+    azimuth shades, each clamped at 0 before weighting; flat cells
+    return the classic 1 + 254*sin(alt). Exact math (the reference's
+    rsqrt is an SSE approximation of the same 1/sqrt(1+s))."""
+    w = _windows(dem)
+    grad = _horn_xy if alg == "horn" else _zt_xy
+    x, y = grad(w, ewres, nsres, z, scale)
+    altr = alt * np.pi / 180.0
+    sin_alt = np.sin(altr)
+    cos_alt = np.cos(altr)
+    xx = x * x
+    yy = y * y
+    s = xx + yy
+    c225 = np.cos(225.0 * np.pi / 180.0) * cos_alt
+    val225 = np.maximum(0.0, sin_alt + (x - y) * c225) * 127.0
+    val270 = np.maximum(0.0, sin_alt - x * cos_alt) * 127.0
+    val315 = np.maximum(0.0, sin_alt + (x + y) * c225) * 127.0
+    val360 = np.maximum(0.0, sin_alt - y * cos_alt) * 127.0
+    w225 = 0.5 * s - x * y
+    w315 = s - w225
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cang127 = ((w225 * val225 + xx * val270 + w315 * val315
+                    + yy * val360) / s) / np.sqrt(1.0 + s)
+    out = np.where(s == 0.0, 1.0 + 254.0 * sin_alt, 1.0 + cang127)
+    return out.astype(np.uint8)
+
+
+def hillshade_combined(dem, ewres=1.0, nsres=-1.0, z=1.0, scale=1.0,
+                       az=315.0, alt=45.0, alg="horn"):
+    """Combined shading (gdaldem -combined; GDALHillshadeCombinedAlg,
+    apps/gdaldem_lib.cpp:1139): cang = 1 - acos(classic_cang) *
+    atan(sqrt(slope)) / (pi/2)^2, then the usual 1..255 byte ramp."""
+    w = _windows(dem)
+    grad = _horn_xy if alg == "horn" else _zt_xy
+    x, y = grad(w, ewres, nsres, z, scale)
+    altr = alt * np.pi / 180.0
+    azr = az * np.pi / 180.0
+    s = x * x + y * y
+    num = (np.sin(altr)
+           + (x * np.sin(azr) - y * np.cos(azr)) * np.cos(altr))
+    cang = np.arccos(np.clip(num / np.sqrt(1.0 + s), -1.0, 1.0))
+    cang = 1.0 - cang * np.arctan(np.sqrt(s)) / ((np.pi * np.pi) / 4.0)
+    out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    return out.astype(np.uint8)
+
+
+def hillshade_igor(dem, ewres=1.0, nsres=-1.0, z=1.0, scale=1.0, az=315.0,
+                   alg="horn"):
+    """Igor shading (gdaldem -igor; GDALHillshadeIgorAlg,
+    apps/gdaldem_lib.cpp:943): shadowness = 1 - (slope_deg/90) *
+    aspectStrength, aspectStrength = 1 - |aspect - (3pi/2 - az)|/pi
+    (angle difference normalized mod 2pi); output 255 * shadowness as
+    float32 (no 1..255 ramp — the reference alg returns the raw float)."""
+    w = _windows(dem)
+    grad = _horn_xy if alg == "horn" else _zt_xy
+    x, y = grad(w, ewres, nsres, z, scale)
+    slope_deg = np.arctan(np.sqrt(x * x + y * y)) * _RAD2DEG
+    if alg == "horn":
+        dxa = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+        dya = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    else:
+        dxa = w[5] - w[3]
+        dya = w[7] - w[1]
+    aspect_ = np.arctan2(dya, -dxa)
+    azr = az * np.pi / 180.0
+    two_pi = 2.0 * np.pi
+    a1 = np.mod(aspect_, two_pi)
+    a2 = np.mod(np.pi * 1.5 - azr, two_pi)
+    diff = np.abs(a1 - a2)
+    diff = np.where(diff > np.pi, two_pi - diff, diff)
+    aspect_strength = 1.0 - diff / np.pi
+    shadowness = 1.0 - (slope_deg / 90.0) * aspect_strength
+    return (255.0 * shadowness).astype(np.float32)
 
 
 def slope_horn(dem, ewres=1.0, nsres=1.0, scale=1.0, percent=False):
