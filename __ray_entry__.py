@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kml_roundtrip": EQ.q_kml_roundtrip,
         "q_bpe_fertility": EQ.q_bpe_fertility,
         "q_hillshade_lattice": RL.q_hillshade_lattice,
+        "q_arrow_roundtrip": EQ.q_arrow_roundtrip,
     }
 
 
@@ -1746,6 +1747,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(p_partkey) AS BIGINT) AS min_key,
                    CAST(MAX(p_partkey) AS BIGINT) AS max_key
             FROM part GROUP BY p_brand ORDER BY brand
+        """,
+        "q_arrow_roundtrip": """
+            SELECT o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((o_orderkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((o_orderkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+            FROM orders GROUP BY o_orderpriority ORDER BY priority
         """,
         "q_kml_roundtrip": """
             SELECT c_mktsegment AS segment,

@@ -89,7 +89,7 @@ Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
 .geojsons (GeoJSONSeq directory or file), .gpx (GPX waypoints — point
 layers only, like the reference's wpt layer), .kml (KML Placemarks),
-.csv (CSV layer), .parquet.
+.arrow (Arrow IPC shard directory), .csv (CSV layer), .parquet.
 Geometry stays the engine's canonical WKB end-to-end, so vector
 conversions are byte-exact where the formats allow.
 
@@ -142,6 +142,10 @@ def _vector_read(path: str):
         from gdal_ray.sources.kml import read_kml
 
         return read_kml(path)
+    if ext == ".arrow":
+        from gdal_ray.sources.arrowipc import read_arrow_ipc
+
+        return read_arrow_ipc(path)
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import read_csv_layer
 
@@ -181,6 +185,11 @@ def _vector_write(ds, path: str):
         from gdal_ray.sources.kml import write_kml
 
         return write_kml(ds, path)
+    if ext == ".arrow":
+        from gdal_ray.sources.arrowipc import write_arrow_ipc
+
+        out = path + ".d" if not os.path.isdir(path) else path
+        return int(write_arrow_ipc(ds, out).to_pandas()["n"].sum())
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import write_csv_layer
 

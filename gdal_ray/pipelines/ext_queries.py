@@ -21,6 +21,7 @@ __all__ = [
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
+    "q_arrow_roundtrip",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -946,6 +947,62 @@ def q_kml_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("segment")
+    )
+
+
+def q_arrow_roundtrip(sf_dir: str):
+    """Arrow IPC driver identity round-trip, SQL-twinnable (seventh
+    vector driver; the reference's ogr/ogrsf_frmts/arrow is the same
+    WKB-in-Arrow layer contract this engine uses natively). Orders rows
+    + derived point WKB written as one .arrow shard per block, read back
+    zero-copy, aggregated per priority."""
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import decode_points, encode_point
+    from gdal_ray.sources.arrowipc import read_arrow_ipc, write_arrow_ipc
+
+    ds = _rpt(os.path.join(sf_dir, "orders.parquet"),
+              columns=["o_orderkey", "o_orderpriority"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array(
+                [encode_point(float(a), float(b)) for a, b in zip(x, y)],
+                pa.binary()),
+            "priority": t["o_orderpriority"],
+        })
+
+    n_rows = ds.count()
+    base = f"/tmp/gdal_ray_fixtures/arrow_orders_{n_rows}"
+    write_arrow_ipc(ds.map_batches(to_features, batch_format="pyarrow"),
+                    base).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "priority": df["priority"],
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "key": df["fid"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        read_arrow_ipc(base)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("priority")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Max("key", alias_name="max_key"),
+        )
+        .sort("priority")
     )
 
 
