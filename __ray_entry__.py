@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_fertility": EQ.q_bpe_fertility,
         "q_hillshade_lattice": RL.q_hillshade_lattice,
         "q_arrow_roundtrip": EQ.q_arrow_roundtrip,
+        "q_gopher_ngrams": EQ.q_gopher_ngrams,
     }
 
 
@@ -660,6 +661,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams, logw_q
         FROM d ORDER BY logw_q DESC, doc_id LIMIT 150
     """
+
+    # q_gopher_ngrams twin: lead()-window n-gram keys per n; top fraction
+    # = best (count DESC, key ASC) n-gram's count x token chars; dup
+    # fraction = interval-union coverage via a windowed start-flag sum.
+    # Mirrors stages/text.GopherNgramStats integer math verbatim.
+    def _gopher_sql() -> str:
+        top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+        max_lead = max(max(top_ns), max(dup_ns)) - 1
+        leads = ", ".join(
+            f"lead(w, {k}) OVER win AS w{k}" for k in range(1, max_lead + 1))
+
+        def key(n):
+            return " || ' ' || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+
+        ctes, joins, outs = [], [], []
+        for n in top_ns:
+            ctes.append(f"""
+             tc{n} AS (SELECT doc_id, {key(n)} AS key, COUNT(*) AS c
+                       FROM lw WHERE w{n-1} IS NOT NULL
+                       GROUP BY doc_id, key),
+             tb{n} AS (SELECT doc_id,
+                              c * (length(key) - {n - 1}) AS chars,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, key) AS rn
+                       FROM tc{n}),
+             top{n} AS (SELECT doc_id, chars FROM tb{n} WHERE rn = 1)""")
+            joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = d.doc_id")
+            outs.append(
+                f"CAST(COALESCE(top{n}.chars, 0) * 10000 "
+                f"// COALESCE(tot.total, 1) AS BIGINT) AS top_frac_q_{n}")
+        for n in dup_ns:
+            ctes.append(f"""
+             ds{n} AS (SELECT doc_id, p, l,
+                              CASE WHEN w{n-1} IS NOT NULL AND COUNT(*)
+                                   OVER (PARTITION BY doc_id, {key(n)}) > 1
+                                   THEN 1 ELSE 0 END AS st
+                       FROM lw),
+             dc{n} AS (SELECT doc_id, l,
+                              SUM(st) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN {n - 1} PRECEDING
+                                  AND CURRENT ROW) AS s
+                       FROM ds{n}),
+             du{n} AS (SELECT doc_id,
+                              CAST(SUM(CASE WHEN s > 0 THEN l ELSE 0 END)
+                                   AS BIGINT) AS chars
+                       FROM dc{n} GROUP BY doc_id)""")
+            joins.append(f"LEFT JOIN du{n} ON du{n}.doc_id = d.doc_id")
+            outs.append(
+                f"CAST(COALESCE(du{n}.chars, 0) * 10000 "
+                f"// COALESCE(tot.total, 1) AS BIGINT) AS dup_frac_q_{n}")
+        return f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                                 '[a-z0-9_]+') AS toks
+                       FROM documents),
+             tok AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                            toks[CAST(p AS BIGINT)] AS w
+                     FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS r(p)),
+             tot AS (SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS total
+                     FROM tok GROUP BY doc_id),
+             lw AS (SELECT doc_id, p, w, CAST(length(w) AS BIGINT) AS l,
+                           {leads}
+                    FROM tok
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+             {",".join(ctes)}
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   {",".join(outs)}
+            FROM documents d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            {" ".join(joins)}
+            ORDER BY d.doc_id
+        """
 
     return {
         "q_curation_pipeline": f"""
@@ -2051,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
+        "q_gopher_ngrams": _gopher_sql(),
         # the SAME 5-token line derivation as the Ray query, then C4's
         # line rules (terminal punct + >=5 words) and the >=3-line doc gate
         "q_c4_filter": """

@@ -21,7 +21,7 @@ __all__ = [
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
-    "q_arrow_roundtrip",
+    "q_arrow_roundtrip", "q_gopher_ngrams",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -947,6 +947,27 @@ def q_kml_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("segment")
+    )
+
+
+def q_gopher_ngrams(sf_dir: str):
+    """Full Gopher n-gram repetition rule set (stages/text.
+    GopherNgramStats, Rae et al. 2021 Table A1): top 2/3/4-gram char
+    fraction + duplicate 5..10-gram char fraction (overlap counted once
+    via interval union), all exact integers (x10000 // total_chars) so
+    the lead()-window DuckDB twin matches bit-for-bit."""
+    from gdal_ray.stages.text import GopherNgramStats
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+    cols = (["doc_id"]
+            + [f"top_frac_q_{n}" for n in GopherNgramStats.TOP_NS]
+            + [f"dup_frac_q_{n}" for n in GopherNgramStats.DUP_NS])
+    return (
+        ds.map_batches(GopherNgramStats, batch_format="pandas",
+                       concurrency=(1, 8), batch_size=1024)
+        .select_columns(cols)
+        .sort("doc_id")
     )
 
 

@@ -13,7 +13,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["TextStats", "LangId", "Fingerprint", "RepetitionStats",
-           "PIIRedact", "C4LineFilter", "token_count_sql_parity"]
+           "GopherNgramStats", "PIIRedact", "C4LineFilter",
+           "token_count_sql_parity"]
 
 _STOPWORDS = {
     "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "as",
@@ -192,6 +193,89 @@ class RepetitionStats:
             return c * (len(a) + len(b)) / max(sum(len(t) for t in tl), 1)
 
         batch["top_bigram_char_frac"] = toks.map(top2)
+        return batch
+
+
+class GopherNgramStats:
+    """The full Gopher n-gram repetition rule set (Rae et al. 2021,
+    Table A1), complementing RepetitionStats' line metrics:
+
+    - ``top_frac_q_{2,3,4}``: characters of the most frequent n-gram
+      (count x its token characters) over all token characters. The
+      winner breaks count ties lexicographically on the space-joined
+      n-gram, so the value is deterministic and SQL-twinnable.
+    - ``dup_frac_q_{5..10}``: characters covered by tokens lying inside
+      ANY n-gram that occurs more than once — overlap counted ONCE (the
+      paper's "taking care not to count characters ... more than once"),
+      via a union of [i, i+n) start intervals.
+
+    All fractions are exact integers quantized as
+    ``chars * 10000 // total_token_chars`` (separators excluded), so the
+    DuckDB twin (lead() n-gram keys + windowed interval union) matches
+    bit-for-bit. Tokens are ``[a-z0-9_]+`` of lower(text); docs with no
+    tokens emit all zeros. Work per doc is a handful of numpy ops over
+    its token array (no per-token Python)."""
+
+    TOP_NS = (2, 3, 4)
+    DUP_NS = (5, 6, 7, 8, 9, 10)
+
+    def __init__(self):
+        self.token = re.compile(r"[a-z0-9_]+", re.ASCII)
+
+    @staticmethod
+    def _ngrams(toks: np.ndarray, n: int) -> np.ndarray:
+        m = len(toks)
+        ngr = toks[: m - n + 1]
+        for k in range(1, n):
+            ngr = np.char.add(np.char.add(ngr, " "), toks[k: m - n + 1 + k])
+        return ngr
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        toklists = batch["text"].fillna("").str.lower().str.findall(self.token)
+        n_rows = len(batch)
+        cols = {f"top_frac_q_{n}": np.zeros(n_rows, np.int64)
+                for n in self.TOP_NS}
+        cols.update({f"dup_frac_q_{n}": np.zeros(n_rows, np.int64)
+                     for n in self.DUP_NS})
+        for i, tl in enumerate(toklists):
+            m = len(tl)
+            if m == 0:
+                continue
+            toks = np.asarray(tl, dtype=str)
+            lens = np.char.str_len(toks).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            for n in self.TOP_NS:
+                if m < n:
+                    continue
+                ngr = self._ngrams(toks, n)
+                uniq, counts = np.unique(ngr, return_counts=True)
+                best = int(np.argmax(counts))  # first max = lexicographic min
+                chars = int(counts[best]) * (len(uniq[best]) - (n - 1))
+                cols[f"top_frac_q_{n}"][i] = chars * 10000 // total
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            for n in self.DUP_NS:
+                if m < n:
+                    continue
+                ngr = self._ngrams(toks, n)
+                uniq, inv, counts = np.unique(
+                    ngr, return_inverse=True, return_counts=True)
+                starts = counts[inv] > 1  # start positions of dup n-grams
+                if not starts.any():
+                    continue
+                # union of [i, i+n): token j covered iff a dup start lies
+                # in [j-n+1, j] (clipped) — windowed OR via cumsum diffs
+                cs = np.concatenate([[0], np.cumsum(starts.astype(np.int64))])
+                j = np.arange(m)
+                hi = np.minimum(j, m - n) + 1
+                lo = np.maximum(j - n + 1, 0)
+                covered = (cs[hi] - cs[lo]) > 0
+                chars_cov = int(lens[covered].sum())
+                cols[f"dup_frac_q_{n}"][i] = chars_cov * 10000 // total
+        for k, v in cols.items():
+            batch[k] = v
         return batch
 
 
