@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hillshade_lattice": RL.q_hillshade_lattice,
         "q_arrow_roundtrip": EQ.q_arrow_roundtrip,
         "q_gopher_ngrams": EQ.q_gopher_ngrams,
+        "q_repetition_paras": EQ.q_repetition_paras,
     }
 
 
@@ -2125,6 +2126,34 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        # the SAME 8-token paragraph derivation (+ first doc_id%3 paras
+        # repeated) as the Ray query; metric math mirrors q_repetition_docs
+        "q_repetition_paras": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+                 tok AS (SELECT doc_id, (p - 1) // 8 AS pid,
+                                toks[CAST(p AS BIGINT)] AS w, p
+                         FROM t, UNNEST(range(1, len(toks) + 1, 1)) AS r(p)),
+                 pr AS (SELECT doc_id, pid,
+                               string_agg(w, ' ' ORDER BY p) AS para
+                        FROM tok GROUP BY doc_id, pid),
+                 allp AS (SELECT doc_id, para FROM pr
+                          UNION ALL
+                          SELECT doc_id, para FROM pr
+                          WHERE pid < doc_id % 3),
+                 g AS (SELECT doc_id, para, CAST(COUNT(*) AS BIGINT) AS c,
+                              CAST(length(para) AS BIGINT) AS len
+                       FROM allp GROUP BY doc_id, para),
+                 a AS (SELECT doc_id,
+                              CAST(SUM(c - 1) AS BIGINT) AS n_dup_paras,
+                              CAST(SUM((c - 1) * len) AS BIGINT) AS dupchars,
+                              CAST(SUM(c * len) AS BIGINT) AS chars
+                       FROM g GROUP BY doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_dup_paras,
+                   dupchars * 10000 // GREATEST(chars, 1)
+                       AS dup_para_char_frac_q
+            FROM a ORDER BY doc_id
+        """,
         # the SAME 5-token line derivation as the Ray query, then C4's
         # line rules (terminal punct + >=5 words) and the >=3-line doc gate
         "q_c4_filter": """

@@ -685,13 +685,22 @@ def cmd_pipeline(tokens: list) -> dict:
 def cmd_sql(sql: str, data_dir: str, out: str | None = None,
             limit: int = 20) -> dict:
     """ogrinfo -sql / ExecuteSQL: run the parsed OGR SQL engine
-    (gdal_ray/sql.py) against the parquet tables under ``data_dir``.
-    Prints up to ``limit`` rows as JSON records, or writes the full
-    result to ``out`` (.parquet / any vector extension)."""
+    (gdal_ray/sql.py) against the parquet tables under ``data_dir`` — or
+    against ONE vector FILE of any supported extension (.gpkg/.shp/
+    .geojson/.gpx/.kml/.arrow/...), bound under both its basename and
+    ``input``, matching ExecuteSQL-on-a-datasource. Prints up to
+    ``limit`` rows as JSON records, or writes the full result to ``out``
+    (.parquet / any vector extension)."""
     from gdal_ray.sql import execute_sql
 
     _ensure_ray()
-    ds = execute_sql(sql, data_dir)
+    if os.path.isfile(data_dir) and not data_dir.endswith(".parquet"):
+        layer = _vector_read(data_dir)
+        name = os.path.splitext(os.path.basename(data_dir))[0]
+        tables = {name: layer, "input": layer}
+        ds = execute_sql(sql, tables)
+    else:
+        ds = execute_sql(sql, data_dir)
     if out:
         if out.endswith(".parquet"):
             ds.write_parquet(out)

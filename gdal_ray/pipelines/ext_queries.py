@@ -21,7 +21,7 @@ __all__ = [
     "q_quantile_chars", "q_quantile_sketch_price", "q_quantile_by_lang",
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
-    "q_arrow_roundtrip", "q_gopher_ngrams",
+    "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -947,6 +947,45 @@ def q_kml_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("segment")
+    )
+
+
+def q_repetition_paras(sf_dir: str):
+    """Gopher duplicate-PARAGRAPH metrics (the sep='\\n\\n' form of
+    stages/text.RepetitionStats). The corpus has no paragraph breaks, so
+    the query derives one deterministically — 8 tokens per paragraph,
+    with the first (doc_id % 3) paragraphs repeated — the same multiset
+    the SQL twin builds with a UNION ALL."""
+    import pandas as pd
+
+    from gdal_ray.stages.text import RepetitionStats
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        d = batch["doc_id"].astype("int64").to_numpy()
+        ex = batch["text"].fillna("").str.split(" ").explode()
+        rows = ex.index.to_numpy()
+        pos = pd.Series(rows).groupby(rows).cumcount().to_numpy()
+        df = pd.DataFrame({"row": rows, "pid": pos // 8,
+                           "w": ex.to_numpy(object)})
+        paras = df.groupby(["row", "pid"])["w"].agg(" ".join).reset_index()
+        k = d[paras["row"]] % 3
+        rep = paras[paras["pid"] < k]
+        allp = pd.concat([paras, rep], ignore_index=True)
+        txt = allp.groupby("row")["para" if "para" in allp else "w"].agg(
+            "\n\n".join)
+        batch["text"] = txt.reindex(range(len(batch))).fillna("")
+        return batch
+
+    return (
+        ds.map_batches(inject, batch_format="pandas")
+        .map_batches(RepetitionStats(sep="\n\n", unit="para"),
+                     batch_format="pandas")
+        .select_columns(["doc_id", "n_dup_paras", "dup_para_char_frac_q"])
+        .sort("doc_id")
     )
 
 

@@ -153,15 +153,20 @@ class RepetitionStats:
     bare \n on both sides (python str.split('\n') == string_split(t,
     chr(10)), empty pieces kept)."""
 
-    def __init__(self):
+    def __init__(self, sep: str = "\n", unit: str = "line"):
         import re as _re
 
         self.token = _re.compile(r"\w+", _re.ASCII)
+        # sep="\n\n", unit="para" gives Gopher's duplicate-PARAGRAPH
+        # metrics with identical integer math (columns n_dup_paras /
+        # dup_para_char_frac_q)
+        self.sep = sep
+        self.unit = unit
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)
         text = batch["text"].fillna("")
-        lines = text.str.split("\n")
+        lines = text.str.split(self.sep)
         ex = lines.explode()
         g = (
             pd.DataFrame({"row": ex.index, "line": ex.to_numpy()})
@@ -176,8 +181,8 @@ class RepetitionStats:
         g["duplines"] = g["c"] - 1
         agg = g.groupby("row")[["dupchars", "chars", "duplines"]].sum()
         agg = agg.reindex(range(len(batch))).fillna(0).astype("int64")
-        batch["n_dup_lines"] = agg["duplines"]
-        batch["dup_line_char_frac_q"] = (
+        batch[f"n_dup_{self.unit}s"] = agg["duplines"]
+        batch[f"dup_{self.unit}_char_frac_q"] = (
             agg["dupchars"] * 10000 // agg["chars"].clip(lower=1)
         )
         # top word-bigram char fraction (rows-only; pytest-pinned)

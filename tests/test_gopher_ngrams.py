@@ -43,6 +43,20 @@ def test_overlap_counted_once():
     assert out.loc[0, "top_frac_q_2"] == 5 * 2 * 10000 // 6
 
 
+def test_paragraph_unit_repetition():
+    from gdal_ray.stages.text import RepetitionStats
+
+    doc = "aa bb\n\ncc dd\n\naa bb"  # paragraph "aa bb" repeats
+    out = RepetitionStats(sep="\n\n", unit="para")(
+        pd.DataFrame({"text": [doc]}))
+    assert out.loc[0, "n_dup_paras"] == 1
+    # dup chars 5, total chars 15 -> 5*10000//15
+    assert out.loc[0, "dup_para_char_frac_q"] == 5 * 10000 // 15
+    # default line unit unchanged
+    out2 = RepetitionStats()(pd.DataFrame({"text": ["x\nx\ny"]}))
+    assert out2.loc[0, "n_dup_lines"] == 1
+
+
 def test_edge_docs():
     out = _run(["", None, "single", "two words"])
     assert (out.filter(like="frac_q").to_numpy()[:3] == 0).all()
