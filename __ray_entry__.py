@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_arrow_roundtrip": EQ.q_arrow_roundtrip,
         "q_gopher_ngrams": EQ.q_gopher_ngrams,
         "q_repetition_paras": EQ.q_repetition_paras,
+        "q_geodetic_tiles": EQ.q_geodetic_tiles,
     }
 
 
@@ -2126,6 +2127,29 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        # GlobalGeodetic tmscompatible at z=6: res = (180/256)/2^6; the
+        # redundant (180 + lon) keeps the engine's two-step op order
+        "q_geodetic_tiles": """
+            WITH p AS (SELECT c_custkey,
+                              ((c_custkey * 2654435761) % 360000) / 1000.0
+                                  - 180.0 AS lon,
+                              ((c_custkey * 2246822519) % 180000) / 1000.0
+                                  - 90.0 AS lat
+                       FROM customer),
+                 px AS (SELECT c_custkey,
+                               (180.0 + lon) / ((180.0/256.0)/pow(2.0, 6))
+                                   AS fx,
+                               (90.0 + lat) / ((180.0/256.0)/pow(2.0, 6))
+                                   AS fy
+                        FROM p),
+                 tt AS (SELECT c_custkey,
+                               CAST(ceil(fx/256.0) AS BIGINT) - 1 AS tx,
+                               CAST(ceil(fy/256.0) AS BIGINT) - 1 AS ty
+                        FROM px)
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, tx,
+                   ty AS ty_tms, CAST(63 AS BIGINT) - ty AS ty_xyz
+            FROM tt ORDER BY c_custkey
+        """,
         # the SAME 8-token paragraph derivation (+ first doc_id%3 paras
         # repeated) as the Ray query; metric math mirrors q_repetition_docs
         "q_repetition_paras": """

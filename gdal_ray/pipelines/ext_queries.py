@@ -22,6 +22,7 @@ __all__ = [
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
+    "q_geodetic_tiles",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -948,6 +949,33 @@ def q_kml_roundtrip(sf_dir: str):
         )
         .sort("segment")
     )
+
+
+def q_geodetic_tiles(sf_dir: str):
+    """gdal2tiles GEODETIC profile tile assignment (geo/geodetic.py;
+    gdal2tiles.py:534 GlobalGeodetic, tmscompatible): key-derived lon/lat
+    points assigned at zoom 6, reporting both TMS and XYZ rows — the
+    ceil(px/256)-1 seam rule and the 2x1 level-0 pyramid are bit-exact
+    against the closed-form SQL twin."""
+    import pandas as pd
+
+    from gdal_ray.geo.geodetic import lonlat_to_tile_geodetic
+
+    ds = _rpt(os.path.join(sf_dir, "customer.parquet"),
+              columns=["c_custkey"])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].astype("int64").to_numpy()
+        lon = ((k * 2654435761) % 360000) / 1000.0 - 180.0
+        lat = ((k * 2246822519) % 180000) / 1000.0 - 90.0
+        tx, ty = lonlat_to_tile_geodetic(lon, lat, 6, tms_compatible=True)
+        return pd.DataFrame({
+            "c_custkey": k,
+            "tx": tx, "ty_tms": ty,
+            "ty_xyz": (2**6 - 1) - ty,
+        })
+
+    return ds.map_batches(assign, batch_format="pandas").sort("c_custkey")
 
 
 def q_repetition_paras(sf_dir: str):
