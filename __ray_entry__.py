@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_ngrams": EQ.q_gopher_ngrams,
         "q_repetition_paras": EQ.q_repetition_paras,
         "q_geodetic_tiles": EQ.q_geodetic_tiles,
+        "q_data_mixture": EQ.q_data_mixture,
     }
 
 
@@ -2127,6 +2128,33 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        # per-source budgets (target * w) // sum(w) with target = 2/5 of
+        # the char mass; selection = doc-id-ordered INCLUSIVE prefix cumsum
+        "q_data_mixture": """
+            WITH w AS (SELECT source,
+                              1 + (CAST(substr(source, 4, 20) AS BIGINT) % 3)
+                                  AS wt
+                       FROM (SELECT DISTINCT source FROM documents)),
+                 tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+                 tgt AS (SELECT CAST(SUM(n_chars) AS BIGINT) * 2 // 5
+                             AS target FROM documents),
+                 b AS (SELECT source, (tgt.target * w.wt) // tw.tot AS budget
+                       FROM w, tw, tgt),
+                 c AS (SELECT doc_id, source,
+                              CAST(n_chars AS BIGINT) AS u,
+                              CAST(SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY doc_id) AS BIGINT) AS cum
+                       FROM documents),
+                 sel AS (SELECT c.source, c.doc_id, c.u
+                         FROM c JOIN b USING (source) WHERE c.cum <= b.budget)
+            SELECT b.source, CAST(b.budget AS BIGINT) AS budget,
+                   CAST(COUNT(sel.doc_id) AS BIGINT) AS n_selected,
+                   CAST(COALESCE(SUM(sel.u), 0) AS BIGINT)
+                       AS units_selected,
+                   CAST(COALESCE(MAX(sel.doc_id), -1) AS BIGINT) AS last_doc
+            FROM b LEFT JOIN sel ON sel.source = b.source
+            GROUP BY b.source, b.budget ORDER BY b.source
+        """,
         # GlobalGeodetic tmscompatible at z=6: res = (180/256)/2^6; the
         # redundant (180 + lon) keeps the engine's two-step op order
         "q_geodetic_tiles": """

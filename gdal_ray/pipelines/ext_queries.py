@@ -22,7 +22,7 @@ __all__ = [
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
-    "q_geodetic_tiles",
+    "q_geodetic_tiles", "q_data_mixture",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -949,6 +949,21 @@ def q_kml_roundtrip(sf_dir: str):
         )
         .sort("segment")
     )
+
+
+def q_data_mixture(sf_dir: str):
+    """Data-mixture construction (stages/mixing.py): per-source weights
+    w = 1 + (source index % 3), total budget = 2/5 of the corpus char
+    mass (all integer math), deterministic per-source doc-id-ordered
+    prefix selection. The twin recomputes budgets + the window cumsum."""
+    from gdal_ray.stages.mixing import mix_select_summary
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "source", "n_chars"])
+    sources = sorted(ds.unique("source"))
+    weights = {s: 1 + int(s[3:]) % 3 for s in sources}
+    target = int(ds.sum("n_chars")) * 2 // 5
+    return mix_select_summary(ds, weights, target).sort("source")
 
 
 def q_geodetic_tiles(sf_dir: str):
