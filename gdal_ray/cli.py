@@ -23,7 +23,7 @@ the engine's own drivers (``apps/gdalinfo_bin.cpp``, ``apps/ogrinfo*``,
     python -m gdal_ray pipeline read <src> ! <step> [k=v ...] ! ... ! write <dst>
         steps: filter/derive/select/rename/sort/limit/sample/distinct/
         sql/concat/quantiles/heavy-hitters/stratified-sample/
-        pii-redact/c4-filter plus
+        pii-redact/c4-filter/dsir-select/bpe-encode/mix-select plus
         geometry swap-xy/segmentize/simplify/
         simplify-coverage/buffer/reproject/centroid/make-valid/
         explode-collections/set-geom-type/clip (quote ! in most shells)

@@ -299,6 +299,41 @@ def _step_c4_filter(ds, min_words: int = 5, min_kept_lines: int = 3):
     return out.filter(expr="keep_doc == 1")
 
 
+@register_step("dsir-select")
+def _step_dsir_select(ds, target_col: str, target_val, k: int,
+                      num_feats: int = 1024):
+    """DSIR importance resampling (stages/dsir.py): top-k docs whose
+    hashed-ngram distribution best matches the target subset."""
+    from gdal_ray.stages.dsir import dsir_select
+
+    return dsir_select(ds, target_col, target_val, int(k),
+                       num_feats=int(num_feats))
+
+
+@register_step("bpe-encode")
+def _step_bpe_encode(ds, num_merges: int = 64, max_words=None):
+    """BPE tokenizer loop (stages/bpe.py): train on the piped corpus,
+    encode it -> per-doc n_words / n_subtokens / segmentation signature."""
+    from gdal_ray.stages.bpe import bpe_token_stats
+
+    return bpe_token_stats(
+        ds, num_merges=int(num_merges),
+        max_words=int(max_words) if max_words is not None else None)
+
+
+@register_step("mix-select")
+def _step_mix_select(ds, weights: dict, target_units: int,
+                     source_col: str = "source", id_col: str = "doc_id",
+                     unit_col: str = "n_chars"):
+    """Data-mixture selection (stages/mixing.py): keep each source's
+    deterministic doc-id-ordered prefix within its weighted budget."""
+    from gdal_ray.stages.mixing import mix_select_docs
+
+    return mix_select_docs(ds, {k: int(v) for k, v in dict(weights).items()},
+                           int(target_units), source_col=source_col,
+                           id_col=id_col, unit_col=unit_col)
+
+
 @register_step("sql")
 def _step_sql(ds, statement: str):
     """gdalalg_vector_sql: run the parsed OGR SQL engine with the piped
