@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_paras": EQ.q_repetition_paras,
         "q_geodetic_tiles": EQ.q_geodetic_tiles,
         "q_data_mixture": EQ.q_data_mixture,
+        "q_asof_purchase": EQ.q_asof_purchase,
     }
 
 
@@ -2128,6 +2129,31 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        # literal DuckDB ASOF LEFT JOIN against the same pre-deduped
+        # purchase side (max event_id per (user, ts))
+        "q_asof_purchase": """
+            WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+                              CAST(user_id AS BIGINT) AS user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS us,
+                              event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS v2
+                       FROM events),
+                 l AS (SELECT event_id, user_id, us FROM e
+                       WHERE event_type = 'click'),
+                 r0 AS (SELECT user_id, us, MAX(event_id) AS pid
+                        FROM e WHERE event_type = 'purchase'
+                        GROUP BY user_id, us),
+                 r AS (SELECT r0.user_id, r0.us, r0.pid, e2.v2
+                       FROM r0 JOIN e e2 ON e2.event_id = r0.pid)
+            SELECT l.event_id, l.user_id, l.us,
+                   COALESCE(r.pid, -1) AS purchase_id,
+                   COALESCE(l.us - r.us, -1) AS gap_us,
+                   COALESCE(r.v2, -1) AS purchase_v2
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.us >= r.us
+            ORDER BY l.event_id
+        """,
         # per-source budgets (target * w) // sum(w) with target = 2/5 of
         # the char mass; selection = doc-id-ordered INCLUSIVE prefix cumsum
         "q_data_mixture": """

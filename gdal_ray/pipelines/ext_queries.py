@@ -22,7 +22,7 @@ __all__ = [
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
-    "q_geodetic_tiles", "q_data_mixture",
+    "q_geodetic_tiles", "q_data_mixture", "q_asof_purchase",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -949,6 +949,66 @@ def q_kml_roundtrip(sf_dir: str):
         )
         .sort("segment")
     )
+
+
+def q_asof_purchase(sf_dir: str):
+    """Distributed AS-OF join (stages/asof.py): for every click event,
+    the user's most recent purchase at or before it — ONE co-shuffle
+    keyed on user, per-group vectorized merge_asof. Purchases are
+    pre-deduped per (user, ts) keeping the max event_id so tie handling
+    is engine-independent; the twin is a literal DuckDB ASOF LEFT JOIN."""
+    import pandas as pd
+
+    from gdal_ray.ops.shuffle import bucketed_group_apply
+    from gdal_ray.stages.asof import asof_join
+
+    ev = _rpt(os.path.join(sf_dir, "events.parquet"),
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "us": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "v2": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    e = ev.map_batches(norm, batch_format="pyarrow")
+    left = e.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "us"])
+    pur = e.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "us", "event_id", "v2"])
+
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        g = (part.sort_values(["user_id", "us", "event_id"])
+             .groupby(["user_id", "us"], sort=False).tail(1))
+        g = g.rename(columns={"event_id": "pid"})
+        g["rus"] = g["us"]
+        return g[["user_id", "us", "pid", "v2", "rus"]]
+
+    rschema = pa.schema([("user_id", pa.int64()), ("us", pa.int64()),
+                         ("pid", pa.int64()), ("v2", pa.int64()),
+                         ("rus", pa.int64())])
+    right = bucketed_group_apply(pur, ["user_id", "us"], dedup, 8,
+                                 schema=rschema)
+    lschema = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("us", pa.int64())])
+    joined = asof_join(left, right, "user_id", "us", lschema, rschema,
+                       num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "us": df["us"].astype("int64"),
+            "purchase_id": df["r_pid"].fillna(-1).astype("int64"),
+            "gap_us": (df["us"] - df["r_rus"]).fillna(-1).astype("int64"),
+            "purchase_v2": df["r_v2"].fillna(-1).astype("int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas").sort("event_id")
 
 
 def q_data_mixture(sf_dir: str):
