@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_geodetic_tiles": EQ.q_geodetic_tiles,
         "q_data_mixture": EQ.q_data_mixture,
         "q_asof_purchase": EQ.q_asof_purchase,
+        "q_range_join": EQ.q_range_join,
     }
 
 
@@ -2129,6 +2130,19 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        "q_range_join": """
+            WITH r AS (SELECT s_suppkey,
+                              ((s_suppkey * 7919) % 19000) / 100.0 AS lo,
+                              ((s_suppkey * 7919) % 19000) / 100.0
+                                  + (1 + s_suppkey % 5) AS hi
+                       FROM supplier)
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(FLOOR(r.lo * 100.0 + 0.5) AS BIGINT) AS lo2
+            FROM events e JOIN r
+              ON e.value >= r.lo AND e.value <= r.hi
+            ORDER BY e.event_id, r.s_suppkey
+        """,
         # literal DuckDB ASOF LEFT JOIN against the same pre-deduped
         # purchase side (max event_id per (user, ts))
         "q_asof_purchase": """

@@ -22,7 +22,7 @@ __all__ = [
     "q_stratified_docs", "q_heavy_users", "q_repetition_docs", "q_pii_redact",
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
-    "q_geodetic_tiles", "q_data_mixture", "q_asof_purchase",
+    "q_geodetic_tiles", "q_data_mixture", "q_asof_purchase", "q_range_join",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -1009,6 +1009,52 @@ def q_asof_purchase(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pandas").sort("event_id")
+
+
+def q_range_join(sf_dir: str):
+    """Distributed RANGE join (stages/rangejoin.py): event values against
+    supplier-derived [lo, hi] intervals via interval binning — each pair
+    meets exactly once in the left value's bin. Twin: a plain DuckDB
+    inequality join."""
+    import pandas as pd
+
+    from gdal_ray.stages.rangejoin import range_join
+
+    ev = _rpt(os.path.join(sf_dir, "events.parquet"),
+              columns=["event_id", "value"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                         "value": t["value"].cast(pa.float64())})
+
+    left = ev.map_batches(norm, batch_format="pyarrow")
+    sup = _rpt(os.path.join(sf_dir, "supplier.parquet"),
+               columns=["s_suppkey"])
+
+    def intervals(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["s_suppkey"], dtype=np.int64)
+        lo = ((k * 7919) % 19000) / 100.0
+        hi = lo + (1 + k % 5)
+        return pa.table({"s_suppkey": pa.array(k), "lo": pa.array(lo),
+                         "hi": pa.array(hi)})
+
+    right = sup.map_batches(intervals, batch_format="pyarrow")
+    lschema = pa.schema([("event_id", pa.int64()), ("value", pa.float64())])
+    rschema = pa.schema([("s_suppkey", pa.int64()), ("lo", pa.float64()),
+                         ("hi", pa.float64())])
+    joined = range_join(left, right, "value", "lo", "hi", 5.0,
+                        lschema, rschema, num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "s_suppkey": df["s_suppkey"].astype("int64"),
+            "lo2": np.floor(df["lo"].to_numpy(np.float64) * 100.0
+                            + 0.5).astype(np.int64),
+        })
+
+    return (joined.map_batches(finish, batch_format="pandas")
+            .sort(["event_id", "s_suppkey"]))
 
 
 def q_data_mixture(sf_dir: str):
