@@ -59,6 +59,7 @@ The gdal-utils script suite (cli_utils.py):
     python -m gdal_ray mbtiles info <file.mbtiles>
     python -m gdal_ray mbtiles extract <file.mbtiles> <out_dir>
     python -m gdal_ray retile <src.tif> <out_dir> --ps W H
+    python -m gdal_ray zoomify <src.tif> <out_dir>  # Zoomify TileGroup tree
     python -m gdal_ray ogrmerge <dst> <src1> [src2 ...]
     python -m gdal_ray create <dst.tif> --size W H [--burn V] [--gt 6 vals]
         [--epsg N] [--type float32] [--nodata V]
@@ -1057,7 +1058,7 @@ _UTIL_COMMANDS = {
     "manage", "edit", "layeralg", "srsinfo", "enhance", "reclass",
     "ogrtindex", "lineref", "mdiminfo", "mdim", "overview-delete",
     "overview-refresh", "nodata-to-alpha", "color-merge", "update", "vsi",
-    "mbtiles",
+    "mbtiles", "zoomify",
 }
 
 
@@ -1169,6 +1170,12 @@ def _dispatch_util(cmd: str, args: list):
     if cmd == "mbtiles":
         pos, _ = _split_flags(args, {})
         return U.cmd_mbtiles(*pos)
+    if cmd == "zoomify":
+        pos, _ = _split_flags(args, {})
+        from gdal_ray.io.zoomify import write_zoomify
+
+        arr, _gt, _epsg = _read_raster_any(pos[0])
+        return write_zoomify(np.asarray(arr), pos[1])
     if cmd == "retile":
         pos, fl = _split_flags(args, {"--ps": 2})
         if "ps" not in fl:
