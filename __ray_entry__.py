@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_data_mixture": EQ.q_data_mixture,
         "q_asof_purchase": EQ.q_asof_purchase,
         "q_range_join": EQ.q_range_join,
+        "q_hopping_windows": R.q_hopping_windows,
     }
 
 
@@ -2130,6 +2131,26 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": _pii_sql,
         "q_dsir_select": _dsir_sql,
         "q_gopher_ngrams": _gopher_sql(),
+        # size 1800 s / hop 900 s: window starts k in
+        # [(us-size)//hop + 1, us//hop] (integer micros, all positive so
+        # DuckDB truncation == numpy floor)
+        "q_hopping_windows": """
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us,
+                              event_type,
+                              CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                  AS v2
+                       FROM events),
+                 w AS (SELECT CAST(k * 900000000 AS BIGINT) AS wstart,
+                              event_type, v2
+                       FROM e, UNNEST(range(
+                           (us - 1800000000) // 900000000 + 1,
+                           us // 900000000 + 1, 1)) AS r(k))
+            SELECT wstart, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v2) AS BIGINT) AS sum_v2
+            FROM w GROUP BY wstart, event_type
+            ORDER BY wstart, event_type
+        """,
         "q_range_join": """
             WITH r AS (SELECT s_suppkey,
                               ((s_suppkey * 7919) % 19000) / 100.0 AS lo,

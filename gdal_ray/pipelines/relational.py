@@ -27,6 +27,7 @@ __all__ = [
     "q_topk_orders",
     "q_distinct_flags",
     "q_window_events_hourly",
+    "q_hopping_windows",
     "q_dedup_docs",
     "q_token_stats",
     "q_sim_topk",
@@ -203,6 +204,50 @@ def q_window_events_hourly(sf_dir: str):
         return batch[["event_type", "hour", "n", "sum_value"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_hopping_windows(sf_dir: str):
+    """HOPPING (sliding) window aggregate — size 1800 s, hop 900 s, so
+    every event lands in exactly two overlapping windows (the streaming
+    shape tumbling windows can't express): per-batch the event explodes
+    to its window starts with a vectorized repeat and pre-combines, then
+    one distributed groupby sums the partials. Integer math throughout
+    (epoch micros // hop; value quantized 1e-2), twin = UNNEST(range)."""
+    hop = 900_000_000
+    size = 1_800_000_000
+    ds = _t(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()))
+        v2 = np.floor(np.asarray(batch["value"], dtype=np.float64)
+                      * 100.0 + 0.5).astype(np.int64)
+        et = np.asarray(batch["event_type"], dtype=object)
+        k0 = (us - size) // hop + 1
+        k1 = us // hop
+        reps = (k1 - k0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(us)), reps)
+        ks = np.concatenate([np.arange(a, b + 1)
+                             for a, b in zip(k0, k1)]) if len(us) else \
+            np.empty(0, np.int64)
+        df = pd.DataFrame({"wstart": ks * hop, "event_type": et[idx],
+                           "v2": v2[idx]})
+        g = df.groupby(["wstart", "event_type"], sort=False).agg(
+            n=("v2", "size"), sum_v2=("v2", "sum")).reset_index()
+        return pa.table({
+            "wstart": pa.array(g["wstart"].to_numpy(np.int64)),
+            "event_type": pa.array(g["event_type"].to_numpy(object),
+                                   pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "sum_v2": pa.array(g["sum_v2"].to_numpy(np.int64)),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["wstart", "event_type"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_v2", alias_name="sum_v2"))
+        .sort(["wstart", "event_type"])
+    )
 
 
 def q_dedup_docs(sf_dir: str):
