@@ -75,6 +75,21 @@ def main(sf_dir: str, only=None):
 
     DataContext.get_current().enable_progress_bars = False
 
+    import logging
+
+    class _DropSchemaNoise(logging.Filter):
+        """Ray 2.49 logs a per-0-row-block 'RefBundle with a different
+        schema' WARNING for surplus hash partitions (documented at
+        ops/shuffle.py) — harmless, drop it from driver logs."""
+
+        def filter(self, rec):
+            return ("RefBundle with a different schema"
+                    not in rec.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropSchemaNoise())
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
