@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_purchase": EQ.q_asof_purchase,
         "q_range_join": EQ.q_range_join,
         "q_hopping_windows": R.q_hopping_windows,
+        "q_gml_roundtrip": EQ.q_gml_roundtrip,
     }
 
 
@@ -1836,6 +1837,16 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_y4,
                    CAST(MAX(o_orderkey) AS BIGINT) AS max_key
             FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """,
+        "q_gml_roundtrip": """
+            SELECT CAST(n_regionkey AS BIGINT) AS rkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((n_nationkey % 360 - 180) * 2 + 1) AS BIGINT)
+                       AS sum_x2,
+                   CAST(SUM((n_nationkey % 140 - 70) * 4 + 1) AS BIGINT)
+                       AS sum_y4,
+                   CAST(MAX(n_nationkey) AS BIGINT) AS max_key
+            FROM nation GROUP BY n_regionkey ORDER BY rkey
         """,
         "q_kml_roundtrip": """
             SELECT c_mktsegment AS segment,

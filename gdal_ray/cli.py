@@ -90,7 +90,8 @@ Formats are sniffed from the extension: .tif/.tiff (GeoTIFF), .gpkg
 (GeoPackage), .shp (Shapefile), .geojson (FeatureCollection), .geojsonl/
 .geojsons (GeoJSONSeq directory or file), .gpx (GPX waypoints — point
 layers only, like the reference's wpt layer), .kml (KML Placemarks),
-.arrow (Arrow IPC shard directory), .csv (CSV layer), .parquet.
+.arrow (Arrow IPC shard directory), .gml (WFS FeatureCollection),
+.csv (CSV layer), .parquet.
 Geometry stays the engine's canonical WKB end-to-end, so vector
 conversions are byte-exact where the formats allow.
 
@@ -147,6 +148,10 @@ def _vector_read(path: str):
         from gdal_ray.sources.arrowipc import read_arrow_ipc
 
         return read_arrow_ipc(path)
+    if ext == ".gml":
+        from gdal_ray.sources.gml import read_gml
+
+        return read_gml(path)
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import read_csv_layer
 
@@ -191,6 +196,10 @@ def _vector_write(ds, path: str):
 
         out = path + ".d" if not os.path.isdir(path) else path
         return int(write_arrow_ipc(ds, out).to_pandas()["n"].sum())
+    if ext == ".gml":
+        from gdal_ray.sources.gml import write_gml
+
+        return write_gml(ds, path)
     if ext == ".csv":
         from gdal_ray.sources.csvlayer import write_csv_layer
 

@@ -23,6 +23,7 @@ __all__ = [
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
     "q_geodetic_tiles", "q_data_mixture", "q_asof_purchase", "q_range_join",
+    "q_gml_roundtrip",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -1212,6 +1213,64 @@ def q_arrow_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("priority")
+    )
+
+
+def q_gml_roundtrip(sf_dir: str):
+    """GML driver identity round-trip, SQL-twinnable (ninth vector
+    driver): nation rows become gml:featureMember Points with
+    exactly-representable pos ordinates, written as per-block .gml
+    shards, read back distributed and aggregated per region
+    (sources/gml.py; reference ogr/ogrsf_frmts/gml/)."""
+    import pandas as pd
+
+    from gdal_ray.geo.wkb import decode_points, encode_point
+    from gdal_ray.sources.gml import read_gml, write_gml_dir
+
+    ds = _rpt(os.path.join(sf_dir, "nation.parquet"),
+              columns=["n_nationkey", "n_name", "n_regionkey"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["n_nationkey"], dtype=np.int64)
+        x = (k % 360 - 180).astype(np.float64) + 0.5
+        y = (k % 140 - 70).astype(np.float64) + 0.25
+        return pa.table({
+            "fid": pa.array(k, pa.int64()),
+            "geometry": pa.array(
+                [encode_point(float(a), float(b)) for a, b in zip(x, y)],
+                pa.binary()),
+            "name": t["n_name"],
+            "rkey": pa.array([str(int(v)) for v in
+                              np.asarray(t["n_regionkey"], np.int64)],
+                             pa.string()),
+        })
+
+    base = "/tmp/gdal_ray_fixtures/gml_nation"
+    write_gml_dir(ds.map_batches(to_features, batch_format="pyarrow"),
+                  base).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        x, y = decode_points(df["geometry"].tolist())
+        return pd.DataFrame({
+            "rkey": df["rkey"].astype("int64"),
+            "x2": np.round(x * 2.0).astype(np.int64),
+            "y4": np.round(y * 4.0).astype(np.int64),
+            "key": df["fid"].astype(np.int64),
+        })
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    return (
+        read_gml(base)
+        .map_batches(finish, batch_format="pandas")
+        .groupby("rkey")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y4", alias_name="sum_y4"),
+            Max("key", alias_name="max_key"),
+        )
+        .sort("rkey")
     )
 
 
