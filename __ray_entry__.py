@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": EQ.q_range_join,
         "q_hopping_windows": R.q_hopping_windows,
         "q_gml_roundtrip": EQ.q_gml_roundtrip,
+        "q_dolma_signals": EQ.q_dolma_signals,
     }
 
 
@@ -1837,6 +1838,56 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_y4,
                    CAST(MAX(o_orderkey) AS BIGINT) AS max_key
             FROM orders GROUP BY o_orderpriority ORDER BY priority
+        """,
+        # same doc_id-derived decorations as the Ray query; words are the
+        # TextStats non-space-run convention, ltrim is spaces/tabs only
+        "q_dolma_signals": """
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '• item' || chr(10) ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN 'LOUD NOISE ' ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' more… ## x' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'end...' ELSE '' END AS t
+              FROM documents),
+                 w AS (SELECT doc_id, t,
+                              regexp_extract_all(t, '[^ \t\n\r]+') AS ws,
+                              string_split(t, chr(10)) AS ls
+                       FROM inj),
+                 m AS (SELECT doc_id,
+                              CAST(GREATEST(len(ws), 1) AS BIGINT) AS nw,
+                              CAST(list_sum(list_transform(ws,
+                                  x -> length(x))) AS BIGINT) AS wchars,
+                              CAST(len(list_filter(ws, x ->
+                                  regexp_matches(x, '^[A-Z][A-Z]+$')))
+                                  AS BIGINT) AS ncaps,
+                              CAST(length(t)
+                                   - length(replace(t, '#', ''))
+                                   + length(t)
+                                   - length(replace(t, '…', ''))
+                                   AS BIGINT) AS nsym,
+                              CAST(len(ls) AS BIGINT) AS nl,
+                              CAST(len(list_filter(ls, x ->
+                                  x LIKE '%...' OR x LIKE '%…'))
+                                  AS BIGINT) AS nell,
+                              CAST(len(list_filter(ls, x ->
+                                  ltrim(x, ' \t') LIKE '-%'
+                                  OR ltrim(x, ' \t') LIKE '*%'
+                                  OR ltrim(x, ' \t') LIKE '•%'))
+                                  AS BIGINT) AS nbul
+                       FROM w)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(wchars, 0) * 10000 // nw AS mean_wlen_q,
+                   ncaps * 10000 // nw AS caps_word_frac_q,
+                   nsym * 10000 // nw AS symbol_ratio_q,
+                   nell * 10000 // GREATEST(nl, 1)
+                       AS ellipsis_line_frac_q,
+                   nbul * 10000 // GREATEST(nl, 1) AS bullet_line_frac_q
+            FROM m ORDER BY doc_id
         """,
         "q_gml_roundtrip": """
             SELECT CAST(n_regionkey AS BIGINT) AS rkey,

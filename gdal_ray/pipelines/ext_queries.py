@@ -23,7 +23,7 @@ __all__ = [
     "q_dsir_select", "q_bpe_fertility", "q_gpx_roundtrip", "q_c4_filter", "q_kml_roundtrip",
     "q_arrow_roundtrip", "q_gopher_ngrams", "q_repetition_paras",
     "q_geodetic_tiles", "q_data_mixture", "q_asof_purchase", "q_range_join",
-    "q_gml_roundtrip",
+    "q_gml_roundtrip", "q_dolma_signals",
     "q_cc_lattice", "q_dup_clusters", "q_rare_tokens", "q_tfidf_topk",
     "q_curation_sql",
 ]
@@ -1213,6 +1213,45 @@ def q_arrow_roundtrip(sf_dir: str):
             Max("key", alias_name="max_key"),
         )
         .sort("priority")
+    )
+
+
+def q_dolma_signals(sf_dir: str):
+    """Dolma-style quality-signal taggers (stages/text.DolmaSignals,
+    Soldaini et al. 2024): mean word length, ALL-CAPS word fraction,
+    symbol ratio, ellipsis/bullet line fractions — all integer-exact.
+    The corpus carries none of the decorations, so the query injects
+    deterministic doc_id-derived ones (the same concatenation as the
+    twin)."""
+    import pandas as pd
+
+    from gdal_ray.stages.text import DolmaSignals
+
+    ds = _rpt(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].astype("int64")
+        pre_b = pd.Series("• item\n", index=batch.index).where(
+            d % 4 == 0, "")
+        pre_c = pd.Series("LOUD NOISE ", index=batch.index).where(
+            d % 5 == 0, "")
+        suf_e = pd.Series(" more… ## x", index=batch.index).where(
+            d % 3 == 0, "")
+        suf_t = pd.Series("\nend...", index=batch.index).where(
+            d % 7 == 0, "")
+        batch["text"] = pre_b + pre_c + batch["text"].fillna("") \
+            + suf_e + suf_t
+        return batch
+
+    return (
+        ds.map_batches(inject, batch_format="pandas")
+        .map_batches(DolmaSignals, batch_format="pandas",
+                     concurrency=(1, 4), batch_size=2048)
+        .select_columns(["doc_id", "mean_wlen_q", "caps_word_frac_q",
+                         "symbol_ratio_q", "ellipsis_line_frac_q",
+                         "bullet_line_frac_q"])
+        .sort("doc_id")
     )
 
 

@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["TextStats", "LangId", "Fingerprint", "RepetitionStats",
-           "GopherNgramStats", "PIIRedact", "C4LineFilter",
+           "GopherNgramStats", "DolmaSignals", "PIIRedact", "C4LineFilter",
            "token_count_sql_parity"]
 
 _STOPWORDS = {
@@ -333,6 +333,63 @@ class C4LineFilter:
         batch["keep_doc"] = (
             batch["n_kept"] >= self.min_kept_lines).astype("int64")
         batch["filtered"] = kept_text.reindex(range(len(batch))).fillna("")
+        return batch
+
+
+class DolmaSignals:
+    """Dolma-style per-document quality signals (Soldaini et al. 2024
+    taggers), each an exact integer quantized ``x * 10000 // denom`` so
+    the DuckDB twin matches bit-for-bit:
+
+    - ``mean_wlen_q``: total word characters over word count (words =
+      maximal non-space runs, the TextStats convention);
+    - ``caps_word_frac_q``: fraction of words that are ALL-CAPS
+      (``^[A-Z]{2,}$``);
+    - ``symbol_ratio_q``: '#' and ellipsis-char occurrences per word;
+    - ``ellipsis_line_frac_q``: fraction of lines ending in '...' or the
+      single-char ellipsis;
+    - ``bullet_line_frac_q``: fraction of lines starting with '-', '*'
+      or the bullet char.
+    """
+
+    def __init__(self):
+        self.word = re.compile(r"[^ \t\n\r]+")
+        self.caps = re.compile(r"[A-Z][A-Z]+", re.ASCII)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        text = batch["text"].fillna("")
+        words = text.str.findall(self.word)
+        ex = words.explode().dropna()
+        rows = ex.index
+        wlen = ex.str.len().groupby(rows).sum()
+        n_w = ex.groupby(rows).size()
+        is_caps = ex.str.fullmatch(self.caps).groupby(rows).sum()
+        n_words = n_w.reindex(range(len(batch))).fillna(0).astype("int64")
+        total_wchars = wlen.reindex(range(len(batch))).fillna(0).astype(
+            "int64")
+        n_caps = is_caps.reindex(range(len(batch))).fillna(0).astype("int64")
+        n_sym = (text.str.count("#", flags=re.ASCII)
+                 + text.str.count("…")).astype("int64")
+        lines = text.str.split("\n").explode()
+        lr = lines.index
+        end_ell = (lines.str.endswith("...")
+                   | lines.str.endswith("…")).groupby(lr).sum()
+        # ltrim spaces/tabs only (DuckDB ltrim parity)
+        start_bul = lines.str.lstrip(" \t").str.startswith(
+            ("-", "*", "•")).groupby(lr).sum()
+        n_lines = lines.groupby(lr).size().reindex(
+            range(len(batch))).fillna(1).astype("int64")
+        denom_w = n_words.clip(lower=1)
+        batch["mean_wlen_q"] = total_wchars * 10000 // denom_w
+        batch["caps_word_frac_q"] = n_caps * 10000 // denom_w
+        batch["symbol_ratio_q"] = n_sym * 10000 // denom_w
+        batch["ellipsis_line_frac_q"] = (
+            end_ell.reindex(range(len(batch))).fillna(0).astype("int64")
+            * 10000 // n_lines)
+        batch["bullet_line_frac_q"] = (
+            start_bul.reindex(range(len(batch))).fillna(0).astype("int64")
+            * 10000 // n_lines)
         return batch
 
 
