@@ -22,7 +22,8 @@ def test_signals_hand_pinned():
 
 def test_symbols_bullets_and_edges():
     out = _run(["x # y … z", "  \t* indented bullet…", "", None, "A"])
-    assert out.loc[0, "symbol_ratio_q"] == 2 * 10000 // 4
+    # '#' and '…' are words themselves (non-space runs): 5 words total
+    assert out.loc[0, "symbol_ratio_q"] == 2 * 10000 // 5
     assert out.loc[1, "bullet_line_frac_q"] == 10000  # lstrip spaces/tabs
     assert out.loc[1, "ellipsis_line_frac_q"] == 10000
     assert (out.loc[2:3, ["mean_wlen_q", "caps_word_frac_q"]] == 0
